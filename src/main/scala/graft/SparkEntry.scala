@@ -1,13 +1,557 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.GraftFunctions._
+import graft.index.PolygonLayer
+import graft.operators._
+import graft.tables.{Images, Synthetic}
+
+/**
+ * Driver contract: one `queries` entry per implemented operator from
+ * SURVEY.md §2 (+ the training-pipeline operators), with a DuckDB-runnable
+ * `oracleSql` mirror wherever the semantics are ANSI-SQL-expressible.
+ *
+ * Oracle-parity rules used throughout:
+ *  - identical double arithmetic (same op order) on both sides — derived
+ *    point coordinates are pure integer ops + one exact int→double cast;
+ *  - no order-sensitive floating aggregation in compared outputs (sums only
+ *    over integer-valued doubles; ranks instead of raw scores);
+ *  - ints cast to BIGINT on both sides; stable ORDER BY on a unique key.
+ */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** Derived deterministic point table (id, x, y) from customer keys —
+   * mirrored verbatim in SQL by [[ptsSql]]. */
+  private def points(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "customer").select(
+      col("c_custkey").cast("long").as("id"),
+      derivedX(col("c_custkey")).as("x"),
+      derivedY(col("c_custkey")).as("y"))
+
+  private val ptsSql: String =
+    s"""pts AS (SELECT c_custkey AS id,
+       |  ${derivedXSql("c_custkey")} AS x,
+       |  ${derivedYSql("c_custkey")} AS y FROM customer)""".stripMargin
+
+  /** The fixed 8-shape oracle polygon layer, emitted as SQL VALUES edges. */
+  private lazy val oracleEdgesSql: String =
+    s"edges(pk, ex1, ey1, ex2, ey2) AS (VALUES ${Synthetic.edgesSqlValues(Synthetic.oracleLayer)})"
+
+  /** Vertical-ray even-odd crossing count per (point, shape) — the SQL mirror
+   * of the PIP kernel (same arithmetic order as Geom.rayIntersection). */
+  private val pipHitsSql: String =
+    """hits AS (
+      |  SELECT p.id, e.pk,
+      |    SUM(CASE WHEN ((e.ex1 > p.x) <> (e.ex2 > p.x))
+      |          AND e.ey1 + (p.x - e.ex1) * (e.ey2 - e.ey1) / (e.ex2 - e.ex1) > p.y
+      |        THEN 1 ELSE 0 END) AS crossings
+      |  FROM pts p CROSS JOIN edges e
+      |  GROUP BY p.id, e.pk)""".stripMargin
+
+  /** Bigger synthetic layer for the image-side (non-oracle) spatial queries. */
+  private lazy val imageLayer: PolygonLayer = Synthetic.polygonLayer(64, seed = 42L)
+
+  private def imagesDf(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll(".*/", "")
+    val path = Images.ensureParquet(s, "/root/repo/data", tag, Images.rowsForSf(dir))
+    s.read.parquet(path)
+  }
+
+  /** Flagship query on sf=0.001: image table → cell ids → broadcast PIP join →
+   * per-polygon counts + caption sample. Driver smoke-checks rows>0. */
+  def entry(spark: SparkSession): DataFrame = {
+    val imgs = imagesDf(spark, "/root/testdata/sf0.001")
+      .select(col("image_id"), col("caption"), col("phash"))
+      .withColumn("x", phashLon(col("phash")))
+      .withColumn("y", phashLat(col("phash")))
+      .withColumn("cell", cellId(col("x"), col("y"), 7))
+    SpatialJoin.broadcastJoin(spark, imgs, "x", "y", imageLayer)
+      .groupBy("poly_key")
+      .agg(count(lit(1)).as("n_images"),
+        countDistinct(col("cell")).as("n_cells"),
+        first(col("caption")).as("sample_caption"))
+      .orderBy("poly_key")
+  }
+
+  // ====================================================================== //
+  //  queries + oracleSql                                                   //
+  // ====================================================================== //
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---------------- relational core (SURVEY §2.2/2.3/2.4) ----------------
+    "q_filter" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") >= 30 && col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    "q_project_rename" -> ((s, dir) =>
+      t(s, dir, "part").select(
+        col("p_partkey").as("pk"),
+        col("p_type").as("ptype"),
+        (col("p_retailprice") * 2.0).as("double_price"))
+        .orderBy("pk")),
+
+    "q_uniq" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_linenumber").cast("long").as("l_linenumber"))
+        .orderBy("l_orderkey")
+    }),
+
+    "q_sort" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"), col("l_extendedprice"))
+        .limit(100)),
+
+    "q_calc_global" -> ((s, dir) =>
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity")).as("sum_qty"),
+        min(col("l_extendedprice")).as("min_price"),
+        max(col("l_extendedprice")).as("max_price"),
+        avg(col("l_quantity")).as("avg_qty"),
+        median(col("l_quantity")).as("med_qty"))),
+
+    "q_calc_group" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          sum(col("l_quantity")).as("sum_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          bool_and(col("l_quantity") > 10.0).as("all_gt10"),
+          bool_or(col("l_discount") > 0.09).as("any_disc"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_mode" -> ((s, dir) => {
+      val counts = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_quantity"))
+        .agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("l_returnflag")).orderBy(col("c").desc, col("l_quantity"))
+      counts.withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select(col("l_returnflag"), col("l_quantity").as("mode_qty"))
+        .orderBy("l_returnflag")
+    }),
+
+    "q_attr_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val c = t(s, dir, "customer")
+      o.join(c, o("o_custkey") === c("c_custkey"), "left")
+        .select(col("o_orderkey"), col("o_custkey"), col("c_name"), col("c_acctbal"))
+        .orderBy("o_orderkey")
+    }),
+
+    "q_join_sum_fields" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem").groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("_sq"), count(lit(1)).as("_n"))
+      t(s, dir, "part")
+        .join(li, col("p_partkey") === col("l_partkey"), "left")
+        .select(col("p_partkey"),
+          coalesce(col("_sq"), lit(0.0)).as("sum_qty"),
+          coalesce(col("_n"), lit(0L)).as("n_matches"))
+        .orderBy("p_partkey")
+    }),
+
+    "q_join_duplication" -> ((s, dir) => {
+      val p = t(s, dir, "part")
+      val li = t(s, dir, "lineitem")
+      p.join(li, p("p_partkey") === li("l_partkey"))
+        .select(col("p_partkey"), col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"), col("p_brand"))
+        .orderBy("p_partkey", "l_orderkey", "l_linenumber")
+    }),
+
+    "q_join_unmatched" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy("c_custkey")
+    }),
+
+    "q_join_calc" -> ((s, dir) => {
+      val agg = t(s, dir, "orders").groupBy(col("o_custkey")).agg(
+        count(lit(1)).as("_n"),
+        max(col("o_totalprice")).as("_mx"),
+        countDistinct(col("o_orderstatus")).as("_ns"))
+      t(s, dir, "customer")
+        .join(agg, col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"),
+          coalesce(col("_n"), lit(0L)).as("n_orders"),
+          col("_mx").as("max_price"),
+          coalesce(col("_ns"), lit(0L)).as("n_status"))
+        .orderBy("c_custkey")
+    }),
+
+    // ---------------- spatial: cells / PIP / kNN / dissolve ----------------
+    "q_cell_assign" -> ((s, dir) => {
+      // encode then decode: the oracle (plain floor arithmetic) also verifies
+      // the Morton encode/decode round trip inside cellId.
+      val decUdf = udf { (c: Long) =>
+        val (ix, iy, _) = graft.cell.CellIndex.decode(c)
+        Array(ix, iy)
+      }
+      points(s, dir)
+        .withColumn("cell", cellId(col("x"), col("y"), 7))
+        .withColumn("_d", decUdf(col("cell")))
+        .groupBy(col("_d")(0).as("cx"), col("_d")(1).as("cy"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("cx", "cy")
+    }),
+
+    "q_pip_join" -> ((s, dir) =>
+      SpatialJoin.broadcastJoin(s, points(s, dir), "x", "y", Synthetic.oracleLayer)
+        .select(col("id"), col("poly_key"))
+        .orderBy("id", "poly_key")),
+
+    "q_pip_count" -> ((s, dir) =>
+      SpatialJoin.broadcastJoin(s, points(s, dir), "x", "y", Synthetic.oracleLayer)
+        .groupBy(col("poly_key"))
+        .agg(count(lit(1)).as("n_points"))
+        .orderBy("poly_key")),
+
+    "q_clip_points" -> ((s, dir) =>
+      SpatialJoin.clipPoints(s, points(s, dir), "x", "y", Synthetic.oracleLayer)
+        .select(col("id")).orderBy("id")),
+
+    "q_erase_points" -> ((s, dir) =>
+      SpatialJoin.clipPoints(s, points(s, dir), "x", "y", Synthetic.oracleLayer, erase = true)
+        .select(col("id")).orderBy("id")),
+
+    "q_knn" -> ((s, dir) =>
+      Knn.knnJoin(s, points(s, dir), "id", "x", "y", k = 3, res = 5)
+        .select(col("id"), col("rank").cast("long").as("rnk"), col("neighbor_id"))
+        .orderBy("id", "rnk")),
+
+    "q_dist_join" -> ((s, dir) =>
+      Knn.distanceJoin(s, points(s, dir), "id", "x", "y", radius = 2.0)
+        .select(col("a_id"), col("b_id"), col("dist2"))
+        .orderBy("a_id", "b_id")),
+
+    "q_dissolve" -> ((s, dir) => {
+      import s.implicits._
+      val cells = points(s, dir)
+        .select((col("id") % 4).as("g"),
+          floor(col("x") / 10.0).cast("long").as("cx"),
+          floor(col("y") / 10.0).cast("long").as("cy"))
+        .distinct()
+      val ringUdf = udf { (cx: Long, cy: Long) =>
+        val x = cx.toDouble; val y = cy.toDouble
+        Array(x, y, x + 1, y, x + 1, y + 1, x, y + 1, x, y)
+      }
+      val rings = cells.withColumn("ring", ringUdf(col("cx"), col("cy")))
+      Dissolve.dissolve(s, rings, "g", "ring")
+        .select(col("group").as("g"), col("n_rings_in").as("n_cells"),
+          col("n_boundary_edges"))
+        .orderBy("g")
+    }),
+
+    "q_split_grid" -> ((s, dir) =>
+      Tiling.splitOnGrid(points(s, dir), "x", "y", 20.0)
+        .groupBy("grid_col", "grid_row")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("grid_col", "grid_row")),
+
+    // ---------------- events (windowed agg) ----------------
+    "q_events_window" -> ((s, dir) =>
+      t(s, dir, "events")
+        .groupBy(date_trunc("HOUR", col("ts")).as("hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("min_value"),
+          max(col("value")).as("max_value"))
+        .orderBy("hour", "event_type")),
+
+    // ---------------- documents: dedup + text analysis ----------------
+    "q_dedup_exact" -> ((s, dir) => {
+      val docs = t(s, dir, "documents").withColumn("_key", substring(col("text"), 1, 30))
+      Dedup.exact(docs, "doc_id", "_key")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    "q_token_count" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), size(split(col("text"), " ", -1)).cast("long").as("n_tokens"))
+        .orderBy("doc_id")),
+
+    "q_quality" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          floor(TextAnalysis.qualityScore(col("text")) * 1000000.0).cast("long").as("q_int"))
+        .orderBy("doc_id")),
+
+    "q_ann_topk" -> ((s, dir) =>
+      Ann.bruteForceTopK(s, t(s, dir, "embeddings"), "vec_id", "embedding", k = 3)
+        .select(col("id"), col("rank").cast("long").as("rnk"), col("neighbor_id"))
+        .orderBy("id", "rnk")),
+
+    // ---------------- rows-only (no SQL-expressible oracle) ----------------
+    "q_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(s, t(s, dir, "documents"), "doc_id", "text", threshold = 0.3)
+        .orderBy("a_id", "b_id")),
+
+    "q_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(s, t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+        .orderBy("a_id", "b_id")),
+
+    "q_lang_id" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.langIdUdf(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    "q_fingerprint" -> ((s, dir) =>
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprintUdf(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    "q_embed_dedup" -> ((s, dir) =>
+      Dedup.embeddingPairs(s, t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.95)
+        .select(col("a_id"), col("b_id"))
+        .orderBy("a_id", "b_id")),
+
+    "q_ann_lsh" -> ((s, dir) =>
+      Ann.lshTopK(s, t(s, dir, "embeddings"), "vec_id", "embedding", k = 3)
+        .select(col("id"), col("rank").cast("long").as("rnk"), col("neighbor_id"))
+        .orderBy("id", "rnk")),
+
+    // ---------------- image table (north-rule ops; binary payloads) --------
+    "q_img_cell" -> ((s, dir) =>
+      imagesDf(s, dir)
+        .select(col("image_id"), col("phash"))
+        .withColumn("x", phashLon(col("phash")))
+        .withColumn("y", phashLat(col("phash")))
+        .withColumn("cell_id", cellId(col("x"), col("y"), 6))
+        .groupBy("cell_id").agg(count(lit(1)).as("n"))
+        .orderBy("cell_id")),
+
+    "q_img_pip" -> ((s, dir) => {
+      val imgs = imagesDf(s, dir)
+        .select(col("image_id"), col("phash"))
+        .withColumn("x", phashLon(col("phash")))
+        .withColumn("y", phashLat(col("phash")))
+      SpatialJoin.broadcastJoin(s, imgs, "x", "y", imageLayer)
+        .groupBy("poly_key").agg(count(lit(1)).as("n_images"))
+        .orderBy("poly_key")
+    }),
+
+    "q_img_tiles" -> ((s, dir) =>
+      Tiling.tileAssign(s, imagesDf(s, dir), tileGrid = 4, res = 9, Some(imageLayer))
+        .groupBy("cell_id", "poly_key").agg(count(lit(1)).as("n_tiles"))
+        .orderBy("cell_id", "poly_key")),
+
+    "q_img_features" -> ((s, dir) =>
+      Multimodal.features(s, imagesDf(s, dir).limit(500)).toDF()
+        .select(col("image_id"), col("w"), col("h"), col("fmt"), col("ahash"))
+        .orderBy("image_id")),
+
+    "q_img_psnr" -> ((s, dir) =>
+      Multimodal.psnrVsRender(s, imagesDf(s, dir).limit(500))
+        .filter(col("psnr_db") >= 40.0)
+        .orderBy("image_id"))
+  )
+
+  // ====================================================================== //
+
+  def oracleSql: Map[String, String] = Map(
+    "q_filter" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem WHERE l_quantity >= 30 AND l_returnflag = 'R'
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_project_rename" ->
+      """SELECT p_partkey AS pk, p_type AS ptype, p_retailprice * 2.0 AS double_price
+        |FROM part ORDER BY pk""".stripMargin,
+
+    "q_uniq" ->
+      """SELECT l_orderkey, l_partkey, CAST(l_linenumber AS BIGINT) AS l_linenumber FROM (
+        |  SELECT l_orderkey, l_partkey, l_linenumber,
+        |         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+        |  FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+
+    "q_sort" ->
+      """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice
+        |FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin,
+
+    "q_calc_global" ->
+      """SELECT count(*) AS n_rows, sum(l_quantity) AS sum_qty,
+        |  min(l_extendedprice) AS min_price, max(l_extendedprice) AS max_price,
+        |  avg(l_quantity) AS avg_qty, median(l_quantity) AS med_qty
+        |FROM lineitem""".stripMargin,
+
+    "q_calc_group" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows, sum(l_quantity) AS sum_qty,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  bool_and(l_quantity > 10.0) AS all_gt10, bool_or(l_discount > 0.09) AS any_disc
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_mode" ->
+      """SELECT l_returnflag, mode_qty FROM (
+        |  SELECT l_returnflag, l_quantity AS mode_qty,
+        |         row_number() OVER (PARTITION BY l_returnflag ORDER BY c DESC, l_quantity) AS rn
+        |  FROM (SELECT l_returnflag, l_quantity, count(*) AS c
+        |        FROM lineitem GROUP BY l_returnflag, l_quantity))
+        |WHERE rn = 1 ORDER BY l_returnflag""".stripMargin,
+
+    "q_attr_join" ->
+      """SELECT o_orderkey, o_custkey, c_name, c_acctbal
+        |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_join_sum_fields" ->
+      """SELECT p_partkey, COALESCE(_sq, 0.0) AS sum_qty, COALESCE(_n, 0) AS n_matches
+        |FROM part LEFT JOIN (
+        |  SELECT l_partkey, sum(l_quantity) AS _sq, count(*) AS _n
+        |  FROM lineitem GROUP BY l_partkey) ON p_partkey = l_partkey
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_join_duplication" ->
+      """SELECT p_partkey, l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, p_brand
+        |FROM part JOIN lineitem ON p_partkey = l_partkey
+        |ORDER BY p_partkey, l_orderkey, l_linenumber""".stripMargin,
+
+    "q_join_unmatched" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_join_calc" ->
+      """SELECT c_custkey, COALESCE(_n, 0) AS n_orders, _mx AS max_price,
+        |  COALESCE(_ns, 0) AS n_status
+        |FROM customer LEFT JOIN (
+        |  SELECT o_custkey, count(*) AS _n, max(o_totalprice) AS _mx,
+        |         count(DISTINCT o_orderstatus) AS _ns
+        |  FROM orders GROUP BY o_custkey) ON c_custkey = o_custkey
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_cell_assign" ->
+      s"""WITH $ptsSql
+         |SELECT CAST(floor(x / 2.8125) AS BIGINT) AS cx,
+         |       CAST(floor(y / 2.8125) AS BIGINT) AS cy, count(*) AS n
+         |FROM pts GROUP BY cx, cy ORDER BY cx, cy""".stripMargin,
+
+    "q_pip_join" ->
+      s"""WITH $ptsSql,
+         |$oracleEdgesSql,
+         |$pipHitsSql
+         |SELECT id, CAST(pk AS BIGINT) AS poly_key FROM hits WHERE crossings % 2 = 1
+         |ORDER BY id, poly_key""".stripMargin,
+
+    "q_pip_count" ->
+      s"""WITH $ptsSql,
+         |$oracleEdgesSql,
+         |$pipHitsSql
+         |SELECT CAST(pk AS BIGINT) AS poly_key, count(*) AS n_points
+         |FROM hits WHERE crossings % 2 = 1
+         |GROUP BY pk ORDER BY poly_key""".stripMargin,
+
+    "q_clip_points" ->
+      s"""WITH $ptsSql,
+         |$oracleEdgesSql,
+         |$pipHitsSql
+         |SELECT DISTINCT id FROM hits WHERE crossings % 2 = 1 ORDER BY id""".stripMargin,
+
+    "q_erase_points" ->
+      s"""WITH $ptsSql,
+         |$oracleEdgesSql,
+         |$pipHitsSql
+         |SELECT id FROM pts WHERE id NOT IN (
+         |  SELECT id FROM hits WHERE crossings % 2 = 1) ORDER BY id""".stripMargin,
+
+    "q_knn" ->
+      s"""WITH $ptsSql,
+         |pairs AS (
+         |  SELECT a.id AS id, b.id AS neighbor_id,
+         |    (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+         |  FROM pts a CROSS JOIN pts b WHERE a.id <> b.id),
+         |ranked AS (
+         |  SELECT id, neighbor_id,
+         |    row_number() OVER (PARTITION BY id ORDER BY dist2, neighbor_id) AS rnk
+         |  FROM pairs)
+         |SELECT id, CAST(rnk AS BIGINT) AS rnk, neighbor_id FROM ranked
+         |WHERE rnk <= 3 ORDER BY id, rnk""".stripMargin,
+
+    "q_dist_join" ->
+      s"""WITH $ptsSql
+         |SELECT a.id AS a_id, b.id AS b_id,
+         |  (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) AS dist2
+         |FROM pts a CROSS JOIN pts b
+         |WHERE a.id < b.id
+         |  AND (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 4.0
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_dissolve" ->
+      s"""WITH $ptsSql,
+         |cells AS (SELECT DISTINCT id % 4 AS g,
+         |    CAST(floor(x / 10.0) AS BIGINT) AS cx, CAST(floor(y / 10.0) AS BIGINT) AS cy
+         |  FROM pts),
+         |edges AS (
+         |  SELECT g, cx AS x1, cy AS y1, cx + 1 AS x2, cy AS y2 FROM cells
+         |  UNION ALL SELECT g, cx, cy + 1, cx + 1, cy + 1 FROM cells
+         |  UNION ALL SELECT g, cx, cy, cx, cy + 1 FROM cells
+         |  UNION ALL SELECT g, cx + 1, cy, cx + 1, cy + 1 FROM cells),
+         |ecnt AS (SELECT g, x1, y1, x2, y2, count(*) AS c FROM edges GROUP BY g, x1, y1, x2, y2),
+         |bnd AS (SELECT g, count(*) AS n_boundary_edges FROM ecnt WHERE c % 2 = 1 GROUP BY g),
+         |mem AS (SELECT g, count(*) AS n_cells FROM cells GROUP BY g)
+         |SELECT mem.g AS g, n_cells, n_boundary_edges
+         |FROM mem JOIN bnd ON mem.g = bnd.g ORDER BY g""".stripMargin,
+
+    "q_split_grid" ->
+      s"""WITH $ptsSql
+         |SELECT CAST(floor(x / 20.0) AS BIGINT) AS grid_col,
+         |       CAST(floor(y / 20.0) AS BIGINT) AS grid_row, count(*) AS n
+         |FROM pts GROUP BY grid_col, grid_row ORDER BY grid_col, grid_row""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
+        |  min(value) AS min_value, max(value) AS max_value
+        |FROM events GROUP BY hour, event_type ORDER BY hour, event_type""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY substr(text, 1, 30) ORDER BY doc_id) AS rn
+        |  FROM documents) WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_quality" ->
+      """SELECT doc_id, CAST(floor((
+        |    least(CAST(length(text) AS DOUBLE) / 200.0, 1.0) * 0.4
+        |  + greatest(1.0 - (CAST(length(regexp_replace(text, '[a-zA-Z0-9\s]', '', 'g')) AS DOUBLE)
+        |      / greatest(CAST(length(text) AS DOUBLE), 1.0)) * 4.0, 0.0) * 0.3
+        |  + (CASE WHEN CAST(length(text) AS DOUBLE) / greatest(CAST(
+        |        CASE WHEN length(trim(text)) = 0 THEN 0
+        |             ELSE len(string_split_regex(trim(text), '\s+')) END AS DOUBLE), 1.0)
+        |      BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.3
+        |  ) * 1000000.0) AS BIGINT) AS q_int
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_ann_topk" ->
+      """WITH pairs AS (
+        |  SELECT a.vec_id AS id, b.vec_id AS neighbor_id,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS score
+        |  FROM embeddings a CROSS JOIN embeddings b WHERE a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT id, neighbor_id,
+        |    row_number() OVER (PARTITION BY id ORDER BY score DESC, neighbor_id) AS rnk
+        |  FROM pairs)
+        |SELECT id, CAST(rnk AS BIGINT) AS rnk, neighbor_id FROM ranked
+        |WHERE rnk <= 3 ORDER BY id, rnk""".stripMargin
+  )
 }

@@ -1,0 +1,47 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+import graft.cell.CellIndex
+
+/**
+ * Column-level function surface of the engine. Everything here composes
+ * built-in `org.apache.spark.sql.functions` (whole-stage-codegen'd); UDF-backed
+ * helpers live in [[GraftUdfs]] and are used only where built-ins can't express
+ * the semantics (bit interleave, PIP against a broadcast index).
+ */
+object GraftFunctions {
+
+  /**
+   * Deterministic point derivation from an integer key — the test-domain
+   * mapping shared verbatim with the DuckDB oracle SQL (pure integer ops +
+   * one exact int→double cast, bit-identical across engines).
+   */
+  def derivedX(key: Column): Column = (key * lit(48271L) % 100000L).cast("double") / 1000.0
+  def derivedY(key: Column): Column = (key * lit(69621L) % 100000L).cast("double") / 1000.0
+
+  /** SQL fragment mirrors of [[derivedX]]/[[derivedY]] for oracle queries. */
+  def derivedXSql(key: String): String = s"CAST(($key * 48271) % 100000 AS DOUBLE) / 1000.0"
+  def derivedYSql(key: String): String = s"CAST(($key * 69621) % 100000 AS DOUBLE) / 1000.0"
+
+  /** Integer cell coordinate at a cell size — floor(v / cs), matches square-grid pointToIdx. */
+  def cellCoord(v: Column, cellSizeV: Double): Column = floor(v / lit(cellSizeV)).cast("long")
+
+  /** Packed Morton cell id at a resolution (UDF: 64-bit interleave). */
+  def cellId(x: Column, y: Column, res: Int): Column = GraftUdfs.cellIdUdf(res)(x, y)
+
+  /** Decode image-table phash to lon/lat (Morton low bits, [0,100)² domain). */
+  def phashLon(phash: Column): Column = GraftUdfs.phashLonUdf(phash)
+  def phashLat(phash: Column): Column = GraftUdfs.phashLatUdf(phash)
+}
+
+/** UDF-backed helpers (Scala closures; JVM-side, no Python). */
+object GraftUdfs {
+  import org.apache.spark.sql.functions.udf
+
+  def cellIdUdf(res: Int) = udf((x: Double, y: Double) => CellIndex.cellId(x, y, res))
+
+  val phashLonUdf = udf((p: Long) => graft.tables.Images.lonLat(p)._1)
+  val phashLatUdf = udf((p: Long) => graft.tables.Images.lonLat(p)._2)
+}

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.SplitMix64
+
+/**
+ * Approximate-nearest-neighbor search over an embedding column.
+ *
+ *  - [[bruteForceTopK]]: exact cosine top-k baseline. The dot product is a
+ *    deterministic left-to-right fold over the array (fixed order — bit-stable
+ *    across partitions); ranking ties break on neighbor id.
+ *  - [[lshTopK]]: the scale path — deterministic random-hyperplane signatures
+ *    bucket the vectors; search probes the query's bucket plus all 1-bit
+ *    neighbor buckets (multi-probe), turning the O(n²) cross join into an
+ *    equi-join on bucket id. Recall is tunable via `planes`.
+ */
+object Ann {
+
+  /** Deterministic hyperplane component for (plane p, dimension d): ±1 grid. */
+  @inline private def plane(p: Int, d: Int): Double =
+    if ((SplitMix64.hash(p.toLong * 131071 + d) & 1L) == 0L) 1.0 else -1.0
+
+  /** LSH signature: sign bits of `planes` pseudo-random ±1 hyperplane dots. */
+  def signature(v: Array[Float], planes: Int): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < planes) {
+      var dot = 0.0
+      var d = 0
+      while (d < v.length) {
+        dot += v(d) * plane(p, d)
+        d += 1
+      }
+      if (dot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  /** Cosine similarity; deterministic left-to-right accumulation. */
+  def cosine(a: Array[Float], b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      dot += a(i).toDouble * b(i).toDouble
+      na += a(i).toDouble * a(i).toDouble
+      nb += b(i).toDouble * b(i).toDouble
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /**
+   * Exact top-k neighbors per vector by cosine. Output:
+   * (id, rank, neighbor_id). O(n²) — the correctness baseline.
+   */
+  def bruteForceTopK(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val cosUdf = udf((a: Seq[Float], b: Seq[Float]) => cosine(a.toArray, b.toArray))
+    val pairs = v.as("a").join(v.as("b"), col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id"), col("b.id").as("neighbor_id"),
+        cosUdf(col("a.vec"), col("b.vec")).as("score"))
+    val w = Window.partitionBy("id").orderBy(col("score").desc, col("neighbor_id"))
+    pairs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("id", "rank", "neighbor_id")
+  }
+
+  /**
+   * LSH-bucketed approximate top-k: candidates share a hyperplane bucket with
+   * the query (multi-probe: bucket itself + all Hamming-1 neighbors).
+   */
+  def lshTopK(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
+              k: Int, planes: Int = 10): DataFrame = {
+    val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
+    val sigUdf = udf((vv: Seq[Float]) => signature(vv.toArray, planes))
+    val probesUdf = udf { (sig: Long) =>
+      val out = new Array[Long](planes + 1)
+      out(0) = sig
+      var p = 0
+      while (p < planes) { out(p + 1) = sig ^ (1L << p); p += 1 }
+      out
+    }
+    val sigs = v.withColumn("_sig", sigUdf(col("vec")))
+    val probes = sigs.withColumn("_bucket", explode(probesUdf(col("_sig"))))
+      .select(col("id"), col("vec"), col("_bucket"))
+    val base = sigs.select(col("id").as("neighbor_id"), col("vec").as("nvec"),
+      col("_sig").as("_bucket"))
+    val cosUdf = udf((a: Seq[Float], b: Seq[Float]) => cosine(a.toArray, b.toArray))
+    val cand = probes.join(base, Seq("_bucket"))
+      .filter(col("id") =!= col("neighbor_id"))
+      .dropDuplicates("id", "neighbor_id")
+      .select(col("id"), col("neighbor_id"), cosUdf(col("vec"), col("nvec")).as("score"))
+    val w = Window.partitionBy("id").orderBy(col("score").desc, col("neighbor_id"))
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("id", "rank", "neighbor_id", "score")
+  }
+}

@@ -1,0 +1,185 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.tables.SplitMix64
+
+/**
+ * Document deduplication family for large-scale training-data pipelines:
+ *
+ *  - [[exact]]: hash-groupBy exact dedup (keep lowest id per text);
+ *  - [[minhashPairs]]: MinHash + LSH banding — shingle → 64 minhashes → bands →
+ *    bucket equi-join → exact n-gram Jaccard verification. The only shuffle is
+ *    the band-bucket groupBy; candidate verification is per-pair.
+ *  - [[simhashPairs]]: 64-bit SimHash, banded by 16-bit chunks for Hamming-
+ *    distance candidate generation.
+ *  - [[ngramJaccard]]: exact n-gram Jaccard on candidate pairs (verifier).
+ *
+ * All hashes are deterministic (SplitMix64 finalizer) — identical across
+ * partitions, sessions, and cluster sizes.
+ */
+object Dedup {
+
+  // ------------------------------------------------------------------ exact
+
+  /** Keep one row per distinct `textCol` value (lowest id wins). */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = Window.partitionBy(col(textCol)).orderBy(col(idCol))
+    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  }
+
+  // ---------------------------------------------------------------- minhash
+
+  /** Word shingles of size n, hashed to longs. */
+  def shingleHashes(text: String, n: Int): Array[Long] = {
+    val words = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
+    if (words.length < n) {
+      if (words.isEmpty) Array.emptyLongArray
+      else Array(SplitMix64.hash(words.mkString(" ").hashCode.toLong))
+    } else {
+      val out = new Array[Long](words.length - n + 1)
+      var i = 0
+      while (i + n <= words.length) {
+        var h = 1125899906842597L
+        var j = i
+        while (j < i + n) {
+          h = h * 31 + words(j).hashCode
+          j += 1
+        }
+        out(i) = SplitMix64.hash(h)
+        i += 1
+      }
+      out
+    }
+  }
+
+  /** numHashes minhash signature using XOR-permutations of one base hash. */
+  def minhashSignature(text: String, n: Int, numHashes: Int): Array[Long] = {
+    val shingles = shingleHashes(text, n)
+    val sig = Array.fill(numHashes)(Long.MaxValue)
+    var s = 0
+    while (s < shingles.length) {
+      var k = 0
+      while (k < numHashes) {
+        val h = SplitMix64.hash(shingles(s) ^ (k * 0x9e3779b97f4a7c15L))
+        if (h < sig(k)) sig(k) = h
+        k += 1
+      }
+      s += 1
+    }
+    sig
+  }
+
+  /**
+   * LSH candidate pairs: signature split into `bands` bands of
+   * numHashes/bands rows; docs sharing any band bucket become a candidate
+   * pair, then verified with exact shingle Jaccard >= `threshold`.
+   * Output: (a_id, b_id, jaccard) with a_id < b_id.
+   */
+  def minhashPairs(spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                   threshold: Double = 0.5): DataFrame = {
+    val rows = numHashes / bands
+    val sigUdf = udf((t: String) => minhashSignature(t, shingleN, numHashes))
+    val bandUdf = udf { (sig: Seq[Long]) =>
+      (0 until bands).map { b =>
+        var h = b.toLong
+        var i = b * rows
+        while (i < (b + 1) * rows) { h = h * 1000003L + sig(i); i += 1 }
+        h
+      }.toArray
+    }
+    val banded = df
+      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .withColumn("_bucket", explode(bandUdf(sigUdf(col("text")))))
+
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a._bucket") === col("b._bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.text").as("a_text"), col("b.text").as("b_text"))
+      .dropDuplicates("a_id", "b_id")
+
+    val jacUdf = udf((a: String, b: String) => jaccard(a, b, shingleN))
+    cand.withColumn("jaccard", jacUdf(col("a_text"), col("b_text")))
+      .filter(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+  }
+
+  /** Exact n-gram (word shingle) Jaccard similarity. */
+  def jaccard(a: String, b: String, n: Int): Double = {
+    val sa = shingleHashes(a, n).toSet
+    val sb = shingleHashes(b, n).toSet
+    if (sa.isEmpty && sb.isEmpty) 1.0
+    else {
+      val inter = sa.intersect(sb).size
+      inter.toDouble / (sa.size + sb.size - inter)
+    }
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  /** 64-bit SimHash over word shingles. */
+  def simhash(text: String, n: Int): Long = {
+    val shingles = shingleHashes(text, n)
+    val acc = new Array[Int](64)
+    var i = 0
+    while (i < shingles.length) {
+      val h = shingles(i)
+      var bit = 0
+      while (bit < 64) {
+        if (((h >>> bit) & 1L) == 1L) acc(bit) += 1 else acc(bit) -= 1
+        bit += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var bit = 0
+    while (bit < 64) {
+      if (acc(bit) > 0) out |= (1L << bit)
+      bit += 1
+    }
+    out
+  }
+
+  /**
+   * SimHash near-dup pairs with Hamming distance <= maxHamming, using 16-bit
+   * band buckets (any pair within Hamming 3 shares at least one of 4 bands).
+   */
+  def simhashPairs(spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
+                   shingleN: Int = 3, maxHamming: Int = 3): DataFrame = {
+    val shUdf = udf((t: String) => simhash(t, shingleN))
+    val bandsUdf = udf((h: Long) =>
+      (0 until 4).map(b => (b.toLong << 16) | ((h >>> (16 * b)) & 0xffffL)).toArray)
+    val banded = df
+      .select(col(idCol).cast("long").as("id"), shUdf(col(textCol)).as("sh"))
+      .withColumn("_bucket", explode(bandsUdf(col("sh"))))
+    val hamUdf = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+    banded.as("a").join(banded.as("b"),
+        col("a._bucket") === col("b._bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        col("a.sh").as("a_sh"), col("b.sh").as("b_sh"))
+      .dropDuplicates("a_id", "b_id")
+      .withColumn("hamming", hamUdf(col("a_sh"), col("b_sh")))
+      .filter(col("hamming") <= maxHamming)
+      .select("a_id", "b_id", "hamming")
+  }
+
+  /**
+   * Embedding cosine near-duplicates: pairs with cosine >= threshold, via LSH
+   * hyperplane buckets (see [[Ann.signature]]) + exact verification.
+   */
+  def embeddingPairs(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, planes: Int = 12): DataFrame = {
+    val sigUdf = udf((v: Seq[Float]) => Ann.signature(v.toArray, planes))
+    val banded = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+      .withColumn("_bucket", sigUdf(col("v")))
+    val cosUdf = udf((a: Seq[Float], b: Seq[Float]) => Ann.cosine(a.toArray, b.toArray))
+    banded.as("a").join(banded.as("b"),
+        col("a._bucket") === col("b._bucket") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
+        cosUdf(col("a.v"), col("b.v")).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+}

@@ -1,0 +1,127 @@
+package graft.operators
+
+import java.awt.image.BufferedImage
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.tables.Images
+
+/**
+ * Multimodal (image) column operators. The payload is an opaque `binary`
+ * column with typed metadata `(w, h, fmt)` — decode / feature-extract /
+ * resize / tile run as typed Dataset transformations over real codecs
+ * (javax.imageio PNG/JPEG; the JVM ships them, so no stubbing is needed).
+ *
+ * Scale notes: `bytes` is only read by these stages (Parquet column pruning
+ * keeps every relational/spatial query from touching it); decode is
+ * per-partition streaming work with no shuffle — the classic map-heavy stage
+ * that scales linearly with executors.
+ */
+object Multimodal {
+
+  final case class ImageFeatures(
+      image_id: String,
+      w: Int,
+      h: Int,
+      fmt: String,
+      mean_r: Double,
+      mean_g: Double,
+      mean_b: Double,
+      luma_hist: Array[Long], // 16 bins
+      ahash: Long)            // 8x8 average hash of the decoded payload
+
+  /** Decode + feature-extract each image row. Input needs (image_id, bytes, fmt). */
+  def features(spark: SparkSession, images: DataFrame): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    images.select("image_id", "bytes", "fmt").as[(String, Array[Byte], String)]
+      .mapPartitions(_.map { case (id, bytes, fmt) =>
+        val (w, h, px) = Images.decode(bytes)
+        var sr = 0L; var sg = 0L; var sb = 0L
+        val hist = new Array[Long](16)
+        var i = 0
+        while (i < px.length) {
+          val r = (px(i) >> 16) & 0xff
+          val g = (px(i) >> 8) & 0xff
+          val b = px(i) & 0xff
+          sr += r; sg += g; sb += b
+          val luma = (r * 299 + g * 587 + b * 114) / 1000
+          hist(luma >> 4) += 1
+          i += 1
+        }
+        val n = px.length.toDouble
+        ImageFeatures(id, w, h, fmt, sr / n, sg / n, sb / n, hist, ahash(px, w, h))
+      })
+  }
+
+  /** 8x8 average hash of a packed-RGB image (classic perceptual hash). */
+  def ahash(px: Array[Int], w: Int, h: Int): Long = {
+    val gray = new Array[Double](64)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        // area sample the cell
+        val x0 = gx * w / 8; val x1 = math.max(x0 + 1, (gx + 1) * w / 8)
+        val y0 = gy * h / 8; val y1 = math.max(y0 + 1, (gy + 1) * h / 8)
+        var sum = 0L; var cnt = 0
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = px(y * w + x)
+            sum += (((p >> 16) & 0xff) * 299 + ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114) / 1000
+            cnt += 1
+            x += 1
+          }
+          y += 1
+        }
+        gray(gy * 8 + gx) = sum.toDouble / cnt
+        gx += 1
+      }
+      gy += 1
+    }
+    val mean = gray.sum / 64.0
+    var bits = 0L
+    var i = 0
+    while (i < 64) {
+      if (gray(i) >= mean) bits |= (1L << i)
+      i += 1
+    }
+    bits
+  }
+
+  /** Resize via Java2D (bilinear); returns re-encoded PNG bytes. */
+  def resize(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val dst = new BufferedImage(outW, outH, BufferedImage.TYPE_INT_RGB)
+    val g = dst.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+    g.drawImage(src, 0, 0, outW, outH, null)
+    g.dispose()
+    Images.encode(dst, "png")
+  }
+
+  /** Resize stage over a DataFrame (adds `thumb` binary column). */
+  def withThumbnails(images: DataFrame, outW: Int, outH: Int): DataFrame = {
+    val resizeUdf = udf((b: Array[Byte]) => resize(b, outW, outH))
+    images.withColumn("thumb", resizeUdf(col("bytes")))
+  }
+
+  /** PSNR of decode(bytes) vs a deterministic re-render — the per-row invariant
+   * check (decoded-pixel allclose, PSNR >= 40 dB for lossy formats). */
+  def psnrVsRender(spark: SparkSession, images: DataFrame): DataFrame = {
+    import spark.implicits._
+    images.select("image_id", "bytes", "w", "h").as[(String, Array[Byte], Int, Int)]
+      .map { case (id, bytes, w, h) =>
+        val (dw, dh, px) = Images.decode(bytes)
+        val idx = id.stripPrefix("img").toLong
+        val ref = Images.render(idx, w, h)
+        val refPx = new Array[Int](w * h)
+        ref.getRGB(0, 0, w, h, refPx, 0, w)
+        val p = if (dw == w && dh == h) Images.psnr(px, refPx) else 0.0
+        (id, dw, dh, if (p.isInfinite) 999.0 else p)
+      }.toDF("image_id", "w", "h", "psnr_db")
+  }
+}

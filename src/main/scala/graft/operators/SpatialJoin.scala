@@ -1,0 +1,156 @@
+package graft.operators
+
+import org.apache.spark.broadcast.Broadcast
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.cell.CellIndex
+import graft.index.PolygonLayer
+
+/**
+ * Point-in-polygon spatial join — the engine's core operator, implementing the
+ * reference's point→polygon join semantics
+ * (`/root/reference/src/join/mapshaper-point-polygon-join.mjs:6-66`: PathIndex
+ * candidate lookup + even-odd multi-ring PIP with boundary counted as in,
+ * `src/paths/mapshaper-path-index.mjs:9-237`).
+ *
+ * Two physical strategies, chosen by layer size (mirrors Catalyst's
+ * broadcast-vs-shuffle join choice):
+ *
+ *  1. [[broadcastJoin]] — the polygon layer (SoA + packed STR tree + per-ring
+ *     segment indexes) is broadcast once; each point row probes the index
+ *     locally. Zero shuffle of the (huge) point table; `bytes` and other wide
+ *     columns are never touched (Parquet column pruning applies upstream).
+ *
+ *  2. [[cellJoin]] — for polygon layers too big to broadcast: polygons are
+ *     exploded to covering cells, points keyed by the same cells, and the
+ *     equi-join on cellId co-locates candidates; the exact PIP runs per pair.
+ *     Hot cells (skew) are split by salting: the polygon side is replicated
+ *     per salt, the point side salted randomly-but-deterministically by id —
+ *     explicit skew handling per the north rule, with AQE as backstop.
+ *
+ * Multi-match semantics: a point on a shared boundary joins BOTH polygons
+ * (parity + boundary rule), matching the reference's join row sets.
+ */
+object SpatialJoin {
+
+  /**
+   * Broadcast PIP join: returns `points` with an exploded `poly_key` column
+   * (inner semantics — unmatched points dropped; use [[withMatches]] for the
+   * left variant).
+   */
+  def broadcastJoin(
+      spark: SparkSession,
+      points: DataFrame,
+      xCol: String,
+      yCol: String,
+      layer: PolygonLayer,
+      outCol: String = "poly_key"): DataFrame = {
+    val matched = withMatches(spark, points, xCol, yCol, layer, "_matches")
+    matched
+      .select(points.columns.map(col) :+ explode(col("_matches")).as(outCol): _*)
+  }
+
+  /** Left variant: adds an array column of matching polygon keys (empty = unmatched). */
+  def withMatches(
+      spark: SparkSession,
+      points: DataFrame,
+      xCol: String,
+      yCol: String,
+      layer: PolygonLayer,
+      outCol: String): DataFrame = {
+    val bc: Broadcast[PolygonLayer] = spark.sparkContext.broadcast(layer)
+    val findUdf = udf { (x: Double, y: Double) =>
+      val l = bc.value
+      val shapes = l.findShapes(x, y)
+      val keys = new Array[Long](shapes.length)
+      var i = 0
+      while (i < shapes.length) { keys(i) = l.shapeKeys(shapes(i)); i += 1 }
+      keys
+    }
+    points.withColumn(outCol, findUdf(col(xCol), col(yCol)))
+  }
+
+  /** Clip (keep inside) / erase (keep outside) of points vs a polygon layer —
+   * the reference's point clipping (`src/clipping/mapshaper-point-clipping.mjs`). */
+  def clipPoints(spark: SparkSession, points: DataFrame, xCol: String, yCol: String,
+                 layer: PolygonLayer, erase: Boolean = false): DataFrame = {
+    val bc = spark.sparkContext.broadcast(layer)
+    val insideUdf = udf((x: Double, y: Double) => bc.value.findFirstShape(x, y) >= 0)
+    points.filter(if (erase) !insideUdf(col(xCol), col(yCol)) else insideUdf(col(xCol), col(yCol)))
+  }
+
+  /**
+   * Cell-partitioned PIP join for huge polygon layers: explode polygons to
+   * covering cells at `res`, equi-join on cellId, exact PIP per candidate.
+   *
+   * `saltThreshold`: cells with more candidate polygons than this are salted
+   * `saltFactor` ways (polygon side replicated, point side deterministically
+   * scattered) so a single hot cell cannot bottleneck one task.
+   */
+  def cellJoin(
+      spark: SparkSession,
+      points: DataFrame,
+      xCol: String,
+      yCol: String,
+      polygons: DataFrame, // (poly_key: Long, ring_x: Array[Double], ring_y: Array[Double]) one ring per row
+      res: Int,
+      outCol: String = "poly_key",
+      saltThreshold: Int = 64,
+      saltFactor: Int = 8): DataFrame = {
+    import spark.implicits._
+
+    // polygon side: ring -> covering cells
+    val coverUdf = udf { (xs: Seq[Double], ys: Seq[Double]) =>
+      var x0 = Double.MaxValue; var y0 = Double.MaxValue
+      var x1 = Double.MinValue; var y1 = Double.MinValue
+      var i = 0
+      while (i < xs.length) {
+        if (xs(i) < x0) x0 = xs(i); if (xs(i) > x1) x1 = xs(i)
+        if (ys(i) < y0) y0 = ys(i); if (ys(i) > y1) y1 = ys(i)
+        i += 1
+      }
+      CellIndex.coveringCells(x0, y0, x1, y1, res)
+    }
+    val polyCells = polygons
+      .withColumn("_cell", explode(coverUdf(col("ring_x"), col("ring_y"))))
+
+    // explicit skew handling: find hot cells, salt them
+    val hot = polyCells.groupBy("_cell").count()
+      .filter(col("count") > saltThreshold)
+      .select("_cell").as[Long].collect().toSet
+    val hotBc = spark.sparkContext.broadcast(hot)
+    val saltsUdf = udf { (cell: Long) =>
+      if (hotBc.value.contains(cell)) (0 until saltFactor).toArray else Array(0)
+    }
+    val pointSaltUdf = udf { (cell: Long, x: Double, y: Double) =>
+      if (hotBc.value.contains(cell))
+        (java.lang.Double.doubleToLongBits(x) * 31 + java.lang.Double.doubleToLongBits(y)).toInt
+          .abs % saltFactor
+      else 0
+    }
+
+    val polySalted = polyCells.withColumn("_salt", explode(saltsUdf(col("_cell"))))
+    val ptCells = points
+      .withColumn("_cell", GraftCell.cellIdCol(col(xCol), col(yCol), res))
+      .withColumn("_salt", pointSaltUdf(col("_cell"), col(xCol), col(yCol)))
+
+    val pipUdf = udf { (x: Double, y: Double, xs: Seq[Double], ys: Seq[Double]) =>
+      graft.geom.Geom.pointInRing(x, y, xs.toArray, ys.toArray, 0, xs.length) != graft.geom.Geom.OUT
+    }
+    ptCells
+      .join(polySalted, Seq("_cell", "_salt"))
+      .filter(pipUdf(col(xCol), col(yCol), col("ring_x"), col("ring_y")))
+      .withColumnRenamed("poly_key", outCol)
+      .drop("_cell", "_salt", "ring_x", "ring_y")
+  }
+}
+
+/** Cell helper shared by operators. */
+object GraftCell {
+  import org.apache.spark.sql.functions.udf
+  def cellIdCol(x: Column, y: Column, res: Int): Column = {
+    val f = udf((xv: Double, yv: Double) => CellIndex.cellId(xv, yv, res))
+    f(x, y)
+  }
+}
