@@ -100,7 +100,9 @@ object SparkEntry {
         .orderBy("pk")),
 
     "q_uniq" -> ((s, dir) => {
-      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"))
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic data — add
+      // l_partkey to the ordering so the kept row is deterministic.
+      val w = Window.partitionBy(col("l_orderkey")).orderBy(col("l_linenumber"), col("l_partkey"))
       t(s, dir, "lineitem")
         .withColumn("_rn", row_number().over(w))
         .filter(col("_rn") === 1)
@@ -378,7 +380,7 @@ object SparkEntry {
     "q_uniq" ->
       """SELECT l_orderkey, l_partkey, CAST(l_linenumber AS BIGINT) AS l_linenumber FROM (
         |  SELECT l_orderkey, l_partkey, l_linenumber,
-        |         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS rn
+        |         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS rn
         |  FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
 
     "q_sort" ->

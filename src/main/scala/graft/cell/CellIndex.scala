@@ -45,8 +45,9 @@ object CellIndex {
   /** Decode a cell id to (ix, iy, res). */
   def decode(id: Long): (Long, Long, Int) = {
     val res = ((id >>> 58) & 0x1f).toInt
-    val bx = deinterleave(id >>> 1)
-    val by = deinterleave(id)
+    val payload = id & ((1L << 58) - 1) // strip the resolution field before deinterleaving
+    val bx = deinterleave(payload >>> 1)
+    val by = deinterleave(payload)
     (bx - Bias, by - Bias, res)
   }
 

@@ -71,10 +71,11 @@ object Images {
     while (y < h) {
       var x = 0
       while (x < w) {
-        // smooth-ish gradient + noise: JPEG-friendly so PSNR >= 40 dB holds
-        val base = ((x * 255 / w) << 16) | ((y * 255 / h) << 8) | (((x + y) * 127 / (w + h)) & 0xff)
-        val noise = (rng.nextInt(16)) * 0x010101
-        img.setRGB(x, y, (base + noise) & 0xffffff)
+        // gray gradient + low-amplitude noise. Grayscale keeps chroma constant,
+        // so 4:2:0 subsampling is exact and the PSNR >= 40 dB invariant holds
+        // even for 8x8 thumbnails; luma quantization at q=0.97 stays > 40 dB.
+        val g = ((x * 160 / w) + (y * 80 / h) + rng.nextInt(4)) & 0xff
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
         x += 1
       }
       y += 1
@@ -84,7 +85,20 @@ object Images {
 
   def encode(img: BufferedImage, fmt: String): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
-    ImageIO.write(img, fmt, bos)
+    if (fmt == "jpeg" || fmt == "jpg") {
+      // explicit high quality: the PSNR >= 40 dB per-row invariant must hold
+      val writer = ImageIO.getImageWritersByFormatName("jpeg").next()
+      val params = writer.getDefaultWriteParam
+      params.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      params.setCompressionQuality(0.97f)
+      val ios = ImageIO.createImageOutputStream(bos)
+      writer.setOutput(ios)
+      writer.write(null, new javax.imageio.IIOImage(img, null, null), params)
+      writer.dispose()
+      ios.close()
+    } else {
+      ImageIO.write(img, fmt, bos)
+    }
     bos.toByteArray
   }
 

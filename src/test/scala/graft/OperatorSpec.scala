@@ -1,0 +1,193 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators._
+import graft.tables.{Images, SplitMix64, Synthetic}
+
+class OperatorSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  // ------------------------------------------------------------ spatial join
+
+  test("broadcastJoin matches per-point brute force") {
+    val layer = Synthetic.polygonLayer(16, seed = 5L, holeEvery = 4)
+    val rng = new SplitMix64(77)
+    val pts = (0 until 500).map(i => (i.toLong, rng.nextDouble() * 100, rng.nextDouble() * 100))
+    val df = pts.toDF("id", "x", "y")
+    val got = SpatialJoin.broadcastJoin(spark, df, "x", "y", layer)
+      .select("id", "poly_key").as[(Long, Long)].collect().toSet
+    val want = pts.flatMap { case (id, x, y) =>
+      layer.findShapes(x, y).map(s => (id, layer.shapeKeys(s)))
+    }.toSet
+    assert(got == want)
+  }
+
+  test("cellJoin equals broadcastJoin on single-ring polygons") {
+    // single-ring (no holes) layer: cellJoin operates ring-per-row
+    val layer = Synthetic.polygonLayer(9, seed = 13L, holeEvery = 0)
+    val rings = (0 until layer.numRings).map { r =>
+      val s = layer.ringStart(r); val e = layer.ringStart(r + 1)
+      (layer.shapeKeys(layer.ringShape(r)),
+        layer.xx.slice(s, e).toSeq, layer.yy.slice(s, e).toSeq)
+    }
+    val polyDf = rings.toDF("poly_key", "ring_x", "ring_y")
+    val rng = new SplitMix64(88)
+    val pts = (0 until 400).map(i => (i.toLong, rng.nextDouble() * 100, rng.nextDouble() * 100))
+    val df = pts.toDF("id", "x", "y")
+    val viaCells = SpatialJoin.cellJoin(spark, df, "x", "y", polyDf, res = 5)
+      .select("id", "poly_key").as[(Long, Long)].collect().toSet
+    val viaBroadcast = SpatialJoin.broadcastJoin(spark, df, "x", "y", layer)
+      .select("id", "poly_key").as[(Long, Long)].collect().toSet
+    assert(viaCells == viaBroadcast)
+  }
+
+  // -------------------------------------------------------------------- kNN
+
+  test("knnJoin matches brute-force top-k") {
+    val rng = new SplitMix64(5)
+    val pts = (0 until 300).map(i => (i.toLong, rng.nextDouble() * 100, rng.nextDouble() * 100))
+    val df = pts.toDF("id", "x", "y")
+    val k = 4
+    val got = Knn.knnJoin(spark, df, "id", "x", "y", k, res = 5)
+      .select("id", "rank", "neighbor_id").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    val want = pts.map { case (id, x, y) =>
+      val nn = pts.filter(_._1 != id)
+        .map { case (j, bx, by) => (j, (x - bx) * (x - bx) + (y - by) * (y - by)) }
+        .sortBy { case (j, d) => (d, j) }.take(k).map(_._1).toSeq
+      id -> nn
+    }.toMap
+    assert(got == want)
+  }
+
+  test("distanceJoin matches brute force") {
+    val rng = new SplitMix64(6)
+    val pts = (0 until 300).map(i => (i.toLong, rng.nextDouble() * 100, rng.nextDouble() * 100))
+    val df = pts.toDF("id", "x", "y")
+    val r = 5.0
+    val got = Knn.distanceJoin(spark, df, "id", "x", "y", r)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    val want = (for {
+      (i, xi, yi) <- pts
+      (j, xj, yj) <- pts
+      if i < j && (xi - xj) * (xi - xj) + (yi - yj) * (yi - yj) <= r * r
+    } yield (i, j)).toSet
+    assert(got == want)
+  }
+
+  // --------------------------------------------------------------- dissolve
+
+  test("dissolve cancels shared edges: 2x2 block -> 8 boundary edges, 1 ring") {
+    val squares = Seq((0, 0), (1, 0), (0, 1), (1, 1)).map { case (cx, cy) =>
+      val x = cx.toDouble; val y = cy.toDouble
+      ("g1", Array(x, y, x + 1, y, x + 1, y + 1, x, y + 1, x, y))
+    }
+    val df = squares.toDF("g", "ring")
+    val out = Dissolve.dissolve(spark, df, "g", "ring")
+      .select("group", "n_rings_in", "n_boundary_edges", "n_rings_out")
+      .as[(String, Long, Long, Int)].collect()
+    assert(out.toSeq == Seq(("g1", 4L, 8L, 1)))
+  }
+
+  test("dissolve with interior hole: donut of 8 squares -> 2 rings") {
+    val cells = for { cx <- 0 to 2; cy <- 0 to 2; if !(cx == 1 && cy == 1) } yield (cx, cy)
+    val df = cells.map { case (cx, cy) =>
+      val x = cx.toDouble; val y = cy.toDouble
+      ("g", Array(x, y, x + 1, y, x + 1, y + 1, x, y + 1, x, y))
+    }.toDF("g", "ring")
+    val out = Dissolve.dissolve(spark, df, "g", "ring")
+      .select("n_rings_in", "n_boundary_edges", "n_rings_out")
+      .as[(Long, Long, Int)].collect().head
+    assert(out == ((8L, 16L, 2))) // 12 outer + 4 hole edges, outer ring + hole ring
+  }
+
+  // ------------------------------------------------------------------ dedup
+
+  test("exact dedup keeps lowest id per key") {
+    val df = Seq((3L, "aaa"), (1L, "aaa"), (2L, "bbb")).toDF("id", "t")
+    val out = Dedup.exact(df, "id", "t").select("id").as[Long].collect().toSet
+    assert(out == Set(1L, 2L))
+  }
+
+  test("minhash finds near-duplicate pairs and skips distinct docs") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods tonight"
+    val nearDup = base.replace("runs", "walks")
+    val other = "completely different content about spark catalyst optimizer rules and typed datasets"
+    val df = Seq((1L, base), (2L, nearDup), (3L, other)).toDF("id", "t")
+    val pairs = Dedup.minhashPairs(spark, df, "id", "t", threshold = 0.4)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    // jaccard sanity
+    assert(Dedup.jaccard(base, base, 3) == 1.0)
+    assert(Dedup.jaccard(base, other, 3) == 0.0)
+  }
+
+  test("simhash hamming distance small for near dups") {
+    val a = Dedup.simhash("the quick brown fox jumps over the lazy dog again and again", 3)
+    val b = Dedup.simhash("the quick brown fox jumps over the lazy cat again and again", 3)
+    val c = Dedup.simhash("spark sql catalyst whole stage codegen tungsten parquet pushdown", 3)
+    assert(java.lang.Long.bitCount(a ^ b) < java.lang.Long.bitCount(a ^ c))
+  }
+
+  // -------------------------------------------------------------------- ann
+
+  test("lshTopK recall vs brute force is high on clustered vectors") {
+    val rng = new SplitMix64(17)
+    val vecs = (0 until 200).map { i =>
+      val center = i % 5
+      val v = Array.tabulate(16)(d => (if (d % 5 == center) 1.0f else 0.0f) + rng.nextDouble().toFloat * 0.2f)
+      (i.toLong, v.toSeq)
+    }
+    val df = vecs.toDF("id", "vec")
+    val exact = Ann.bruteForceTopK(spark, df, "id", "vec", 3)
+      .select("id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Ann.lshTopK(spark, df, "id", "vec", 3, planes = 8)
+      .select("id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall > 0.6, s"recall=$recall")
+  }
+
+  // ------------------------------------------------------------- multimodal
+
+  test("image decode round-trip: png exact, jpeg PSNR >= 40dB") {
+    for (i <- 0L until 30L) {
+      val r = Images.row(i)
+      val (w, h, px) = Images.decode(r.bytes)
+      assert(w == r.w && h == r.h)
+      val ref = Images.render(i, r.w, r.h)
+      val refPx = new Array[Int](w * h)
+      ref.getRGB(0, 0, w, h, refPx, 0, w)
+      val p = Images.psnr(px, refPx)
+      if (r.fmt == "png") assert(p.isPosInfinity, s"png $i not lossless")
+      else assert(p >= 40.0, s"jpeg $i psnr=$p")
+    }
+  }
+
+  test("phash location round-trip lands in the right cell") {
+    for (i <- 0L until 100L) {
+      val ph = Images.phashFor(i)
+      val (x, y) = Images.lonLat(ph)
+      assert(x >= 0 && x < 100 && y >= 0 && y < 100)
+    }
+  }
+
+  test("tileAssign emits tileGrid^2 tiles per image without reading bytes") {
+    val imgs = Images.generate(spark, 10).toDF()
+    val tiles = Tiling.tileAssign(spark, imgs, tileGrid = 3, res = 9)
+    assert(tiles.count() == 90)
+    // plan must not reference the binary payload column
+    val plan = tiles.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("bytes"), "tile assignment must not read image payloads")
+  }
+
+  test("multimodal features: deterministic ahash, sane means") {
+    val imgs = Images.generate(spark, 20).toDF()
+    val f1 = Multimodal.features(spark, imgs).collect().sortBy(_.image_id)
+    val f2 = Multimodal.features(spark, imgs).collect().sortBy(_.image_id)
+    assert(f1.map(_.ahash).toSeq == f2.map(_.ahash).toSeq)
+    assert(f1.forall(r => r.mean_r >= 0 && r.mean_r <= 255))
+    assert(f1.forall(_.luma_hist.sum > 0))
+  }
+}
