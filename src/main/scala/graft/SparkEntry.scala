@@ -39,9 +39,15 @@ object SparkEntry {
        |  ${derivedXSql("c_custkey")} AS x,
        |  ${derivedYSql("c_custkey")} AS y FROM customer)""".stripMargin
 
-  /** The fixed 8-shape oracle polygon layer, emitted as SQL VALUES edges. */
+  /** The fixed 8-shape oracle polygon layer, emitted as SQL VALUES edges.
+   * Coordinates are CAST to DOUBLE (DuckDB parses the literals as DECIMAL,
+   * which would change arithmetic and overflow in multiplications). */
   private lazy val oracleEdgesSql: String =
-    s"edges(pk, ex1, ey1, ex2, ey2) AS (VALUES ${Synthetic.edgesSqlValues(Synthetic.oracleLayer)})"
+    s"""edges AS (SELECT pk, ring,
+       |  CAST(ex1 AS DOUBLE) AS ex1, CAST(ey1 AS DOUBLE) AS ey1,
+       |  CAST(ex2 AS DOUBLE) AS ex2, CAST(ey2 AS DOUBLE) AS ey2
+       |  FROM (VALUES ${Synthetic.edgesSqlValues(Synthetic.oracleLayer)})
+       |  t(pk, ring, ex1, ey1, ex2, ey2))""".stripMargin
 
   /** Vertical-ray even-odd crossing count per (point, shape) — the SQL mirror
    * of the PIP kernel (same arithmetic order as Geom.rayIntersection). */
@@ -225,6 +231,28 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_points"))
         .orderBy("poly_key")),
 
+    // first_match semantics: a point joins only its first (lowest-key) polygon
+    // (ref: first_match flag, point-polygon-join.mjs:33-47)
+    "q_pip_first" -> ((s, dir) => {
+      val bc = s.sparkContext.broadcast(Synthetic.oracleLayer)
+      val firstUdf = udf { (x: Double, y: Double) =>
+        val sIdx = bc.value.findFirstShape(x, y)
+        if (sIdx >= 0) bc.value.shapeKeys(sIdx) else -1L
+      }
+      points(s, dir)
+        .withColumn("poly_key", firstUdf(col("x"), col("y")))
+        .filter(col("poly_key") >= 0)
+        .select("id", "poly_key")
+        .orderBy("id")
+    }),
+
+    // reverse join: polygon -> its points (min id + count per polygon)
+    "q_pip_reverse" -> ((s, dir) =>
+      SpatialJoin.broadcastJoin(s, points(s, dir), "x", "y", Synthetic.oracleLayer)
+        .groupBy(col("poly_key"))
+        .agg(min(col("id")).as("first_point"), count(lit(1)).as("n_points"))
+        .orderBy("poly_key")),
+
     "q_clip_points" -> ((s, dir) =>
       SpatialJoin.clipPoints(s, points(s, dir), "x", "y", Synthetic.oracleLayer)
         .select(col("id")).orderBy("id")),
@@ -234,7 +262,7 @@ object SparkEntry {
         .select(col("id")).orderBy("id")),
 
     "q_knn" -> ((s, dir) =>
-      Knn.knnJoin(s, points(s, dir), "id", "x", "y", k = 3, res = 5)
+      Knn.knnJoin(s, points(s, dir), "id", "x", "y", k = 3)
         .select(col("id"), col("rank").cast("long").as("rnk"), col("neighbor_id"))
         .orderBy("id", "rnk")),
 
@@ -266,6 +294,51 @@ object SparkEntry {
         .groupBy("grid_col", "grid_row")
         .agg(count(lit(1)).as("n"))
         .orderBy("grid_col", "grid_row")),
+
+    // -points centroid: area-weighted shape centroids of the oracle layer,
+    // floor-scaled to kill last-ulp summation-order noise vs the SQL mirror
+    "q_centroid" -> ((s, dir) =>
+      Points.centroids(s, Synthetic.oracleLayer)
+        .select(col("poly_key"),
+          floor(col("cx") * 1000000.0).cast("long").as("cx_int"),
+          floor(col("cy") * 1000000.0).cast("long").as("cy_int"))
+        .orderBy("poly_key")),
+
+    // -explode / -points vertices: vertex counts per shape
+    "q_explode" -> ((s, dir) =>
+      Points.vertices(s, Synthetic.oracleLayer)
+        .groupBy(col("poly_key"))
+        .agg(countDistinct(col("ring")).as("n_rings"), count(lit(1)).as("n_vertices"))
+        .orderBy("poly_key")),
+
+    // -affine: rotate+scale+translate point coords (pure column arithmetic)
+    "q_affine" -> ((s, dir) =>
+      Points.affine(points(s, dir), "x", "y",
+        a = 0.8, b = -0.6, c = 0.6, d = 0.8, tx = 10.0, ty = -5.0)
+        .select(col("id"), col("ax"), col("ay"))
+        .orderBy("id")),
+
+    // -filter-geom: bbox containment predicate
+    "q_filter_bbox" -> ((s, dir) =>
+      points(s, dir)
+        .filter(Points.inBBox(col("x"), col("y"), 25.0, 25.0, 75.0, 75.0))
+        .select("id").orderBy("id")),
+
+    // -classify: equal-interval classification of a numeric field
+    "q_classify" -> ((s, dir) =>
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          Points.classify(col("p_retailprice"), 900.0, 100.0, 10).as("bin"))
+        .orderBy("p_partkey")),
+
+    // -merge-layers: schema-aligned union of two layers
+    "q_merge_layers" -> ((s, dir) => {
+      val a = t(s, dir, "customer").select(col("c_custkey").as("key"),
+        col("c_name").as("name"), lit("customer").as("layer"))
+      val b = t(s, dir, "supplier").select(col("s_suppkey").as("key"),
+        col("s_name").as("name"), lit("supplier").as("layer"))
+      a.unionByName(b).orderBy("layer", "key")
+    }),
 
     // ---------------- events (windowed agg) ----------------
     "q_events_window" -> ((s, dir) =>
@@ -362,7 +435,65 @@ object SparkEntry {
     "q_img_psnr" -> ((s, dir) =>
       Multimodal.psnrVsRender(s, imagesDf(s, dir).limit(500))
         .filter(col("psnr_db") >= 40.0)
-        .orderBy("image_id"))
+        .orderBy("image_id")),
+
+    // -simplify: Visvalingam thresholds per ring + global retained-pct filter
+    "q_simplify" -> ((s, dir) => {
+      import s.implicits._
+      val layer = Synthetic.polygonLayer(64, seed = 42L)
+      val rings = (0 until layer.numRings).map { r =>
+        val st = layer.ringStart(r); val e = layer.ringStart(r + 1)
+        val flat = new Array[Double]((e - st) * 2)
+        var i = st
+        while (i < e) { flat((i - st) * 2) = layer.xx(i); flat((i - st) * 2 + 1) = layer.yy(i); i += 1 }
+        (r.toLong, flat)
+      }.toDF("ring_id", "ring")
+      SimplifyOp.simplify(s, rings, "ring", pct = 0.5)
+        .select(col("ring_id"), col("n_before"), col("n_after"))
+        .orderBy("ring_id")
+    }),
+
+    // -clip bbox2= fast path: rectangle clip of polygon rings
+    "q_clip_rect" -> ((s, dir) => {
+      import s.implicits._
+      val layer = Synthetic.oracleLayer
+      val rows = (0 until layer.numRings).map { r =>
+        val st = layer.ringStart(r); val e = layer.ringStart(r + 1)
+        val flat = new Array[Double]((e - st) * 2)
+        var i = st
+        while (i < e) { flat((i - st) * 2) = layer.xx(i); flat((i - st) * 2 + 1) = layer.yy(i); i += 1 }
+        (layer.shapeKeys(layer.ringShape(r)), r.toLong, flat)
+      }.toDF("poly_key", "ring_id", "ring")
+      val clipUdf = udf { (flat: Seq[Double]) =>
+        val c = graft.geom.RectClip.clipRing(flat.toArray, 25.0, 25.0, 75.0, 75.0)
+        c.length / 2
+      }
+      val areaUdf = udf { (flat: Seq[Double]) =>
+        math.floor(graft.geom.RectClip.clippedArea(flat.toArray, 25.0, 25.0, 75.0, 75.0) * 1000000.0).toLong
+      }
+      rows.select(col("poly_key"), col("ring_id"),
+          clipUdf(col("ring")).cast("long").as("n_clipped_vertices"),
+          areaUdf(col("ring")).as("area_int"))
+        .orderBy("ring_id")
+    }),
+
+    // checkpoint-resumable tile run: manifest with per-partition lineage
+    "q_tilerun" -> ((s, dir) => {
+      import s.implicits._
+      val tag = dir.replaceAll(".*/", "")
+      val outDir = s"/root/repo/data/tilerun_$tag"
+      // fresh run for determinism (resume itself is exercised in TileRunSpec)
+      def rmrf(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rmrf)
+        f.delete()
+      }
+      rmrf(new java.io.File(outDir))
+      val imgs = imagesDf(s, dir)
+      graft.streaming.TileRun.run(s, imgs, imageLayer, outDir, coarseRes = 3, fineRes = 8)
+        .map(m => (m.group, m.inputRows, m.outputRows, m.checksum))
+        .toDF("grp", "input_rows", "output_rows", "checksum")
+        .orderBy("grp")
+    })
   )
 
   // ====================================================================== //
@@ -459,6 +590,62 @@ object SparkEntry {
          |SELECT CAST(pk AS BIGINT) AS poly_key, count(*) AS n_points
          |FROM hits WHERE crossings % 2 = 1
          |GROUP BY pk ORDER BY poly_key""".stripMargin,
+
+    "q_pip_first" ->
+      s"""WITH $ptsSql,
+         |$oracleEdgesSql,
+         |$pipHitsSql
+         |SELECT id, CAST(min(pk) AS BIGINT) AS poly_key FROM hits WHERE crossings % 2 = 1
+         |GROUP BY id ORDER BY id""".stripMargin,
+
+    "q_pip_reverse" ->
+      s"""WITH $ptsSql,
+         |$oracleEdgesSql,
+         |$pipHitsSql
+         |SELECT CAST(pk AS BIGINT) AS poly_key, min(id) AS first_point, count(*) AS n_points
+         |FROM hits WHERE crossings % 2 = 1
+         |GROUP BY pk ORDER BY poly_key""".stripMargin,
+
+    "q_centroid" ->
+      s"""WITH $oracleEdgesSql
+         |SELECT CAST(pk AS BIGINT) AS poly_key,
+         |  CAST(floor(sum((ex1 + ex2) * (ex1 * ey2 - ex2 * ey1))
+         |       / (3.0 * sum(ex1 * ey2 - ex2 * ey1)) * 1000000.0) AS BIGINT) AS cx_int,
+         |  CAST(floor(sum((ey1 + ey2) * (ex1 * ey2 - ex2 * ey1))
+         |       / (3.0 * sum(ex1 * ey2 - ex2 * ey1)) * 1000000.0) AS BIGINT) AS cy_int
+         |FROM edges GROUP BY pk ORDER BY poly_key""".stripMargin,
+
+    "q_explode" ->
+      s"""WITH $oracleEdgesSql
+         |SELECT CAST(pk AS BIGINT) AS poly_key,
+         |  count(DISTINCT ring) AS n_rings,
+         |  count(*) + count(DISTINCT ring) AS n_vertices
+         |FROM edges GROUP BY pk ORDER BY poly_key""".stripMargin,
+
+    "q_affine" ->
+      s"""WITH $ptsSql
+         |SELECT id,
+         |  x * CAST(0.8 AS DOUBLE) + y * CAST(-0.6 AS DOUBLE) + CAST(10.0 AS DOUBLE) AS ax,
+         |  x * CAST(0.6 AS DOUBLE) + y * CAST(0.8 AS DOUBLE) + CAST(-5.0 AS DOUBLE) AS ay
+         |FROM pts ORDER BY id""".stripMargin,
+
+    "q_filter_bbox" ->
+      s"""WITH $ptsSql
+         |SELECT id FROM pts
+         |WHERE x >= 25.0 AND x <= 75.0 AND y >= 25.0 AND y <= 75.0
+         |ORDER BY id""".stripMargin,
+
+    "q_classify" ->
+      """SELECT p_partkey,
+        |  CAST(least(greatest(floor((p_retailprice - 900.0) / 100.0), 0), 9) AS BIGINT) AS bin
+        |FROM part ORDER BY p_partkey""".stripMargin,
+
+    "q_merge_layers" ->
+      """SELECT * FROM (
+        |  SELECT c_custkey AS key, c_name AS name, 'customer' AS layer FROM customer
+        |  UNION ALL
+        |  SELECT s_suppkey AS key, s_name AS name, 'supplier' AS layer FROM supplier)
+        |ORDER BY layer, key""".stripMargin,
 
     "q_clip_points" ->
       s"""WITH $ptsSql,

@@ -29,13 +29,24 @@ object Knn {
    * Output: (id, rank, neighbor_id, dist2).
    */
   def knnJoin(spark: SparkSession, points: DataFrame, idCol: String, xCol: String, yCol: String,
-              k: Int, res: Int, maxRounds: Int = 8): DataFrame = {
-    val pts = points.select(col(idCol).cast("long").as("id"),
-      col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
-      .withColumn("cell", GraftCell.cellIdCol(col("x"), col("y"), res))
+              k: Int, res: Int = -1, maxRounds: Int = 8): DataFrame = {
+    val base = points.select(col(idCol).cast("long").as("id"),
+      col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y")).cache()
+    // auto resolution: aim for ~k+1 points per cell so the first 3x3 disk
+    // usually satisfies the k-th-distance bound in one round
+    val useRes = if (res >= 0) res else {
+      val stats = base.agg(count(lit(1)), min(col("x")), max(col("x")),
+        min(col("y")), max(col("y"))).head()
+      val n = math.max(1L, stats.getLong(0))
+      val w = math.max(1e-9, stats.getDouble(2) - stats.getDouble(1))
+      val h = math.max(1e-9, stats.getDouble(4) - stats.getDouble(3))
+      val csTarget = math.sqrt(w * h / n.toDouble * (k + 1).toDouble)
+      math.min(26, math.max(0, math.floor(math.log(360.0 / csTarget) / math.log(2.0)).toInt))
+    }
+    val pts = base.withColumn("cell", GraftCell.cellIdCol(col("x"), col("y"), useRes))
       .cache()
 
-    val cs = CellIndex.cellSize(res)
+    val cs = CellIndex.cellSize(useRes)
     var pending = pts
     var results: DataFrame = null
     var r = 1

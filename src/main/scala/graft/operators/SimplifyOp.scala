@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.geom.Simplify
+
+/**
+ * Distributed path simplification — the reference's `-simplify`
+ * (`/root/reference/src/commands/mapshaper-simplify.mjs:27-250`) re-expressed
+ * for Spark: each arc/ring is one row `(id, ring)`; the Visvalingam kernel
+ * computes per-vertex thresholds inside a map (embarrassingly parallel, no
+ * shuffle); the global retained-percentage → interval conversion is a
+ * distributed quantile over interior thresholds (the reference ranks sampled
+ * thresholds, `src/simplify/mapshaper-simplify-pct.mjs` — here it's
+ * `percentile_approx`, the shuffle-free sketch aggregate).
+ */
+object SimplifyOp {
+
+  /** Per-vertex thresholds column added to a (id, ring: Array[Double]) frame. */
+  def withThresholds(rings: DataFrame, ringCol: String, method: Simplify.Method): DataFrame = {
+    val thrUdf = udf { (flat: Seq[Double]) =>
+      val n = flat.length / 2
+      val xx = Array.tabulate(n)(i => flat(i * 2))
+      val yy = Array.tabulate(n)(i => flat(i * 2 + 1))
+      Simplify.thresholds(xx, yy, method)
+    }
+    rings.withColumn("thresholds", thrUdf(col(ringCol)))
+  }
+
+  /**
+   * Simplify all rings to retain ~`pct` of interior vertices globally (the
+   * non-destructive LOD model: thresholds computed once, filtered at read).
+   * Output: input columns + n_before, n_after, interval.
+   */
+  def simplify(spark: SparkSession, rings: DataFrame, ringCol: String, pct: Double,
+               method: Simplify.Method = Simplify.WeightedVisvalingam): DataFrame = {
+    val withThr = withThresholds(rings, ringCol, method).cache()
+    // global interval: (1-pct) quantile over interior (finite) thresholds
+    val interior = withThr
+      .select(explode(col("thresholds")).as("z"))
+      .filter(!col("z").isNaN && col("z") =!= Double.PositiveInfinity)
+    val interval =
+      if (pct >= 1.0) 0.0
+      else interior.stat.approxQuantile("z", Array(1.0 - pct), 1e-4).headOption.getOrElse(0.0)
+    val filterUdf = udf { (flat: Seq[Double], thr: Seq[Double]) =>
+      val kept = Array.newBuilder[Double]
+      var i = 0
+      while (i < thr.length) {
+        if (thr(i) >= interval) { kept += flat(i * 2); kept += flat(i * 2 + 1) }
+        i += 1
+      }
+      kept.result()
+    }
+    withThr
+      .withColumn("simplified", filterUdf(col(ringCol), col("thresholds")))
+      .withColumn("n_before", (size(col(ringCol)) / 2).cast("long"))
+      .withColumn("n_after", (size(col("simplified")) / 2).cast("long"))
+      .withColumn("interval", lit(interval))
+      .drop("thresholds")
+  }
+}

@@ -94,17 +94,17 @@ object Synthetic {
   lazy val oracleLayer: PolygonLayer = polygonLayer(8, seed = 7L, holeEvery = 8)
 
   /**
-   * Edge list of a layer: (shapeKey, x1, y1, x2, y2) per segment, ring order.
-   * Used to emit SQL VALUES literals for the ray-cast oracle.
+   * Edge list of a layer: (shapeKey, ringIdx, x1, y1, x2, y2) per segment, in
+   * ring order. Used to emit SQL VALUES literals for the ray-cast oracle.
    */
-  def edges(layer: PolygonLayer): Seq[(Long, Double, Double, Double, Double)] = {
-    val out = Seq.newBuilder[(Long, Double, Double, Double, Double)]
+  def edges(layer: PolygonLayer): Seq[(Long, Int, Double, Double, Double, Double)] = {
+    val out = Seq.newBuilder[(Long, Int, Double, Double, Double, Double)]
     var r = 0
     while (r < layer.numRings) {
       val key = layer.shapeKeys(layer.ringShape(r))
       var i = layer.ringStart(r)
       while (i < layer.ringStart(r + 1) - 1) {
-        out += ((key, layer.xx(i), layer.yy(i), layer.xx(i + 1), layer.yy(i + 1)))
+        out += ((key, r, layer.xx(i), layer.yy(i), layer.xx(i + 1), layer.yy(i + 1)))
         i += 1
       }
       r += 1
@@ -114,7 +114,7 @@ object Synthetic {
 
   /** SQL VALUES literal for the edge list — doubles via shortest round-trip repr. */
   def edgesSqlValues(layer: PolygonLayer): String =
-    edges(layer).map { case (k, x1, y1, x2, y2) =>
-      s"($k, $x1, $y1, $x2, $y2)"
+    edges(layer).map { case (k, r, x1, y1, x2, y2) =>
+      s"($k, $r, $x1, $y1, $x2, $y2)"
     }.mkString(", ")
 }

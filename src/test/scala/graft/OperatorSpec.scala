@@ -50,7 +50,7 @@ class OperatorSpec extends SparkSuite {
     val pts = (0 until 300).map(i => (i.toLong, rng.nextDouble() * 100, rng.nextDouble() * 100))
     val df = pts.toDF("id", "x", "y")
     val k = 4
-    val got = Knn.knnJoin(spark, df, "id", "x", "y", k, res = 5)
+    val got = Knn.knnJoin(spark, df, "id", "x", "y", k)
       .select("id", "rank", "neighbor_id").as[(Long, Int, Long)].collect()
       .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
     val want = pts.map { case (id, x, y) =>
