@@ -235,12 +235,8 @@ object SparkEntry {
     // (ref: first_match flag, point-polygon-join.mjs:33-47)
     "q_pip_first" -> ((s, dir) => {
       val bc = s.sparkContext.broadcast(Synthetic.oracleLayer)
-      val firstUdf = udf { (x: Double, y: Double) =>
-        val sIdx = bc.value.findFirstShape(x, y)
-        if (sIdx >= 0) bc.value.shapeKeys(sIdx) else -1L
-      }
       points(s, dir)
-        .withColumn("poly_key", firstUdf(col("x"), col("y")))
+        .withColumn("poly_key", graft.functions.SpatialExprs.pipFirstKey(col("x"), col("y"), bc))
         .filter(col("poly_key") >= 0)
         .select("id", "poly_key")
         .orderBy("id")
@@ -252,6 +248,17 @@ object SparkEntry {
         .groupBy(col("poly_key"))
         .agg(min(col("id")).as("first_point"), count(lit(1)).as("n_points"))
         .orderBy("poly_key")),
+
+    // -fuzzy-join: per polygon, mode of the matched points' category with
+    // margin and deterministic tie-break (smallest value wins)
+    "q_fuzzy_join" -> ((s, dir) => {
+      val joined = SpatialJoin.broadcastJoin(s, points(s, dir), "x", "y", Synthetic.oracleLayer)
+        .withColumn("cat", col("id") % 8)
+      JoinOp.modeWithMargin(joined, "poly_key", "cat")
+        .select(col("poly_key"), col("mode_value").as("mode_cat"),
+          col("mode_count"), col("margin"))
+        .orderBy("poly_key")
+    }),
 
     "q_clip_points" -> ((s, dir) =>
       SpatialJoin.clipPoints(s, points(s, dir), "x", "y", Synthetic.oracleLayer)
@@ -605,6 +612,23 @@ object SparkEntry {
          |SELECT CAST(pk AS BIGINT) AS poly_key, min(id) AS first_point, count(*) AS n_points
          |FROM hits WHERE crossings % 2 = 1
          |GROUP BY pk ORDER BY poly_key""".stripMargin,
+
+    "q_fuzzy_join" ->
+      s"""WITH $ptsSql,
+         |$oracleEdgesSql,
+         |$pipHitsSql,
+         |matched AS (
+         |  SELECT h.pk, p.id % 8 AS cat FROM hits h JOIN pts p ON h.id = p.id
+         |  WHERE h.crossings % 2 = 1),
+         |counts AS (SELECT pk, cat, count(*) AS c FROM matched GROUP BY pk, cat),
+         |ranked AS (
+         |  SELECT pk, cat, c,
+         |    row_number() OVER (PARTITION BY pk ORDER BY c DESC, cat) AS rn,
+         |    lead(c, 1, 0) OVER (PARTITION BY pk ORDER BY c DESC, cat) AS next_c
+         |  FROM counts)
+         |SELECT CAST(pk AS BIGINT) AS poly_key, cat AS mode_cat, c AS mode_count,
+         |  c - next_c AS margin
+         |FROM ranked WHERE rn = 1 ORDER BY poly_key""".stripMargin,
 
     "q_centroid" ->
       s"""WITH $oracleEdgesSql

@@ -28,20 +28,10 @@ object GraftFunctions {
   /** Integer cell coordinate at a cell size — floor(v / cs), matches square-grid pointToIdx. */
   def cellCoord(v: Column, cellSizeV: Double): Column = floor(v / lit(cellSizeV)).cast("long")
 
-  /** Packed Morton cell id at a resolution (UDF: 64-bit interleave). */
-  def cellId(x: Column, y: Column, res: Int): Column = GraftUdfs.cellIdUdf(res)(x, y)
+  /** Packed Morton cell id at a resolution (codegen expression, no boxing). */
+  def cellId(x: Column, y: Column, res: Int): Column = SpatialExprs.cellIdCol(x, y, res)
 
   /** Decode image-table phash to lon/lat (Morton low bits, [0,100)² domain). */
-  def phashLon(phash: Column): Column = GraftUdfs.phashLonUdf(phash)
-  def phashLat(phash: Column): Column = GraftUdfs.phashLatUdf(phash)
-}
-
-/** UDF-backed helpers (Scala closures; JVM-side, no Python). */
-object GraftUdfs {
-  import org.apache.spark.sql.functions.udf
-
-  def cellIdUdf(res: Int) = udf((x: Double, y: Double) => CellIndex.cellId(x, y, res))
-
-  val phashLonUdf = udf((p: Long) => graft.tables.Images.lonLat(p)._1)
-  val phashLatUdf = udf((p: Long) => graft.tables.Images.lonLat(p)._2)
+  def phashLon(phash: Column): Column = SpatialExprs.phashLon(phash)
+  def phashLat(phash: Column): Column = SpatialExprs.phashLat(phash)
 }

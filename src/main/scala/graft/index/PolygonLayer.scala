@@ -122,6 +122,85 @@ final class PolygonLayer(
     if (s.isEmpty) -1 else s(0)
   }
 
+  // ------------------------------------------------------------ hot path ----
+  // Allocation-free probes for codegen expressions: per-thread scratch arrays,
+  // no boxing, no builders. These are the per-row entry points of the
+  // broadcast spatial join at 10^8+ rows.
+
+  @transient private lazy val candScratch: ThreadLocal[Array[Int]] =
+    ThreadLocal.withInitial(() => new Array[Int](256))
+  @transient private lazy val stackScratch: ThreadLocal[Array[Int]] =
+    ThreadLocal.withInitial(() => new Array[Int](128))
+  @transient private lazy val keysScratch: ThreadLocal[Array[Long]] =
+    ThreadLocal.withInitial(() => new Array[Long](64))
+  private val emptyKeys = Array.emptyLongArray
+
+  /** Candidate rings (sorted ascending) into thread-local scratch; returns count. */
+  private def candidates(x: Double, y: Double): (Array[Int], Int) = {
+    var cand = candScratch.get()
+    var stack = stackScratch.get()
+    var n = tree.searchInto(x, y, x, y, cand, stack)
+    while (n < 0) { // grow and retry (rare)
+      cand = new Array[Int](cand.length * 2)
+      stack = new Array[Int](stack.length * 2)
+      candScratch.set(cand)
+      stackScratch.set(stack)
+      n = tree.searchInto(x, y, x, y, cand, stack)
+    }
+    java.util.Arrays.sort(cand, 0, n)
+    (cand, n)
+  }
+
+  /** Key of the first enclosing shape, or -1. Zero allocation. */
+  def findFirstKey(x: Double, y: Double): Long = {
+    val (cand, n) = candidates(x, y)
+    var i = 0
+    while (i < n) {
+      val shape = ringShape(cand(i))
+      var isIn = false
+      var isOn = false
+      var j = i
+      while (j < n && ringShape(cand(j)) == shape) {
+        val r = pointInRing(x, y, cand(j))
+        if (r == Geom.ON) isOn = true
+        else if (r == Geom.IN) isIn = !isIn
+        j += 1
+      }
+      if (isOn || isIn) return shapeKeys(shape)
+      i = j
+    }
+    -1L
+  }
+
+  /** Keys of all enclosing shapes (ascending shape order). Allocates only the
+   * result array (exact-sized; empty result is a shared constant). */
+  def findKeys(x: Double, y: Double): Array[Long] = {
+    val (cand, n) = candidates(x, y)
+    if (n == 0) return emptyKeys
+    val keys = keysScratch.get()
+    var nk = 0
+    var i = 0
+    while (i < n) {
+      val shape = ringShape(cand(i))
+      var isIn = false
+      var isOn = false
+      var j = i
+      while (j < n && ringShape(cand(j)) == shape) {
+        val r = pointInRing(x, y, cand(j))
+        if (r == Geom.ON) isOn = true
+        else if (r == Geom.IN) isIn = !isIn
+        j += 1
+      }
+      if ((isOn || isIn) && nk < keys.length) {
+        keys(nk) = shapeKeys(shape)
+        nk += 1
+      }
+      i = j
+    }
+    if (nk == 0) emptyKeys
+    else java.util.Arrays.copyOf(keys, nk)
+  }
+
   /** Planar signed area of a shape = sum of its rings' signed areas. */
   def shapeArea(shape: Int): Double = {
     var sum = 0.0

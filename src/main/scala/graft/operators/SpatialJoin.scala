@@ -60,15 +60,8 @@ object SpatialJoin {
       layer: PolygonLayer,
       outCol: String): DataFrame = {
     val bc: Broadcast[PolygonLayer] = spark.sparkContext.broadcast(layer)
-    val findUdf = udf { (x: Double, y: Double) =>
-      val l = bc.value
-      val shapes = l.findShapes(x, y)
-      val keys = new Array[Long](shapes.length)
-      var i = 0
-      while (i < shapes.length) { keys(i) = l.shapeKeys(shapes(i)); i += 1 }
-      keys
-    }
-    points.withColumn(outCol, findUdf(col(xCol), col(yCol)))
+    points.withColumn(outCol,
+      graft.functions.SpatialExprs.pipAllKeys(col(xCol), col(yCol), bc))
   }
 
   /** Clip (keep inside) / erase (keep outside) of points vs a polygon layer —
@@ -76,8 +69,8 @@ object SpatialJoin {
   def clipPoints(spark: SparkSession, points: DataFrame, xCol: String, yCol: String,
                  layer: PolygonLayer, erase: Boolean = false): DataFrame = {
     val bc = spark.sparkContext.broadcast(layer)
-    val insideUdf = udf((x: Double, y: Double) => bc.value.findFirstShape(x, y) >= 0)
-    points.filter(if (erase) !insideUdf(col(xCol), col(yCol)) else insideUdf(col(xCol), col(yCol)))
+    val inside = graft.functions.SpatialExprs.pipFirstKey(col(xCol), col(yCol), bc) >= 0
+    points.filter(if (erase) !inside else inside)
   }
 
   /**
@@ -148,9 +141,6 @@ object SpatialJoin {
 
 /** Cell helper shared by operators. */
 object GraftCell {
-  import org.apache.spark.sql.functions.udf
-  def cellIdCol(x: Column, y: Column, res: Int): Column = {
-    val f = udf((xv: Double, yv: Double) => CellIndex.cellId(xv, yv, res))
-    f(x, y)
-  }
+  def cellIdCol(x: Column, y: Column, res: Int): Column =
+    graft.functions.SpatialExprs.cellIdCol(x, y, res)
 }

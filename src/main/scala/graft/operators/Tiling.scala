@@ -34,42 +34,41 @@ object Tiling {
    */
   def tileAssign(spark: SparkSession, images: DataFrame, tileGrid: Int, res: Int,
                  layer: Option[PolygonLayer] = None): DataFrame = {
-    val bc = layer.map(spark.sparkContext.broadcast(_))
-    val tilesUdf = udf { (phash: Long, w: Int, h: Int) =>
-      val (lon, lat) = Images.lonLat(phash)
-      val x0 = lon - FootprintSide / 2
-      val y0 = lat - FootprintSide / 2
-      val out = new Array[(Int, Int, Double, Double, Long, Long)](tileGrid * tileGrid)
-      var ty = 0
-      var i = 0
-      while (ty < tileGrid) {
-        var tx = 0
-        while (tx < tileGrid) {
-          // tile center in world coords (pixel grid mapped affinely to footprint)
-          val cx = x0 + (tx + 0.5) * FootprintSide / tileGrid
-          val cy = y0 + (ty + 0.5) * FootprintSide / tileGrid
-          val cell = CellIndex.cellId(cx, cy, res)
-          val poly = bc match {
-            case Some(b) =>
-              val s = b.value.findFirstShape(cx, cy)
-              if (s >= 0) b.value.shapeKeys(s) else -1L
-            case None => -1L
-          }
-          out(i) = (tx, ty, cx, cy, cell, poly)
-          i += 1
-          tx += 1
-        }
-        ty += 1
-      }
-      out
-    }
-    images
+    val side = FootprintSide
+    val located = images
       .select(col("image_id"), col("w"), col("h"), col("phash"))
-      .withColumn("_t", explode(tilesUdf(col("phash"), col("w"), col("h"))))
-      .select(col("image_id"),
-        col("_t._1").as("tile_x"), col("_t._2").as("tile_y"),
-        col("_t._3").as("cx"), col("_t._4").as("cy"),
-        col("_t._5").as("cell_id"), col("_t._6").as("poly_key"))
+      .withColumn("_cx", graft.functions.GraftFunctions.phashLon(col("phash")))
+      .withColumn("_cy", graft.functions.GraftFunctions.phashLat(col("phash")))
+    tileAssignAt(spark, located, "_cx", "_cy", tileGrid, res, layer)
+  }
+
+  /**
+   * Tile assignment over precomputed footprint-center columns.
+   * Codegen-friendly: the tile fan-out is explode(sequence(...)) + pure
+   * column arithmetic; only cellId (bit interleave) and PIP (broadcast index
+   * probe) are scalar JVM calls. No per-row tuple/array allocation — keeps
+   * the hot path allocation-light so it scales with cores, not GC.
+   */
+  def tileAssignAt(spark: SparkSession, images: DataFrame, xCol: String, yCol: String,
+                   tileGrid: Int, res: Int, layer: Option[PolygonLayer]): DataFrame = {
+    val side = FootprintSide
+    val base = images
+      .withColumn("_x0", col(xCol) - side / 2)
+      .withColumn("_y0", col(yCol) - side / 2)
+      .withColumn("_t", explode(sequence(lit(0), lit(tileGrid * tileGrid - 1))))
+      .withColumn("tile_x", (col("_t") % tileGrid).cast("int"))
+      .withColumn("tile_y", (col("_t") / tileGrid).cast("int"))
+      .withColumn("cx", col("_x0") + (col("tile_x") + 0.5) * (side / tileGrid))
+      .withColumn("cy", col("_y0") + (col("tile_y") + 0.5) * (side / tileGrid))
+      .withColumn("cell_id", GraftCell.cellIdCol(col("cx"), col("cy"), res))
+    val withPoly = layer match {
+      case Some(l) =>
+        val bc = spark.sparkContext.broadcast(l)
+        base.withColumn("poly_key",
+          graft.functions.SpatialExprs.pipFirstKey(col("cx"), col("cy"), bc))
+      case None => base.withColumn("poly_key", lit(-1L))
+    }
+    withPoly.select("image_id", "tile_x", "tile_y", "cx", "cy", "cell_id", "poly_key")
   }
 
   /** Vector split-on-grid: tag each point row with its grid row/col at cellSize. */

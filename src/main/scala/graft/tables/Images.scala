@@ -57,11 +57,11 @@ object Images {
   }
 
   /** Morton-decode a phash to (lon, lat) in [0,100)². */
-  def lonLat(phash: Long): (Double, Double) = {
-    val ix = CellIndex.deinterleave(phash >>> 1)
-    val iy = CellIndex.deinterleave(phash)
-    (ix * LocScale, iy * LocScale)
-  }
+  def lonLat(phash: Long): (Double, Double) = (lonOf(phash), latOf(phash))
+
+  /** Primitive single-value forms — called from codegen'd expressions. */
+  def lonOf(phash: Long): Double = CellIndex.deinterleave(phash >>> 1) * LocScale
+  def latOf(phash: Long): Double = CellIndex.deinterleave(phash) * LocScale
 
   /** Render a deterministic RGB image for index i. */
   def render(i: Long, w: Int, h: Int): BufferedImage = {
@@ -154,8 +154,10 @@ object Images {
     val path = s"$baseDir/images_$tag.parquet"
     val ok = new java.io.File(path, "_SUCCESS").exists()
     if (!ok) {
+      // fixed partition count: identical file layout no matter which session
+      // (or parallelism level) generated the cache
       generate(spark, n)
-        .repartition(spark.sparkContext.defaultParallelism)
+        .repartition(64)
         .write.mode("overwrite").parquet(path)
     }
     path
