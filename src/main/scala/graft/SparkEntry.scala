@@ -296,6 +296,40 @@ object SparkEntry {
         .orderBy("g")
     }),
 
+    // -innerlines: edges shared by exactly two polygons (cell squares layer)
+    "q_innerlines" -> ((s, dir) => {
+      val cells = points(s, dir)
+        .select(floor(col("x") / 10.0).cast("long").as("cx"),
+          floor(col("y") / 10.0).cast("long").as("cy"))
+        .distinct()
+      // 4 undirected canonical edges per square; shared edges have count 2
+      def edge(x1: Column, y1: Column, x2: Column, y2: Column) =
+        struct(x1.as("x1"), y1.as("y1"), x2.as("x2"), y2.as("y2"))
+      val edges = cells.select(
+        array(
+          edge(col("cx"), col("cy"), col("cx") + 1, col("cy")),
+          edge(col("cx"), col("cy") + 1, col("cx") + 1, col("cy") + 1),
+          edge(col("cx"), col("cy"), col("cx"), col("cy") + 1),
+          edge(col("cx") + 1, col("cy"), col("cx") + 1, col("cy") + 1)
+        ).as("es"))
+        .select(explode(col("es")).as("e"))
+      edges.groupBy(col("e")).agg(count(lit(1)).as("c"))
+        .filter(col("c") === 2)
+        .agg(count(lit(1)).as("n_inner_edges"))
+    }),
+
+    // ring signed areas (the -filter-islands / -filter-slivers base measure)
+    "q_ring_area" -> ((s, dir) => {
+      import s.implicits._
+      val layer = Synthetic.oracleLayer
+      (0 until layer.numRings).map { r =>
+        val st = layer.ringStart(r)
+        val n = layer.ringStart(r + 1) - st
+        val area = graft.geom.Geom.signedRingArea(layer.xx, layer.yy, st, n)
+        (layer.shapeKeys(layer.ringShape(r)), r.toLong, math.floor(area * 1000000.0).toLong)
+      }.toDF("poly_key", "ring", "area_int").orderBy("ring")
+    }),
+
     "q_split_grid" -> ((s, dir) =>
       Tiling.splitOnGrid(points(s, dir), "x", "y", 20.0)
         .groupBy("grid_col", "grid_row")
@@ -482,6 +516,45 @@ object SparkEntry {
           clipUdf(col("ring")).cast("long").as("n_clipped_vertices"),
           areaUdf(col("ring")).as("area_int"))
         .orderBy("ring_id")
+    }),
+
+    // -smooth / -densify: per-ring vertex kernels (no shuffle)
+    "q_smooth" -> ((s, dir) => {
+      import s.implicits._
+      val layer = Synthetic.polygonLayer(32, seed = 11L, holeEvery = 0)
+      val rings = (0 until layer.numRings).map { r =>
+        val st = layer.ringStart(r); val e = layer.ringStart(r + 1)
+        val flat = new Array[Double]((e - st) * 2)
+        var i = st
+        while (i < e) { flat((i - st) * 2) = layer.xx(i); flat((i - st) * 2 + 1) = layer.yy(i); i += 1 }
+        (r.toLong, flat)
+      }.toDF("ring_id", "ring")
+      val smoothUdf = udf((f: Seq[Double]) => graft.geom.PathOps.smooth(f.toArray, 0.25, 2).length / 2)
+      val densifyUdf = udf((f: Seq[Double]) => graft.geom.PathOps.densify(f.toArray, 1.0).length / 2)
+      rings.select(col("ring_id"),
+          (size(col("ring")) / 2).cast("long").as("n_vertices"),
+          smoothUdf(col("ring")).cast("long").as("n_smoothed"),
+          densifyUdf(col("ring")).cast("long").as("n_densified"))
+        .orderBy("ring_id")
+    }),
+
+    // -data-fill: modal-neighbor contagion over a cell adjacency graph
+    "q_data_fill" -> ((s, dir) => {
+      val cells = points(s, dir)
+        .select(floor(col("x") / 10.0).cast("long").as("cx"),
+          floor(col("y") / 10.0).cast("long").as("cy"),
+          col("id"))
+        .groupBy("cx", "cy").agg(min(col("id")).as("min_id"))
+        .withColumn("cell_id", col("cx") * 1000 + col("cy"))
+        // label only cells whose min_id % 3 == 0; fill the rest from neighbors
+        .withColumn("value", when(col("min_id") % 3 === 0,
+          concat(lit("c"), (col("min_id") % 7).cast("string"))).otherwise(lit(null: String)))
+      val adj = cells.as("a").join(cells.as("b"),
+          (abs(col("a.cx") - col("b.cx")) + abs(col("a.cy") - col("b.cy"))) === 1 &&
+            col("a.cell_id") < col("b.cell_id"))
+        .select(col("a.cell_id").as("a"), col("b.cell_id").as("b"))
+      DataFill.fill(s, cells.select(col("cell_id").as("id"), col("value")), adj)
+        .orderBy("id")
     }),
 
     // checkpoint-resumable tile run: manifest with per-partition lineage
@@ -721,6 +794,24 @@ object SparkEntry {
          |mem AS (SELECT g, count(*) AS n_cells FROM cells GROUP BY g)
          |SELECT mem.g AS g, n_cells, n_boundary_edges
          |FROM mem JOIN bnd ON mem.g = bnd.g ORDER BY g""".stripMargin,
+
+    "q_innerlines" ->
+      s"""WITH $ptsSql,
+         |cells AS (SELECT DISTINCT CAST(floor(x / 10.0) AS BIGINT) AS cx,
+         |    CAST(floor(y / 10.0) AS BIGINT) AS cy FROM pts),
+         |edges AS (
+         |  SELECT cx AS x1, cy AS y1, cx + 1 AS x2, cy AS y2 FROM cells
+         |  UNION ALL SELECT cx, cy + 1, cx + 1, cy + 1 FROM cells
+         |  UNION ALL SELECT cx, cy, cx, cy + 1 FROM cells
+         |  UNION ALL SELECT cx + 1, cy, cx + 1, cy + 1 FROM cells),
+         |ecnt AS (SELECT x1, y1, x2, y2, count(*) AS c FROM edges GROUP BY x1, y1, x2, y2)
+         |SELECT count(*) AS n_inner_edges FROM ecnt WHERE c = 2""".stripMargin,
+
+    "q_ring_area" ->
+      s"""WITH $oracleEdgesSql
+         |SELECT CAST(pk AS BIGINT) AS poly_key, CAST(ring AS BIGINT) AS ring,
+         |  CAST(floor(sum(ex1 * ey2 - ex2 * ey1) / 2.0 * 1000000.0) AS BIGINT) AS area_int
+         |FROM edges GROUP BY pk, ring ORDER BY ring""".stripMargin,
 
     "q_split_grid" ->
       s"""WITH $ptsSql

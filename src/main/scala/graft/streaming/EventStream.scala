@@ -1,0 +1,44 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.Row
+
+/**
+ * Structured-Streaming ingestion surface. The reference is strictly batch
+ * (SURVEY §1.5/§2.9); this is the additive Spark-native mode: file-stream
+ * source → event-time windowed aggregation with a watermark → sink, plus an
+ * `availableNow` batch-drain trigger for backfill (the streaming analog of
+ * the reference's per-input-file batch pipelines,
+ * `/root/reference/src/cli/mapshaper-run-commands.mjs:313-345`).
+ */
+object EventStream {
+
+  /** File-stream source over a directory of event parquet (ts normalized to
+   * event-time TIMESTAMP). */
+  def source(spark: SparkSession, dir: String, schemaFrom: DataFrame): DataFrame =
+    spark.readStream.schema(schemaFrom.schema).parquet(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+
+  /** Tumbling-window counts/stats per event type with a watermark. */
+  def windowedAgg(events: DataFrame, window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("min_value"), col("max_value"))
+
+  /** Drain everything currently available, then stop (backfill mode). */
+  def runAvailableNow(agg: DataFrame, queryName: String): Unit = {
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(300000)
+  }
+}
