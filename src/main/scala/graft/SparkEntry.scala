@@ -518,6 +518,67 @@ object SparkEntry {
         .orderBy("ring_id")
     }),
 
+    // -clip (polygon vs polygon, mosaic engine): cell squares clipped by a
+    // rectangle — intersection areas have a closed form, so the full overlay
+    // kernel is DuckDB-verified end to end
+    "q_clip_poly" -> ((s, dir) => {
+      val squares = points(s, dir)
+        .select(floor(col("x") / 10.0).cast("long").as("cx"),
+          floor(col("y") / 10.0).cast("long").as("cy"))
+        .distinct()
+      val ringUdf = udf { (cx: Long, cy: Long) =>
+        val x = cx * 10.0; val y = cy * 10.0
+        Array(x, y, x + 10, y, x + 10, y + 10, x, y + 10, x, y)
+      }
+      val clipRect = Seq(Array(15.0, 15.0, 65.0, 15.0, 65.0, 65.0, 15.0, 65.0, 15.0, 15.0))
+      OverlayOp.clipRows(s,
+          squares.withColumn("ring", ringUdf(col("cx"), col("cy")))
+            .withColumn("sq_id", col("cx") * 100 + col("cy")),
+          "sq_id", "ring", clipRect)
+        .select(col("sq_id"),
+          col("n_rings").cast("long").as("n_rings"),
+          floor(col("clip_area") * 1000000.0).cast("long").as("area_int"))
+        .orderBy("sq_id")
+    }),
+
+    // -erase (polygon): same squares, area outside the rectangle
+    "q_erase_poly" -> ((s, dir) => {
+      val squares = points(s, dir)
+        .select(floor(col("x") / 10.0).cast("long").as("cx"),
+          floor(col("y") / 10.0).cast("long").as("cy"))
+        .distinct()
+      val ringUdf = udf { (cx: Long, cy: Long) =>
+        val x = cx * 10.0; val y = cy * 10.0
+        Array(x, y, x + 10, y, x + 10, y + 10, x, y + 10, x, y)
+      }
+      val clipRect = Seq(Array(15.0, 15.0, 65.0, 15.0, 65.0, 65.0, 15.0, 65.0, 15.0, 15.0))
+      OverlayOp.clipRows(s,
+          squares.withColumn("ring", ringUdf(col("cx"), col("cy")))
+            .withColumn("sq_id", col("cx") * 100 + col("cy")),
+          "sq_id", "ring", clipRect, erase = true)
+        .select(col("sq_id"),
+          floor(col("clip_area") * 1000000.0).cast("long").as("area_int"))
+        .orderBy("sq_id")
+    }),
+
+    // -dissolve2 (robust mosaic dissolve of OVERLAPPING shapes): side-15
+    // squares at cell origins overlap their neighbors; per-group union area
+    "q_dissolve2" -> ((s, dir) => {
+      val squares = points(s, dir)
+        .select(floor(col("x") / 10.0).cast("long").as("cx"),
+          floor(col("y") / 10.0).cast("long").as("cy"))
+        .distinct()
+        .withColumn("g", (col("cx") + col("cy")) % 2)
+      val ringUdf = udf { (cx: Long, cy: Long) =>
+        val x = cx * 10.0; val y = cy * 10.0
+        Array(x, y, x + 15, y, x + 15, y + 15, x, y + 15, x, y)
+      }
+      OverlayOp.dissolve2(s, squares.withColumn("ring", ringUdf(col("cx"), col("cy"))), "g", "ring")
+        .select(col("group"), col("n_shapes_in"), col("n_rings_out"),
+          floor(col("area") * 1000.0).cast("long").as("area_int"))
+        .orderBy("group")
+    }),
+
     // -smooth / -densify: per-ring vertex kernels (no shuffle)
     "q_smooth" -> ((s, dir) => {
       import s.implicits._
@@ -794,6 +855,31 @@ object SparkEntry {
          |mem AS (SELECT g, count(*) AS n_cells FROM cells GROUP BY g)
          |SELECT mem.g AS g, n_cells, n_boundary_edges
          |FROM mem JOIN bnd ON mem.g = bnd.g ORDER BY g""".stripMargin,
+
+    "q_clip_poly" ->
+      s"""WITH $ptsSql,
+         |cells AS (SELECT DISTINCT CAST(floor(x / 10.0) AS BIGINT) AS cx,
+         |    CAST(floor(y / 10.0) AS BIGINT) AS cy FROM pts),
+         |ov AS (
+         |  SELECT cx * 100 + cy AS sq_id,
+         |    greatest(least(CAST(cx * 10 + 10 AS DOUBLE), 65.0) - greatest(CAST(cx * 10 AS DOUBLE), 15.0), 0.0) *
+         |    greatest(least(CAST(cy * 10 + 10 AS DOUBLE), 65.0) - greatest(CAST(cy * 10 AS DOUBLE), 15.0), 0.0) AS a
+         |  FROM cells)
+         |SELECT sq_id, CAST(CASE WHEN a > 0 THEN 1 ELSE 0 END AS BIGINT) AS n_rings,
+         |  CAST(floor(a * 1000000.0) AS BIGINT) AS area_int
+         |FROM ov ORDER BY sq_id""".stripMargin,
+
+    "q_erase_poly" ->
+      s"""WITH $ptsSql,
+         |cells AS (SELECT DISTINCT CAST(floor(x / 10.0) AS BIGINT) AS cx,
+         |    CAST(floor(y / 10.0) AS BIGINT) AS cy FROM pts),
+         |ov AS (
+         |  SELECT cx * 100 + cy AS sq_id,
+         |    greatest(least(CAST(cx * 10 + 10 AS DOUBLE), 65.0) - greatest(CAST(cx * 10 AS DOUBLE), 15.0), 0.0) *
+         |    greatest(least(CAST(cy * 10 + 10 AS DOUBLE), 65.0) - greatest(CAST(cy * 10 AS DOUBLE), 15.0), 0.0) AS a
+         |  FROM cells)
+         |SELECT sq_id, CAST(floor((100.0 - a) * 1000000.0) AS BIGINT) AS area_int
+         |FROM ov ORDER BY sq_id""".stripMargin,
 
     "q_innerlines" ->
       s"""WITH $ptsSql,

@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.geom.{Geom, Overlay}
+import graft.sources.GeoJsonIO
+import graft.tables.{SplitMix64, Synthetic}
+
+class OverlaySpec extends AnyFunSuite {
+
+  private def rect(x1: Double, y1: Double, x2: Double, y2: Double): Array[Double] =
+    Array(x1, y1, x2, y1, x2, y2, x1, y2, x1, y1)
+
+  private val eps = 1e-9
+
+  test("mosaic of two overlapping squares has 3 faces with exact areas") {
+    val a = rect(0, 0, 10, 10)
+    val b = rect(5, 0, 15, 10)
+    val m = Overlay.mosaic(Seq(Seq(a), Seq(b)))
+    assert(m.faces.size == 3)
+    val areas = m.faces.map(Overlay.faceArea).sorted
+    assert(areas.zip(Seq(50.0, 50.0, 50.0)).forall { case (g, w) => math.abs(g - w) < eps })
+    // membership: one face in A only, one in both, one in B only
+    val kinds = m.faces.map(f => (f.inLayer(0), f.inLayer(1))).toSet
+    assert(kinds == Set((true, false), (true, true), (false, true)))
+  }
+
+  test("clip: overlapping squares → intersection area") {
+    val out = Overlay.clip(Seq(Seq(rect(0, 0, 10, 10))), Seq(Seq(rect(5, 0, 15, 10))))
+    assert(math.abs(Overlay.layerArea(out) - 50.0) < eps)
+    val out2 = Overlay.clip(Seq(Seq(rect(0, 0, 10, 10))), Seq(Seq(rect(4, 4, 6, 6))))
+    assert(math.abs(Overlay.layerArea(out2) - 4.0) < eps)
+  }
+
+  test("erase: punches a hole (area + ring count)") {
+    val out = Overlay.erase(Seq(Seq(rect(0, 0, 10, 10))), Seq(Seq(rect(4, 4, 6, 6))))
+    assert(math.abs(Overlay.layerArea(out) - 96.0) < eps)
+    assert(out.size == 2) // outer ring + hole ring
+    // disjoint erase: unchanged area
+    val out2 = Overlay.erase(Seq(Seq(rect(0, 0, 10, 10))), Seq(Seq(rect(20, 20, 30, 30))))
+    assert(math.abs(Overlay.layerArea(out2) - 100.0) < eps)
+  }
+
+  test("union of overlapping squares") {
+    val out = Overlay.union(Seq(Seq(rect(0, 0, 10, 10))), Seq(Seq(rect(5, 0, 15, 10))))
+    assert(math.abs(Overlay.layerArea(out) - 150.0) < eps)
+    assert(out.size == 1)
+  }
+
+  test("dissolve2 merges overlapping dirty polygons") {
+    val out = Overlay.dissolve2(Seq(Seq(rect(0, 0, 10, 10)), Seq(rect(5, 5, 15, 15))))
+    assert(math.abs(Overlay.layerArea(out) - 175.0) < eps)
+    assert(out.size == 1)
+  }
+
+  test("adjacent (non-overlapping) squares dissolve into one ring") {
+    val out = Overlay.dissolve2(Seq(Seq(rect(0, 0, 10, 10)), Seq(rect(10, 0, 20, 10))))
+    assert(math.abs(Overlay.layerArea(out) - 200.0) < eps)
+    assert(out.size == 1)
+  }
+
+  test("reference dissolve2 fixture ex1: nested squares with holes") {
+    // two polygons: 3x3 with 1x1 hole (area 8) inside a 5x5 with 0.64 hole
+    val json = Files.readString(Paths.get("/root/reference/test/data/features/dissolve2/ex1.json"))
+    val layer = GeoJsonIO.fromGeoJson(json)
+    val ringOf = (r: Int) => {
+      val st = layer.ringStart(r); val e = layer.ringStart(r + 1)
+      val flat = new Array[Double]((e - st) * 2)
+      var i = st
+      while (i < e) { flat((i - st) * 2) = layer.xx(i); flat((i - st) * 2 + 1) = layer.yy(i); i += 1 }
+      flat
+    }
+    val rings = (0 until layer.numRings).map(ringOf)
+    val shapes = (0 until layer.numShapes).map { s0 =>
+      (0 until layer.numRings).filter(layer.ringShape(_) == s0).map(ringOf)
+    }
+    // even-odd dissolve of both shapes: the big square's hole (0.8x0.8 at 1.1)
+    // lies inside the small square's hole region partially... compute expected
+    // from the even-odd area of the merged mosaic.
+    val out = Overlay.dissolve2(shapes)
+    val got = Overlay.layerArea(out)
+    // expected: mosaic faces where even-odd containment over the merged layer
+    // is true — cross-check against fine Monte Carlo
+    val rng = new SplitMix64(9)
+    var hits = 0
+    val samples = 200000
+    for (_ <- 0 until samples) {
+      val px = -1.0 + rng.nextDouble() * 6.0
+      val py = -1.0 + rng.nextDouble() * 6.0
+      if (shapes.exists(sh => Overlay.evenOddContains(sh, px, py))) hits += 1
+    }
+    val mc = hits.toDouble / samples * 36.0
+    assert(math.abs(got - mc) < 0.2, s"got=$got mc=$mc")
+  }
+
+  test("clip/erase areas are complementary on random blob layers") {
+    val rng = new SplitMix64(5)
+    for (trial <- 0 until 5) {
+      val subject = Seq(Seq(Synthetic.blobRing(45 + rng.nextDouble() * 10, 45 + rng.nextDouble() * 10, 25, 10, rng)))
+      val clipper = Seq(Seq(Synthetic.blobRing(50 + rng.nextDouble() * 10, 50 + rng.nextDouble() * 10, 20, 8, rng)))
+      val subjArea = Overlay.layerArea(subject.flatten)
+      val inArea = Overlay.layerArea(Overlay.clip(subject, clipper))
+      val outArea = Overlay.layerArea(Overlay.erase(subject, clipper))
+      assert(math.abs(subjArea - (inArea + outArea)) < 1e-6,
+        s"trial $trial: $subjArea != $inArea + $outArea")
+      // and union identity: |A ∪ B| = |A| + |B| - |A ∩ B|
+      val clipArea = Overlay.layerArea(clipper.flatten)
+      val unionArea = Overlay.layerArea(Overlay.union(subject, clipper))
+      assert(math.abs(unionArea - (subjArea + clipArea - inArea)) < 1e-6)
+    }
+  }
+
+  test("mosaic face membership matches direct PIP for random probes") {
+    val rng = new SplitMix64(77)
+    val a = Seq(Seq(Synthetic.blobRing(48, 48, 25, 9, rng)))
+    val b = Seq(Seq(Synthetic.blobRing(55, 52, 20, 11, rng)))
+    val m = Overlay.mosaic(a ++ b)
+    m.faces.foreach { f =>
+      val (px, py) = f.interior
+      assert(f.inLayer(0) == Overlay.evenOddContains(a.head, px, py))
+      assert(f.inLayer(1) == Overlay.evenOddContains(b.head, px, py))
+    }
+    // total mosaic area == union area
+    val unionArea = Overlay.layerArea(Overlay.union(a, b))
+    val coveredFaces = m.faces.filter(f => f.inLayer(0) || f.inLayer(1))
+    assert(math.abs(coveredFaces.map(Overlay.faceArea).sum - unionArea) < 1e-6)
+  }
+}
