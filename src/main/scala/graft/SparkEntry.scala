@@ -579,6 +579,41 @@ object SparkEntry {
         .orderBy("group")
     }),
 
+    // -point-grid: generated square grid (distributed, codegen arithmetic)
+    "q_point_grid" -> ((s, dir) =>
+      Grids.pointGrid(s, 0.0, 0.0, 12.5, 8, 8)
+        .select(col("gid"), col("gx"), col("gy"), col("x"), col("y"))
+        .orderBy("gid")),
+
+    // -points midpoints: segment midpoints of the oracle layer
+    "q_midpoints" -> ((s, dir) =>
+      Points.midpoints(s, Synthetic.oracleLayer)
+        .select(col("poly_key"), col("ring").cast("long").as("ring"),
+          col("mx"), col("my"))
+        .orderBy("ring", "mx", "my")),
+
+    // -proj: lon/lat -> WebMercator + tile pyramid key (floor-scaled: libm
+    // vs JVM transcendentals differ in the last ulp)
+    "q_proj" -> ((s, dir) => {
+      val pts = points(s, dir)
+        .withColumn("lon", col("x") * 3.6 - 180.0)  // [0,100) -> [-180,180)
+        .withColumn("lat", col("y") * 1.7 - 85.0)   // [0,100) -> [-85,85)
+      pts.select(col("id"),
+          floor(Proj.lonToMercX(col("lon")) * 1000.0).cast("long").as("mx_int"),
+          floor(Proj.latToMercY(col("lat")) * 1000.0).cast("long").as("my_int"),
+          Proj.tileX(col("lon"), 6).as("tx"),
+          Proj.tileY(col("lat"), 6).as("ty"))
+        .orderBy("id")
+    }),
+
+    // -point-to-grid: circle-influence weights into cells (rows-only; the
+    // overlap kernel is unit-tested against closed-form values)
+    "q_point_to_grid" -> ((s, dir) =>
+      Grids.pointToGrid(s, points(s, dir), "x", "y", 0.0, 0.0, cs = 5.0, radius = 3.0)
+        .select(col("cell"), col("n_points"),
+          floor(col("weight") * 1000.0).cast("long").as("weight_int"))
+        .orderBy("cell")),
+
     // -smooth / -densify: per-ring vertex kernels (no shuffle)
     "q_smooth" -> ((s, dir) => {
       import s.implicits._
@@ -880,6 +915,30 @@ object SparkEntry {
          |  FROM cells)
          |SELECT sq_id, CAST(floor((100.0 - a) * 1000000.0) AS BIGINT) AS area_int
          |FROM ov ORDER BY sq_id""".stripMargin,
+
+    "q_point_grid" ->
+      """SELECT CAST(range AS BIGINT) AS gid,
+        |  CAST(range % 8 AS BIGINT) AS gx,
+        |  CAST(floor(CAST(range AS DOUBLE) / 8.0) AS BIGINT) AS gy,
+        |  (CAST(range % 8 AS DOUBLE) * 12.5 + (CAST(range % 8 AS DOUBLE) + 1) * 12.5) / 2 AS x,
+        |  (floor(CAST(range AS DOUBLE) / 8.0) * 12.5 + (floor(CAST(range AS DOUBLE) / 8.0) + 1) * 12.5) / 2 AS y
+        |FROM range(64) ORDER BY gid""".stripMargin,
+
+    "q_midpoints" ->
+      s"""WITH $oracleEdgesSql
+         |SELECT CAST(pk AS BIGINT) AS poly_key, CAST(ring AS BIGINT) AS ring,
+         |  (ex1 + ex2) / 2.0 AS mx, (ey1 + ey2) / 2.0 AS my
+         |FROM edges ORDER BY ring, mx, my""".stripMargin,
+
+    "q_proj" ->
+      s"""WITH $ptsSql,
+         |ll AS (SELECT id, x * 3.6 - 180.0 AS lon, y * 1.7 - 85.0 AS lat FROM pts)
+         |SELECT id,
+         |  CAST(floor(lon * (pi() / 180.0) * 6378137.0 * 1000.0) AS BIGINT) AS mx_int,
+         |  CAST(floor(ln(tan(pi() / 4.0 + lat * (pi() / 180.0) / 2.0)) * 6378137.0 * 1000.0) AS BIGINT) AS my_int,
+         |  CAST(floor((lon + 180.0) / 360.0 * 64) AS BIGINT) AS tx,
+         |  CAST(floor((1.0 - ln(tan(lat * (pi() / 180.0)) + 1.0 / cos(lat * (pi() / 180.0))) / pi()) / 2.0 * 64) AS BIGINT) AS ty
+         |FROM ll ORDER BY id""".stripMargin,
 
     "q_innerlines" ->
       s"""WITH $ptsSql,

@@ -1,0 +1,89 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/**
+ * Grid generators — the reference's `-point-grid` / `-grid`
+ * (`/root/reference/src/commands/mapshaper-point-grid.mjs:8`,
+ * `mapshaper-polygon-grid.mjs:13-107`) and the aligned square-grid maker
+ * (`src/grids/mapshaper-square-grid.mjs`). Generated distributively from
+ * `spark.range` — no driver-side materialization, arbitrary grid sizes.
+ */
+object Grids {
+
+  /** Square polygon grid covering [x0, x0+nx*cs) x [y0, y0+ny*cs):
+   * (gid, gx, gy, xmin, ymin, xmax, ymax). Pure codegen arithmetic. */
+  def squareGrid(spark: SparkSession, x0: Double, y0: Double, cs: Double, nx: Int, ny: Int): DataFrame =
+    spark.range(nx.toLong * ny)
+      .withColumn("gx", (col("id") % nx).cast("long"))
+      .withColumn("gy", (col("id") / nx).cast("long"))
+      .select(col("id").as("gid"), col("gx"), col("gy"),
+        (lit(x0) + col("gx") * cs).as("xmin"),
+        (lit(y0) + col("gy") * cs).as("ymin"),
+        (lit(x0) + (col("gx") + 1) * cs).as("xmax"),
+        (lit(y0) + (col("gy") + 1) * cs).as("ymax"))
+
+  /** Center-point grid (the `-point-grid` command). */
+  def pointGrid(spark: SparkSession, x0: Double, y0: Double, cs: Double, nx: Int, ny: Int): DataFrame =
+    squareGrid(spark, x0, y0, cs, nx, ny)
+      .select(col("gid"), col("gx"), col("gy"),
+        ((col("xmin") + col("xmax")) / 2).as("x"),
+        ((col("ymin") + col("ymax")) / 2).as("y"))
+
+  /**
+   * `-point-to-grid`: aggregate points into grid cells with an
+   * influence-circle weight — weight of a point for a cell = area(circle(p,
+   * radius) ∩ cell) / cellArea, points contributing to every cell their
+   * circle touches (reference: `src/commands/mapshaper-point-to-grid.mjs:20-116`).
+   */
+  def pointToGrid(spark: SparkSession, points: DataFrame, xCol: String, yCol: String,
+                  x0: Double, y0: Double, cs: Double, radius: Double,
+                  minWeight: Double = 0.05): DataFrame = {
+    val r = radius
+    val reach = math.ceil(r / cs).toInt
+    val cellsUdf = udf { (x: Double, y: Double) =>
+      val cx = math.floor((x - x0) / cs).toInt
+      val cy = math.floor((y - y0) / cs).toInt
+      (for {
+        dx <- -reach to reach
+        dy <- -reach to reach
+      } yield (cx + dx).toLong * 100000 + (cy + dy)).toArray
+    }
+    val weightUdf = udf { (x: Double, y: Double, packed: Long) =>
+      val cx = (packed / 100000).toInt
+      val cy = (packed % 100000).toInt
+      val xmin = x0 + cx * cs
+      val ymin = y0 + cy * cs
+      circleRectOverlap(x, y, r, xmin, ymin, xmin + cs, ymin + cs) / (cs * cs)
+    }
+    points
+      .withColumn("_cell", explode(cellsUdf(col(xCol), col(yCol))))
+      .withColumn("_w", weightUdf(col(xCol), col(yCol), col("_cell")))
+      .filter(col("_w") > minWeight)
+      .groupBy(col("_cell").as("cell"))
+      .agg(count(lit(1)).as("n_points"), sum(col("_w")).as("weight"))
+  }
+
+  /** Area of circle((cx,cy), r) ∩ axis-aligned rect — via fine numeric
+   * integration over x (deterministic, adequate for weighting). */
+  def circleRectOverlap(cx: Double, cy: Double, r: Double,
+                        xmin: Double, ymin: Double, xmax: Double, ymax: Double): Double = {
+    val lo = math.max(xmin, cx - r)
+    val hi = math.min(xmax, cx + r)
+    if (lo >= hi) return 0.0
+    val steps = 256
+    val dx = (hi - lo) / steps
+    var area = 0.0
+    var i = 0
+    while (i < steps) {
+      val x = lo + (i + 0.5) * dx
+      val h = math.sqrt(math.max(0.0, r * r - (x - cx) * (x - cx)))
+      val y1 = math.max(ymin, cy - h)
+      val y2 = math.min(ymax, cy + h)
+      if (y2 > y1) area += (y2 - y1) * dx
+      i += 1
+    }
+    area
+  }
+}

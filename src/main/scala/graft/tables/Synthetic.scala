@@ -112,9 +112,14 @@ object Synthetic {
     out.result()
   }
 
-  /** SQL VALUES literal for the edge list — doubles via shortest round-trip repr. */
-  def edgesSqlValues(layer: PolygonLayer): String =
+  /** SQL VALUES literal for the edge list. Coordinates are emitted in
+   * scientific notation with 17 significant digits: E-notation makes DuckDB
+   * parse them directly as DOUBLE (a plain decimal literal goes through
+   * DECIMAL, whose cast to DOUBLE is off by 1 ulp for some values). */
+  def edgesSqlValues(layer: PolygonLayer): String = {
+    def d(v: Double): String = "%.16e".format(v)
     edges(layer).map { case (k, r, x1, y1, x2, y2) =>
-      s"($k, $r, $x1, $y1, $x2, $y2)"
+      s"($k, $r, ${d(x1)}, ${d(y1)}, ${d(x2)}, ${d(y2)})"
     }.mkString(", ")
+  }
 }

@@ -1,0 +1,78 @@
+package graft
+
+import graft.operators.{Grids, Points, Proj}
+import graft.tables.Synthetic
+
+class GridsSpec extends SparkSuite {
+
+  import spark.implicits._
+  import org.apache.spark.sql.functions._
+
+  test("squareGrid covers the extent exactly; pointGrid centers inside") {
+    val g = Grids.squareGrid(spark, 0, 0, 10.0, 5, 4)
+    assert(g.count() == 20)
+    val ext = g.agg(min("xmin"), min("ymin"), max("xmax"), max("ymax")).head()
+    assert(ext.getDouble(0) == 0.0 && ext.getDouble(1) == 0.0)
+    assert(ext.getDouble(2) == 50.0 && ext.getDouble(3) == 40.0)
+    val pg = Grids.pointGrid(spark, 0, 0, 10.0, 5, 4)
+    val pts = pg.select("x", "y").as[(Double, Double)].collect()
+    assert(pts.forall { case (x, y) => x % 10.0 == 5.0 && y % 10.0 == 5.0 })
+  }
+
+  test("circleRectOverlap matches closed forms") {
+    // circle fully inside rect
+    val full = Grids.circleRectOverlap(5, 5, 1.0, 0, 0, 10, 10)
+    assert(math.abs(full - math.Pi) < 1e-3)
+    // rect fully inside circle
+    val rect = Grids.circleRectOverlap(5, 5, 10.0, 4, 4, 6, 6)
+    assert(math.abs(rect - 4.0) < 1e-9)
+    // half circle (center on rect edge)
+    val half = Grids.circleRectOverlap(0, 5, 2.0, 0, 0, 10, 10)
+    assert(math.abs(half - math.Pi * 2.0) < 5e-3)
+    // disjoint
+    assert(Grids.circleRectOverlap(20, 20, 1.0, 0, 0, 10, 10) == 0.0)
+  }
+
+  test("pointToGrid: total weight ~= circle area / cell area per point") {
+    val pts = Seq((1L, 12.0, 12.0)).toDF("id", "x", "y")
+    val out = Grids.pointToGrid(spark, pts, "x", "y", 0, 0, cs = 5.0, radius = 3.0, minWeight = 0.0)
+    val totalW = out.agg(sum("weight")).head().getDouble(0)
+    assert(math.abs(totalW - math.Pi * 9.0 / 25.0) < 1e-2)
+  }
+
+  test("mercator round trip and tile keys") {
+    val df = Seq((-122.4, 37.77), (0.0, 0.0), (139.7, 35.68)).toDF("lon", "lat")
+    val rt = df.select(
+      Proj.mercXToLon(Proj.lonToMercX(col("lon"))).as("lon2"),
+      Proj.mercYToLat(Proj.latToMercY(col("lat"))).as("lat2"),
+      col("lon"), col("lat")).collect()
+    rt.foreach { r =>
+      assert(math.abs(r.getDouble(0) - r.getDouble(2)) < 1e-9)
+      assert(math.abs(r.getDouble(1) - r.getDouble(3)) < 1e-9)
+    }
+    val tiles = df.select(Proj.tileX(col("lon"), 2), Proj.tileY(col("lat"), 2)).collect()
+    assert(tiles(1).getLong(0) == 2 && tiles(1).getLong(1) == 2) // (0,0) -> middle tile
+  }
+
+  test("anchor point is inside the shape, far from boundary (incl. holes)") {
+    val layer = Synthetic.polygonLayer(6, seed = 3L, holeEvery = 3)
+    for (s0 <- 0 until layer.numShapes) {
+      val (ax, ay) = Points.anchor(layer, s0)
+      assert(layer.findShapes(ax, ay).contains(s0), s"shape $s0: ($ax,$ay) not inside")
+      val (cx, cy) = {
+        // compare: anchor should beat a boundary-adjacent point's clearance
+        val r0 = (0 until layer.numRings).find(layer.ringShape(_) == s0).get
+        (layer.xx(layer.ringStart(r0)), layer.yy(layer.ringStart(r0)))
+      }
+      assert(graft.geom.Geom.distance(ax, ay, cx, cy) > 0)
+    }
+  }
+
+  test("interpolate emits points at fixed spacing along the path") {
+    val path = Array(0.0, 0.0, 10.0, 0.0)
+    val pts = Points.interpolate(path, 2.5)
+    assert(pts.toSeq == Seq(0.0, 0.0, 2.5, 0.0, 5.0, 0.0, 7.5, 0.0))
+    val bent = Points.interpolate(Array(0.0, 0.0, 3.0, 4.0, 3.0, 9.0), 2.5) // lengths 5 + 5
+    assert(bent.length / 2 == 4) // start + 3 interval marks before the end
+  }
+}
