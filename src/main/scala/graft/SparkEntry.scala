@@ -579,6 +579,41 @@ object SparkEntry {
         .orderBy("group")
     }),
 
+    // -calc collect: order-insensitive list aggregation
+    "q_collect" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(array_join(array_sort(collect_set(col("l_linestatus"))), ",").as("statuses"),
+          countDistinct(col("l_linestatus")).as("n_statuses"))
+        .orderBy("l_returnflag")),
+
+    // -buffer: point buffers (regular 32-gon rings); oracle = closed-form
+    // regular-polygon area n*r^2*sin(2pi/n)/2
+    "q_buffer" -> ((s, dir) => {
+      val ringAreaUdf = udf { (x: Double, y: Double, r: Double) =>
+        val ring = Buffer.pointBufferRing(x, y, r, 32)
+        val n = ring.length / 2
+        val xs = Array.tabulate(n)(i => ring(i * 2))
+        val ys = Array.tabulate(n)(i => ring(i * 2 + 1))
+        graft.geom.Geom.signedRingArea(xs, ys, 0, n)
+      }
+      points(s, dir)
+        .withColumn("r", (col("id") % 3 + 1).cast("double"))
+        .select(col("id"),
+          floor(ringAreaUdf(col("x"), col("y"), col("r")) * 1000.0).cast("long").as("area_int"))
+        .orderBy("id")
+    }),
+
+    // -cluster: greedy centroid agglomeration of the oracle layer (k=3)
+    "q_cluster" -> ((s, dir) => {
+      import s.implicits._
+      val cents = Points.centroids(s, Synthetic.oracleLayer)
+        .select("poly_key", "cx", "cy").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
+      val asg = Cluster.greedy(cents, k = 3)
+      asg.toSeq.sortBy(_._1).toDF("poly_key", "cluster_id")
+    }),
+
     // -point-grid: generated square grid (distributed, codegen arithmetic)
     "q_point_grid" -> ((s, dir) =>
       Grids.pointGrid(s, 0.0, 0.0, 12.5, 8, 8)
@@ -915,6 +950,19 @@ object SparkEntry {
          |  FROM cells)
          |SELECT sq_id, CAST(floor((100.0 - a) * 1000000.0) AS BIGINT) AS area_int
          |FROM ov ORDER BY sq_id""".stripMargin,
+
+    "q_collect" ->
+      """SELECT l_returnflag,
+        |  string_agg(DISTINCT l_linestatus, ',' ORDER BY l_linestatus) AS statuses,
+        |  count(DISTINCT l_linestatus) AS n_statuses
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_buffer" ->
+      s"""WITH $ptsSql
+         |SELECT id, CAST(floor(
+         |  32.0 * CAST((id % 3 + 1) * (id % 3 + 1) AS DOUBLE) * sin(2.0 * pi() / 32.0) / 2.0
+         |  * 1000.0) AS BIGINT) AS area_int
+         |FROM pts ORDER BY id""".stripMargin,
 
     "q_point_grid" ->
       """SELECT CAST(range AS BIGINT) AS gid,

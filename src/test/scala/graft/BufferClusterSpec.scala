@@ -1,0 +1,74 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.geom.Overlay
+import graft.operators.{Buffer, Cluster}
+
+class BufferClusterSpec extends AnyFunSuite {
+
+  test("point buffer ring has ~circle area") {
+    val ring = Buffer.pointBufferRing(5, 5, 2.0, 64)
+    val n = ring.length / 2
+    val xs = Array.tabulate(n)(i => ring(i * 2))
+    val ys = Array.tabulate(n)(i => ring(i * 2 + 1))
+    val a = graft.geom.Geom.signedRingArea(xs, ys, 0, n)
+    assert(math.abs(a - math.Pi * 4.0) < 0.05)
+  }
+
+  test("merged point buffers: two overlapping circles dissolve to one ring") {
+    val a = Buffer.pointBufferRing(0, 0, 2.0)
+    val b = Buffer.pointBufferRing(1, 0, 2.0)
+    val merged = Overlay.dissolve2(Seq(Seq(a), Seq(b)))
+    assert(merged.size == 1)
+    val area = Overlay.layerArea(merged)
+    // union of two r=2 circles at distance 1 (closed form: 2πr² - lens)
+    val r = 2.0; val d = 1.0
+    val lens = 2 * r * r * math.acos(d / (2 * r)) - d / 2 * math.sqrt(4 * r * r - d * d)
+    val expected = 2 * math.Pi * r * r - lens
+    assert(math.abs(area - expected) < 0.2, s"area=$area expected=$expected")
+  }
+
+  test("path buffer covers the path with ~capsule area") {
+    val out = Buffer.pathBuffer(Array(0.0, 0.0, 10.0, 0.0), 1.0, nSeg = 64)
+    val area = Overlay.layerArea(out)
+    val expected = 20.0 + math.Pi // rect 10x2 + two half circles
+    assert(math.abs(area - expected) < 0.1, s"area=$area expected=$expected")
+  }
+
+  test("polygonize: crossing lines yield bounded faces") {
+    // a square drawn as 4 independent open lines plus a diagonal
+    val lines = Seq(
+      Array(0.0, 0.0, 10.0, 0.0), Array(10.0, 0.0, 10.0, 10.0),
+      Array(10.0, 10.0, 0.0, 10.0), Array(0.0, 10.0, 0.0, 0.0),
+      Array(0.0, 0.0, 10.0, 10.0))
+    val faces = Buffer.polygonize(lines)
+    assert(faces.size == 2) // two triangles
+    assert(math.abs(faces.map(Overlay.faceArea).sum - 100.0) < 1e-9)
+  }
+
+  test("divideLine splits a line at polygon boundary and tags pieces") {
+    val square = Seq(Array(2.0, -1.0, 8.0, -1.0, 8.0, 11.0, 2.0, 11.0, 2.0, -1.0))
+    val line = Array(0.0, 5.0, 10.0, 5.0)
+    val pieces = Buffer.divideLine(line, square)
+    assert(pieces.size == 3)
+    val insideLen = pieces.filter(_._2).map(p => math.abs(p._1(2) - p._1(0))).sum
+    val outsideLen = pieces.filterNot(_._2).map(p => math.abs(p._1(2) - p._1(0))).sum
+    assert(insideLen == 6.0 && outsideLen == 4.0)
+  }
+
+  test("greedy cluster merges nearest centroids deterministically") {
+    val items = Seq(
+      (1L, 0.0, 0.0), (2L, 1.0, 0.0), (3L, 0.5, 0.5), // tight group
+      (4L, 100.0, 100.0), (5L, 101.0, 100.0),          // far group
+      (6L, 50.0, 0.0))                                  // loner
+    val asg = Cluster.greedy(items, k = 3)
+    assert(asg.values.toSet.size == 3)
+    assert(asg(1L) == asg(2L) && asg(2L) == asg(3L))
+    assert(asg(4L) == asg(5L))
+    assert(asg(6L) != asg(1L) && asg(6L) != asg(4L))
+    // maxDist constraint stops early
+    val asg2 = Cluster.greedy(items, k = 1, maxDist = 5.0)
+    assert(asg2.values.toSet.size == 3)
+  }
+}
