@@ -579,6 +579,28 @@ object SparkEntry {
         .orderBy("group")
     }),
 
+    // -calc quantile/iqr/quartiles: exact interpolated percentiles
+    "q_quantiles" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_quantity, 0.25)").as("q1"),
+          expr("percentile(l_quantity, 0.5)").as("q2"),
+          expr("percentile(l_quantity, 0.75)").as("q3"),
+          (expr("percentile(l_quantity, 0.75)") - expr("percentile(l_quantity, 0.25)")).as("iqr"))
+        .orderBy("l_returnflag")),
+
+    // -filter-points (thin dense points): keep the lowest id per grid cell
+    "q_thin_points" -> ((s, dir) => {
+      val w = Window.partitionBy(floor(col("x") / 5.0), floor(col("y") / 5.0))
+        .orderBy(col("id"))
+      points(s, dir)
+        .withColumn("_rn", row_number().over(w))
+        .filter(col("_rn") === 1)
+        .select("id")
+        .orderBy("id")
+    }),
+
     // -calc collect: order-insensitive list aggregation
     "q_collect" -> ((s, dir) =>
       t(s, dir, "lineitem")
@@ -950,6 +972,21 @@ object SparkEntry {
          |  FROM cells)
          |SELECT sq_id, CAST(floor((100.0 - a) * 1000000.0) AS BIGINT) AS area_int
          |FROM ov ORDER BY sq_id""".stripMargin,
+
+    "q_quantiles" ->
+      """SELECT l_returnflag,
+        |  quantile_cont(l_quantity, 0.25) AS q1,
+        |  quantile_cont(l_quantity, 0.5) AS q2,
+        |  quantile_cont(l_quantity, 0.75) AS q3,
+        |  quantile_cont(l_quantity, 0.75) - quantile_cont(l_quantity, 0.25) AS iqr
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_thin_points" ->
+      s"""WITH $ptsSql
+         |SELECT id FROM (
+         |  SELECT id, row_number() OVER (
+         |    PARTITION BY floor(x / 5.0), floor(y / 5.0) ORDER BY id) AS rn
+         |  FROM pts) WHERE rn = 1 ORDER BY id""".stripMargin,
 
     "q_collect" ->
       """SELECT l_returnflag,

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.SpatialJoin
+import graft.tables.{SplitMix64, Synthetic}
+
+/**
+ * Explicit hot-cell salting (north rule): the cell-partitioned spatial join
+ * must split skewed cells across salted subkeys — replicating the matching
+ * polygon candidates — without changing results.
+ */
+class SkewSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  test("cellJoin with forced salting matches unsalted results on skewed points") {
+    val layer = Synthetic.polygonLayer(9, seed = 13L, holeEvery = 0)
+    val rings = (0 until layer.numRings).map { r =>
+      val s0 = layer.ringStart(r); val e = layer.ringStart(r + 1)
+      (layer.shapeKeys(layer.ringShape(r)),
+        layer.xx.slice(s0, e).toSeq, layer.yy.slice(s0, e).toSeq)
+    }
+    val polyDf = rings.toDF("poly_key", "ring_x", "ring_y")
+
+    // heavy skew: 80% of points in one tiny hot spot
+    val rng = new SplitMix64(3)
+    val pts = (0 until 1000).map { i =>
+      if (i % 5 != 0) (i.toLong, 50.0 + rng.nextDouble(), 50.0 + rng.nextDouble())
+      else (i.toLong, rng.nextDouble() * 100, rng.nextDouble() * 100)
+    }
+    val df = pts.toDF("id", "x", "y")
+
+    // saltThreshold=0 forces EVERY cell through the salted path
+    val salted = SpatialJoin.cellJoin(spark, df, "x", "y", polyDf, res = 5,
+        saltThreshold = 0, saltFactor = 4)
+      .select("id", "poly_key").as[(Long, Long)].collect().toSet
+    val unsalted = SpatialJoin.cellJoin(spark, df, "x", "y", polyDf, res = 5,
+        saltThreshold = Int.MaxValue)
+      .select("id", "poly_key").as[(Long, Long)].collect().toSet
+    assert(salted == unsalted && salted.nonEmpty)
+
+    // and both match the broadcast reference
+    val broadcasted = SpatialJoin.broadcastJoin(spark, df, "x", "y", layer)
+      .select("id", "poly_key").as[(Long, Long)].collect().toSet
+    assert(salted == broadcasted)
+  }
+}
