@@ -428,6 +428,12 @@ object Overlay {
     dissolveFaces(m.faces.filter(f => inAny(f, 0, shapes.length)))
   }
 
+  /** `-inlay`: insert `inlayShapes` into `base`, erasing the overlap from the
+   * base first (reference: `mapshaper-inlay.mjs:7` — erase + union). The
+   * combined coverage equals base ∪ inlay with the inlay on top. */
+  def inlay(base: Seq[Shape], inlayShapes: Seq[Shape]): Seq[Array[Double]] =
+    union(Seq(erase(base, inlayShapes).map(r => r).toSeq: Shape), inlayShapes)
+
   /** Merge selected faces by cancelling shared edges, reassembling rings. */
   def dissolveFaces(faces: Seq[Face]): Seq[Array[Double]] = {
     val parity = mutable.HashMap.empty[(Double, Double, Double, Double), Int]

@@ -65,6 +65,39 @@ object Grids {
       .agg(count(lit(1)).as("n_points"), sum(col("_w")).as("weight"))
   }
 
+  /**
+   * `-dots`: deterministic dot-density fill — n seeded points uniformly
+   * inside a shape via rejection sampling over its bbox (reference:
+   * `src/points/mapshaper-dot-density.mjs`). Runs per feature inside a map.
+   */
+  def dotFill(rings: Seq[Array[Double]], n: Int, seed: Long): Array[Double] = {
+    val rng = new graft.tables.SplitMix64(seed)
+    var x0 = Double.MaxValue; var y0 = Double.MaxValue
+    var x1 = Double.MinValue; var y1 = Double.MinValue
+    rings.foreach { r =>
+      var i = 0
+      while (i < r.length) {
+        x0 = math.min(x0, r(i)); x1 = math.max(x1, r(i))
+        y0 = math.min(y0, r(i + 1)); y1 = math.max(y1, r(i + 1))
+        i += 2
+      }
+    }
+    val out = new Array[Double](n * 2)
+    var k = 0
+    var guard = 0
+    while (k < n && guard < n * 1000) {
+      val px = x0 + rng.nextDouble() * (x1 - x0)
+      val py = y0 + rng.nextDouble() * (y1 - y0)
+      if (graft.geom.Overlay.evenOddContains(rings, px, py)) {
+        out(k * 2) = px
+        out(k * 2 + 1) = py
+        k += 1
+      }
+      guard += 1
+    }
+    java.util.Arrays.copyOf(out, k * 2)
+  }
+
   /** Area of circle((cx,cy), r) ∩ axis-aligned rect — via fine numeric
    * integration over x (deterministic, adequate for weighting). */
   def circleRectOverlap(cx: Double, cy: Double, r: Double,

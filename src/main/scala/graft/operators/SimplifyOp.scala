@@ -59,4 +59,45 @@ object SimplifyOp {
       .withColumn("interval", lit(interval))
       .drop("thresholds")
   }
+
+  /**
+   * Variable simplification: per-ring intensity from a weight column in [0,1]
+   * (the reference's `-simplify variable=`,
+   * `src/simplify/mapshaper-variable-simplify.mjs`): each ring filters at
+   * `interval * weight` — weight 0 keeps everything, 1 applies the full
+   * global interval.
+   */
+  def simplifyVariable(spark: SparkSession, rings: DataFrame, ringCol: String,
+                       weightCol: String, pct: Double,
+                       method: Simplify.Method = Simplify.WeightedVisvalingam): DataFrame = {
+    val base = simplify(spark, rings, ringCol, pct, method)
+    val interval = base.select("interval").head().getDouble(0)
+    val withThr = withThresholds(rings, ringCol, method)
+    val filterUdf = udf { (flat: Seq[Double], thr: Seq[Double], w: Double) =>
+      val iv = interval * math.max(0.0, math.min(1.0, w))
+      val kept = Array.newBuilder[Double]
+      var i = 0
+      while (i < thr.length) {
+        if (thr(i) >= iv) { kept += flat(i * 2); kept += flat(i * 2 + 1) }
+        i += 1
+      }
+      kept.result()
+    }
+    withThr
+      .withColumn("simplified", filterUdf(col(ringCol), col("thresholds"), col(weightCol)))
+      .withColumn("n_before", (size(col(ringCol)) / 2).cast("long"))
+      .withColumn("n_after", (size(col("simplified")) / 2).cast("long"))
+      .drop("thresholds")
+  }
+
+  /** `-filter-islands` / `-filter-slivers`: drop rings below an area floor. */
+  def filterSlivers(rings: DataFrame, ringCol: String, minArea: Double): DataFrame = {
+    val areaUdf = udf { (flat: Seq[Double]) =>
+      val n = flat.length / 2
+      val xs = Array.tabulate(n)(i => flat(i * 2))
+      val ys = Array.tabulate(n)(i => flat(i * 2 + 1))
+      math.abs(graft.geom.Geom.signedRingArea(xs, ys, 0, n))
+    }
+    rings.filter(areaUdf(col(ringCol)) >= minArea)
+  }
 }
