@@ -636,6 +636,22 @@ object SparkEntry {
       asg.toSeq.sortBy(_._1).toDF("poly_key", "cluster_id")
     }),
 
+    // -alpha-shapes: concave hull of the derived points (Delaunay edge filter)
+    "q_alpha_shape" -> ((s, dir) => {
+      import s.implicits._
+      val pts = points(s, dir).select("x", "y").collect()
+      val xs = pts.map(_.getDouble(0))
+      val ys = pts.map(_.getDouble(1))
+      val rings = graft.geom.Delaunay.alphaShape(xs, ys, maxEdge = 8.0)
+      rings.zipWithIndex.map { case (r, i) =>
+        val n = r.length / 2
+        val rx = Array.tabulate(n)(j => r(j * 2))
+        val ry = Array.tabulate(n)(j => r(j * 2 + 1))
+        (i.toLong, n.toLong,
+          math.floor(math.abs(graft.geom.Geom.signedRingArea(rx, ry, 0, n)) * 1000.0).toLong)
+      }.toDF("ring_id", "n_vertices", "area_int").orderBy("ring_id")
+    }),
+
     // -point-grid: generated square grid (distributed, codegen arithmetic)
     "q_point_grid" -> ((s, dir) =>
       Grids.pointGrid(s, 0.0, 0.0, 12.5, 8, 8)
