@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.GraftFunctions._
+import graft.geom.Overlay
 import graft.index.PolygonLayer
 import graft.operators._
 import graft.tables.{Images, Synthetic}
@@ -62,6 +63,25 @@ object SparkEntry {
 
   /** Bigger synthetic layer for the image-side (non-oracle) spatial queries. */
   private lazy val imageLayer: PolygonLayer = Synthetic.polygonLayer(64, seed = 42L)
+
+  /** Polygon-join fixtures: targets = the distinct cell squares of the derived
+   * points; sources = three overlapping axis-aligned rectangles. */
+  private def polyJoinTargets(s: SparkSession, dir: String): Seq[PolyJoin.Keyed] =
+    points(s, dir)
+      .select(floor(col("x") / 10.0).cast("long").as("cx"),
+        floor(col("y") / 10.0).cast("long").as("cy"))
+      .distinct().collect()
+      .map { r =>
+        val x = r.getLong(0) * 10.0
+        val y = r.getLong(1) * 10.0
+        (r.getLong(0) * 100 + r.getLong(1),
+          Seq(Array(x, y, x + 10, y, x + 10, y + 10, x, y + 10, x, y)): Overlay.Shape)
+      }.toSeq
+
+  private val polyJoinSources: Seq[PolyJoin.Keyed] = Seq(
+    (100L, Seq(Array(5.0, 5.0, 55.0, 5.0, 55.0, 55.0, 5.0, 55.0, 5.0, 5.0))),
+    (101L, Seq(Array(45.0, 25.0, 95.0, 25.0, 95.0, 75.0, 45.0, 75.0, 45.0, 25.0))),
+    (102L, Seq(Array(25.0, 45.0, 75.0, 45.0, 75.0, 95.0, 25.0, 95.0, 25.0, 45.0))))
 
   private def imagesDf(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll(".*/", "")
@@ -636,6 +656,27 @@ object SparkEntry {
       asg.toSeq.sortBy(_._1).toDF("poly_key", "cluster_id")
     }),
 
+    // polygon->polygon join via mosaic: cell squares vs 3 overlapping literal
+    // rectangles — shared areas have closed forms, so the whole mosaic join
+    // is DuckDB-verified
+    "q_poly_join" -> ((s, dir) => {
+      val targets = polyJoinTargets(s, dir)
+      PolyJoin.overlapDf(s, targets, polyJoinSources)
+        .select(col("t_key"), col("s_key"),
+          floor(col("shared_area") * 1000000.0).cast("long").as("area_int"))
+        .orderBy("t_key", "s_key")
+    }),
+
+    // largest-overlap variant (deterministic ties)
+    "q_poly_join_largest" -> ((s, dir) => {
+      import s.implicits._
+      val targets = polyJoinTargets(s, dir)
+      PolyJoin.largestOverlap(targets, polyJoinSources)
+        .map { case (t, src, a) => (t, src, math.floor(a * 1000000.0).toLong) }
+        .toDF("t_key", "s_key", "area_int")
+        .orderBy("t_key")
+    }),
+
     // -alpha-shapes: concave hull of the derived points (Delaunay edge filter)
     "q_alpha_shape" -> ((s, dir) => {
       import s.implicits._
@@ -1016,6 +1057,40 @@ object SparkEntry {
          |  32.0 * CAST((id % 3 + 1) * (id % 3 + 1) AS DOUBLE) * sin(2.0 * pi() / 32.0) / 2.0
          |  * 1000.0) AS BIGINT) AS area_int
          |FROM pts ORDER BY id""".stripMargin,
+
+    "q_poly_join" ->
+      s"""WITH $ptsSql,
+         |cells AS (SELECT DISTINCT CAST(floor(x / 10.0) AS BIGINT) AS cx,
+         |    CAST(floor(y / 10.0) AS BIGINT) AS cy FROM pts),
+         |srcs(s_key, sx1, sy1, sx2, sy2) AS (VALUES
+         |  (100, 5, 5, 55, 55), (101, 45, 25, 95, 75), (102, 25, 45, 75, 95)),
+         |ov AS (
+         |  SELECT cx * 100 + cy AS t_key, s_key,
+         |    greatest(least(cx * 10 + 10, sx2) - greatest(cx * 10, sx1), 0) *
+         |    greatest(least(cy * 10 + 10, sy2) - greatest(cy * 10, sy1), 0) AS a
+         |  FROM cells CROSS JOIN srcs)
+         |SELECT t_key, CAST(s_key AS BIGINT) AS s_key,
+         |  CAST(floor(CAST(a AS DOUBLE) * 1000000.0) AS BIGINT) AS area_int
+         |FROM ov WHERE a > 0 ORDER BY t_key, s_key""".stripMargin,
+
+    "q_poly_join_largest" ->
+      s"""WITH $ptsSql,
+         |cells AS (SELECT DISTINCT CAST(floor(x / 10.0) AS BIGINT) AS cx,
+         |    CAST(floor(y / 10.0) AS BIGINT) AS cy FROM pts),
+         |srcs(s_key, sx1, sy1, sx2, sy2) AS (VALUES
+         |  (100, 5, 5, 55, 55), (101, 45, 25, 95, 75), (102, 25, 45, 75, 95)),
+         |ov AS (
+         |  SELECT cx * 100 + cy AS t_key, s_key,
+         |    greatest(least(cx * 10 + 10, sx2) - greatest(cx * 10, sx1), 0) *
+         |    greatest(least(cy * 10 + 10, sy2) - greatest(cy * 10, sy1), 0) AS a
+         |  FROM cells CROSS JOIN srcs),
+         |ranked AS (
+         |  SELECT t_key, s_key, a,
+         |    row_number() OVER (PARTITION BY t_key ORDER BY a DESC, s_key) AS rn
+         |  FROM ov WHERE a > 0)
+         |SELECT t_key, CAST(s_key AS BIGINT) AS s_key,
+         |  CAST(floor(CAST(a AS DOUBLE) * 1000000.0) AS BIGINT) AS area_int
+         |FROM ranked WHERE rn = 1 ORDER BY t_key""".stripMargin,
 
     "q_point_grid" ->
       """SELECT CAST(range AS BIGINT) AS gid,
