@@ -434,6 +434,31 @@ object Overlay {
   def inlay(base: Seq[Shape], inlayShapes: Seq[Shape]): Seq[Array[Double]] =
     union(Seq(erase(base, inlayShapes).map(r => r).toSeq: Shape), inlayShapes)
 
+  /**
+   * `-clean`: repair overlaps — every mosaic tile is assigned to exactly one
+   * claiming shape (reference: mosaic round-trip,
+   * `src/commands/mapshaper-clean.mjs:18-112`; default overlap rule keeps the
+   * first/lowest shape). Gaps are left unfilled (gap-fill is an option in the
+   * reference, not the default). Returns the rebuilt shapes, index-aligned
+   * with the input (empty Seq where a shape lost all area).
+   */
+  def clean(shapes: Seq[Shape]): Seq[Seq[Array[Double]]] = {
+    val m = mosaic(shapes)
+    val byShape = Array.fill(shapes.length)(mutable.ArrayBuffer.empty[Face])
+    m.faces.foreach { f =>
+      var i = 0
+      var assigned = false
+      while (i < shapes.length && !assigned) {
+        if (f.inLayer(i)) {
+          byShape(i) += f
+          assigned = true
+        }
+        i += 1
+      }
+    }
+    byShape.map(fs => dissolveFaces(fs.toSeq)).toSeq
+  }
+
   /** Merge selected faces by cancelling shared edges, reassembling rings. */
   def dissolveFaces(faces: Seq[Face]): Seq[Array[Double]] = {
     val parity = mutable.HashMap.empty[(Double, Double, Double, Double), Int]

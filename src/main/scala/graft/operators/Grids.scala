@@ -65,6 +65,61 @@ object Grids {
       .agg(count(lit(1)).as("n_points"), sum(col("_w")).as("weight"))
   }
 
+  // ------------------------------------------------------------------ hex
+
+  /** Pointy-top hexagon ring (circumradius r), closed, CCW. */
+  def hexRing(cx: Double, cy: Double, r: Double): Array[Double] = {
+    val out = new Array[Double](14)
+    var i = 0
+    while (i < 6) {
+      val a = math.Pi / 6.0 + math.Pi / 3.0 * i // 30°, 90°, ...
+      out(i * 2) = cx + r * math.cos(a)
+      out(i * 2 + 1) = cy + r * math.sin(a)
+      i += 1
+    }
+    out(12) = out(0); out(13) = out(1)
+    out
+  }
+
+  /** Axial (q, r) hex coordinate of a point — cube rounding (public algo);
+   * pointy-top, hex circumradius `size`, origin at (0,0). */
+  def hexCoord(x: Double, y: Double, size: Double): (Long, Long) = {
+    val qf = (math.sqrt(3.0) / 3.0 * x - 1.0 / 3.0 * y) / size
+    val rf = (2.0 / 3.0 * y) / size
+    // cube round
+    val xf = qf; val zf = rf; val yf = -xf - zf
+    var rx = math.round(xf).toDouble
+    var ry = math.round(yf).toDouble
+    var rz = math.round(zf).toDouble
+    val dx = math.abs(rx - xf); val dy = math.abs(ry - yf); val dz = math.abs(rz - zf)
+    if (dx > dy && dx > dz) rx = -ry - rz
+    else if (dy > dz) ry = -rx - rz
+    else rz = -rx - ry
+    (rx.toLong, rz.toLong)
+  }
+
+  /** Center of an axial hex. */
+  def hexCenter(q: Long, r: Long, size: Double): (Double, Double) =
+    (size * math.sqrt(3.0) * (q + r / 2.0), size * 1.5 * r)
+
+  /** Hex polygon grid covering a bbox: (q, r, cx, cy, ring).
+   * The reference: `src/grids/mapshaper-hex-grid.mjs`. */
+  def hexGrid(spark: SparkSession, x0: Double, y0: Double, x1: Double, y1: Double,
+              size: Double): DataFrame = {
+    import spark.implicits._
+    val rMin = math.floor(y0 / (1.5 * size)).toLong - 1
+    val rMax = math.ceil(y1 / (1.5 * size)).toLong + 1
+    val rows = (rMin to rMax).flatMap { r =>
+      val qMin = math.floor(x0 / (math.sqrt(3.0) * size) - r / 2.0).toLong - 1
+      val qMax = math.ceil(x1 / (math.sqrt(3.0) * size) - r / 2.0).toLong + 1
+      (qMin to qMax).map { q =>
+        val (cx, cy) = hexCenter(q, r, size)
+        (q, r, cx, cy, hexRing(cx, cy, size))
+      }
+    }
+    rows.toDF("q", "r", "cx", "cy", "ring")
+  }
+
   /**
    * `-dots`: deterministic dot-density fill — n seeded points uniformly
    * inside a shape via rejection sampling over its bbox (reference:
