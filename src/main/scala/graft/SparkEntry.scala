@@ -677,6 +677,19 @@ object SparkEntry {
         .orderBy("t_key")
     }),
 
+    // Shapefile source + real-world layer: Natural Earth countries from the
+    // reference's own fixture, PIP-joined against lon/lat-mapped points
+    "q_ne_countries" -> ((s, dir) => {
+      val ne = graft.sources.ShpReader.readPolygons(
+        "/root/reference/test/data/ne/ne_110m_admin_0_scale_rank.shp")
+      val pts = points(s, dir)
+        .withColumn("lon", col("x") * 3.6 - 180.0)
+        .withColumn("lat", col("y") * 1.7 - 85.0)
+      SpatialJoin.broadcastJoin(s, pts, "lon", "lat", ne)
+        .groupBy("poly_key").agg(count(lit(1)).as("n_points"))
+        .orderBy("poly_key")
+    }),
+
     // -alpha-shapes: concave hull of the derived points (Delaunay edge filter)
     "q_alpha_shape" -> ((s, dir) => {
       import s.implicits._

@@ -1,0 +1,145 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+
+import graft.index.PolygonLayer
+
+/**
+ * TopoJSON import/export for polygon layers — the reference's signature
+ * format (`/root/reference/src/topojson/topojson-import.mjs:20-49`,
+ * `topojson-export.mjs:25-108`): arcs are shared, quantized, delta-encoded
+ * integer sequences; shapes reference arcs by signed index (`~i` = reversed,
+ * matching the reference's arc id convention).
+ */
+object TopoJsonIO {
+
+  private val mapper = new ObjectMapper()
+
+  /** Import the first object (or all GeometryCollection members) as shapes. */
+  def fromTopoJson(json: String): PolygonLayer = {
+    val root = mapper.readTree(json)
+    require(root.path("type").asText() == "Topology", "not TopoJSON")
+    // transform (optional): quantized delta decoding
+    val (sx, sy, tx, ty, quantized) = {
+      val t = root.path("transform")
+      if (t.isMissingNode) (1.0, 1.0, 0.0, 0.0, false)
+      else (t.path("scale").get(0).asDouble(), t.path("scale").get(1).asDouble(),
+        t.path("translate").get(0).asDouble(), t.path("translate").get(1).asDouble(), true)
+    }
+    // decode arcs
+    val arcsNode = root.path("arcs")
+    val arcs = (0 until arcsNode.size()).map { i =>
+      val arc = arcsNode.get(i)
+      val out = new Array[Double](arc.size() * 2)
+      var px = 0.0
+      var py = 0.0
+      var j = 0
+      while (j < arc.size()) {
+        val pt = arc.get(j)
+        if (quantized) {
+          px += pt.get(0).asDouble()
+          py += pt.get(1).asDouble()
+          out(j * 2) = px * sx + tx
+          out(j * 2 + 1) = py * sy + ty
+        } else {
+          out(j * 2) = pt.get(0).asDouble()
+          out(j * 2 + 1) = pt.get(1).asDouble()
+        }
+        j += 1
+      }
+      out
+    }
+
+    def ringFromArcIds(ids: JsonNode): Array[Double] = {
+      val flat = Array.newBuilder[Double]
+      var first = true
+      (0 until ids.size()).foreach { k =>
+        val raw = ids.get(k).asInt()
+        val (arc, rev) = if (raw >= 0) (arcs(raw), false) else (arcs(~raw), true)
+        val n = arc.length / 2
+        val idx = if (rev) (n - 1) to 0 by -1 else 0 until n
+        idx.zipWithIndex.foreach { case (i, pos) =>
+          if (pos > 0 || first) { // skip duplicated junction point between arcs
+            flat += arc(i * 2)
+            flat += arc(i * 2 + 1)
+          }
+        }
+        first = false
+      }
+      flat.result()
+    }
+
+    val shapes = Seq.newBuilder[(Long, Seq[Array[Double]])]
+    var key = 0L
+    val objs = root.path("objects")
+    objs.properties().forEach { e =>
+      val obj = e.getValue
+      val geoms: Seq[JsonNode] = obj.path("type").asText() match {
+        case "GeometryCollection" =>
+          val it = obj.path("geometries").elements()
+          Iterator.continually(it).takeWhile(_.hasNext).map(_.next()).toSeq
+        case _ => Seq(obj)
+      }
+      geoms.foreach { g =>
+        g.path("type").asText() match {
+          case "Polygon" =>
+            val rings = (0 until g.path("arcs").size())
+              .map(r => ringFromArcIds(g.path("arcs").get(r)))
+            shapes += ((key, rings)); key += 1
+          case "MultiPolygon" =>
+            val polys = g.path("arcs")
+            val rings = (0 until polys.size()).flatMap { p =>
+              (0 until polys.get(p).size()).map(r => ringFromArcIds(polys.get(p).get(r)))
+            }
+            shapes += ((key, rings)); key += 1
+          case _ =>
+        }
+      }
+    }
+    PolygonLayer.fromShapes(shapes.result())
+  }
+
+  /** Export with quantization (default 1e5 grid like the reference's default):
+   * one arc per ring (valid TopoJSON; arc dedup is an optimization, not a
+   * semantic requirement). */
+  def toTopoJson(layer: PolygonLayer, quantization: Int = 100000): String = {
+    val (x0, y0, x1, y1) = layer.extent
+    val kx = if (x1 > x0) (quantization - 1) / (x1 - x0) else 1.0
+    val ky = if (y1 > y0) (quantization - 1) / (y1 - y0) else 1.0
+    def qx(v: Double): Long = math.round((v - x0) * kx)
+    def qy(v: Double): Long = math.round((v - y0) * ky)
+
+    val sb = new StringBuilder
+    sb.append(s"""{"type":"Topology","transform":{"scale":[${1.0 / kx},${1.0 / ky}],"translate":[$x0,$y0]},"arcs":[""")
+    var r = 0
+    while (r < layer.numRings) {
+      if (r > 0) sb.append(',')
+      sb.append('[')
+      var px = 0L
+      var py = 0L
+      var i = layer.ringStart(r)
+      while (i < layer.ringStart(r + 1)) {
+        val cx = qx(layer.xx(i))
+        val cy = qy(layer.yy(i))
+        if (i > layer.ringStart(r)) sb.append(',')
+        sb.append('[').append(cx - px).append(',').append(cy - py).append(']')
+        px = cx; py = cy
+        i += 1
+      }
+      sb.append(']')
+      r += 1
+    }
+    sb.append("""],"objects":{"layer":{"type":"GeometryCollection","geometries":[""")
+    var first = true
+    var s = 0
+    while (s < layer.numShapes) {
+      if (!first) sb.append(',')
+      first = false
+      val rings = (0 until layer.numRings).filter(layer.ringShape(_) == s)
+      sb.append(s"""{"type":"Polygon","arcs":[${rings.map(r0 => s"[$r0]").mkString(",")}],"id":${layer.shapeKeys(s)}}""")
+      s += 1
+    }
+    sb.append("]}}}")
+    sb.toString
+  }
+}
