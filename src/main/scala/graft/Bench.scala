@@ -149,9 +149,14 @@ object Bench {
     val imagesPath = s"/root/repo/data/images_$tag.parquet"
 
     // ---------- scaling evidence: N=2 vs 4N=8 cores, child JVM each ----------
+    // the sandbox host has drifting co-tenant load (raw-thread probes vary
+    // >2x across the day): interleave the levels and take the min per level
+    // so the ratio is computed from comparable load windows
     val (loCores, hiCores) = (2, 8)
-    val tLo = measureAt(loCores, imagesPath)
-    val tHi = measureAt(hiCores, imagesPath)
+    val tLo1 = measureAt(loCores, imagesPath)
+    val tHi1 = measureAt(hiCores, imagesPath)
+    val tLo = math.min(tLo1, measureAt(loCores, imagesPath))
+    val tHi = math.min(tHi1, measureAt(hiCores, imagesPath))
     val nLogical = nImages * Rep
     val eff = (tLo / tHi) / (hiCores.toDouble / loCores)
 
