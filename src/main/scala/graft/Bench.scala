@@ -153,10 +153,11 @@ object Bench {
     // >2x across the day): interleave the levels and take the min per level
     // so the ratio is computed from comparable load windows
     val (loCores, hiCores) = (2, 8)
-    val tLo1 = measureAt(loCores, imagesPath)
-    val tHi1 = measureAt(hiCores, imagesPath)
-    val tLo = math.min(tLo1, measureAt(loCores, imagesPath))
-    val tHi = math.min(tHi1, measureAt(hiCores, imagesPath))
+    val rounds = (1 to 3).map { _ =>
+      (measureAt(loCores, imagesPath), measureAt(hiCores, imagesPath))
+    }
+    val tLo = rounds.map(_._1).min
+    val tHi = rounds.map(_._2).min
     val nLogical = nImages * Rep
     val eff = (tLo / tHi) / (hiCores.toDouble / loCores)
 
