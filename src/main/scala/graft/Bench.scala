@@ -32,10 +32,11 @@ import graft.tables.{Images, Synthetic}
 object Bench {
 
   /** Logical replication factor: each stored image yields `Rep` distinct
-   * logical images (location perturbed per replica via xxhash64 — pure
-   * codegen). Keeps the generated parquet small while making the measured
-   * job long enough that per-job overheads don't mask scaling. */
-  final val Rep = 64
+   * logical images (location perturbed via xxhash64 — pure codegen). Keeps
+   * the generated parquet small while making the measured job long enough
+   * (~20s at 2 cores) that the ~1s serial job overhead doesn't cap the
+   * measurable speedup. */
+  final val Rep = 128
 
   /** Cached narrow projection of the image table — never touches `bytes`. */
   def headlineInput(spark: SparkSession, imagesPath: String): DataFrame = {
@@ -51,26 +52,39 @@ object Bench {
    * serial work that must not be billed to every measured run). */
   lazy val benchLayer: graft.index.PolygonLayer = Synthetic.polygonLayer(1024, seed = 42L)
 
+  /** One broadcast of the layer per SparkContext (re-broadcasting per
+   * measured run would bill ~100s of ms of serial work to every sample). */
+  private val bcCache =
+    new java.util.concurrent.ConcurrentHashMap[org.apache.spark.SparkContext,
+      org.apache.spark.broadcast.Broadcast[graft.index.PolygonLayer]]()
+  private def layerBc(spark: SparkSession) =
+    bcCache.computeIfAbsent(spark.sparkContext, sc => sc.broadcast(benchLayer))
+
   /** Headline pipeline: derive location, cell id, broadcast PIP join,
    * per-tile (4x4) PIP + cell assignment, aggregate — ONE action (the tile
    * stage consumes the join output inside the same DAG; two actions would
    * recompute the whole lineage and double-count serial job overhead). */
   def headline(spark: SparkSession, input: DataFrame, rep: Int = Rep): Long = {
-    val layer = benchLayer
+    import graft.functions.SpatialExprs._
+    val bc = layerBc(spark)
     val mask = (1L << 52) - 1
+    val side = Tiling.FootprintSide
+    val tileGrid = 4
     val imgs = input
       .withColumn("rep", explode(sequence(lit(0), lit(rep - 1))))
       .withColumn("ph", when(col("rep") === 0, col("phash"))
         .otherwise(xxhash64(col("phash"), col("rep")).bitwiseAND(mask)))
       .withColumn("x", phashLon(col("ph")))
       .withColumn("y", phashLat(col("ph")))
-      .withColumn("cell", cellId(col("x"), col("y"), 8))
-    val joined = SpatialJoin.broadcastJoin(spark, imgs, "x", "y", layer)
-    val tiles = Tiling.tileAssignAt(spark, joined
-      .select(concat(col("image_id"), col("rep")).as("image_id"),
-        col("w"), col("h"), col("x"), col("y")),
-      "x", "y", tileGrid = 4, res = 9, Some(layer))
-    tiles.groupBy("cell_id", "poly_key").agg(count(lit(1)).as("n")).count()
+      .withColumn("cell", cellIdCol(col("x"), col("y"), 8))
+      .withColumn("poly_key", explode(pipAllKeys(col("x"), col("y"), bc)))
+    val tiles = imgs
+      .withColumn("_t", explode(sequence(lit(0), lit(tileGrid * tileGrid - 1))))
+      .withColumn("cx", col("x") - side / 2 + ((col("_t") % tileGrid).cast("int") + 0.5) * (side / tileGrid))
+      .withColumn("cy", col("y") - side / 2 + ((col("_t") / tileGrid).cast("int") + 0.5) * (side / tileGrid))
+      .withColumn("cell_id", cellIdCol(col("cx"), col("cy"), 9))
+      .withColumn("tile_poly", pipFirstKey(col("cx"), col("cy"), bc))
+    tiles.groupBy("cell_id", "tile_poly").agg(count(lit(1)).as("n")).count()
   }
 
   private def session(cores: Int): SparkSession = {
