@@ -1,0 +1,41 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.KmlIO
+
+class KmlSpec extends AnyFunSuite {
+
+  test("reads point placemarks from the reference Albania KMZ fixture") {
+    val kmz = Files.readAllBytes(Paths.get("/root/reference/test/data/kml/Albania.kmz"))
+    val kml = KmlIO.kmlFromKmz(kmz)
+    val pts = KmlIO.readPoints(kml)
+    assert(pts.nonEmpty)
+    // Albania is roughly lon 19..21, lat 39..43
+    assert(pts.forall(p => p.lon > 15 && p.lon < 25 && p.lat > 35 && p.lat < 45),
+      pts.take(3).toString)
+    assert(pts.forall(_.name.nonEmpty))
+  }
+
+  test("reads polygon placemarks with holes") {
+    val kml =
+      """<?xml version="1.0"?>
+        |<kml xmlns="http://www.opengis.net/kml/2.2"><Document><Placemark>
+        |  <name>sq</name>
+        |  <Polygon>
+        |    <outerBoundaryIs><LinearRing><coordinates>
+        |      0,0 10,0 10,10 0,10 0,0
+        |    </coordinates></LinearRing></outerBoundaryIs>
+        |    <innerBoundaryIs><LinearRing><coordinates>
+        |      4,4 6,4 6,6 4,6 4,4
+        |    </coordinates></LinearRing></innerBoundaryIs>
+        |  </Polygon>
+        |</Placemark></Document></kml>""".stripMargin.getBytes("UTF-8")
+    val layer = KmlIO.readPolygons(kml)
+    assert(layer.numShapes == 1 && layer.numRings == 2)
+    assert(layer.findShapes(1, 1).contains(0))
+    assert(!layer.findShapes(5, 5).contains(0)) // in the hole
+  }
+}
