@@ -49,6 +49,7 @@ object Knn {
     val cs = CellIndex.cellSize(useRes)
     var pending = pts
     var results: DataFrame = null
+    var lastRanked: DataFrame = null // best-known results of still-pending points
     var r = 1
     var round = 0
     while (round < maxRounds && !pending.isEmpty) {
@@ -78,11 +79,16 @@ object Knn {
       val doneIds = summary.filter(col("final")).select("id")
       val done = ranked.join(doneIds, Seq("id"), "left_semi")
       results = if (results == null) done else results.unionByName(done)
+      lastRanked = ranked.join(doneIds, Seq("id"), "left_anti")
       pending = pending.join(doneIds, Seq("id"), "left_anti")
       r *= 2
       round += 1
     }
-    // any stragglers (degenerate data): emit best-effort from the last round
+    // stragglers (k >= n-1, or degenerate distributions that exhaust
+    // maxRounds): emit their best-known neighbors from the widest ring
+    // searched instead of dropping them
+    if (lastRanked != null && !pending.isEmpty)
+      results = if (results == null) lastRanked else results.unionByName(lastRanked)
     results
   }
 

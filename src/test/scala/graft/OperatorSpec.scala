@@ -62,6 +62,17 @@ class OperatorSpec extends SparkSuite {
     assert(got == want)
   }
 
+  test("knnJoin with k >= n-1 returns all other points (straggler path)") {
+    val pts = Seq((1L, 0.0, 0.0), (2L, 1.0, 0.0), (3L, 0.0, 1.0), (4L, 50.0, 50.0)).toDF("id", "x", "y")
+    val out = Knn.knnJoin(spark, pts, "id", "x", "y", k = 5) // k > n-1
+      .select("id", "neighbor_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // every point still reports its 3 real neighbors despite k being unsatisfiable
+    assert(out.keySet == Set(1L, 2L, 3L, 4L))
+    assert(out(1L) == Set(2L, 3L, 4L))
+    assert(out(4L) == Set(1L, 2L, 3L))
+  }
+
   test("distanceJoin matches brute force") {
     val rng = new SplitMix64(6)
     val pts = (0 until 300).map(i => (i.toLong, rng.nextDouble() * 100, rng.nextDouble() * 100))
