@@ -49,4 +49,97 @@ object OverlayOp {
       }
       .toDF("group", "n_shapes_in", "n_rings_out", "area")
   }
+
+  /**
+   * FULLY DISTRIBUTED dissolve2 — the scale path for overlay on shape sets
+   * too big for one kernel invocation. The mosaic kernel is only global per
+   * CONNECTED COMPONENT of touching/overlapping shapes, so:
+   *
+   *  1. candidate contact pairs: shapes keyed by covering cells of their
+   *     bbox, equi-joined on cellId (no cross join), bbox-intersection
+   *     filtered;
+   *  2. connected components by min-label propagation over the pair table —
+   *     O(component-diameter) Spark rounds, each a join + min-agg;
+   *  3. one mosaic-dissolve kernel per component via groupByKey.mapGroups —
+   *     components are independent, so the heavy geometry runs embarrassingly
+   *     parallel across executors.
+   *
+   * Input: (id, ring) single-ring shapes. Output: one row per dissolved
+   * component: (component, n_shapes_in, n_rings_out, area).
+   */
+  def dissolve2Distributed(spark: SparkSession, shapes: DataFrame, idCol: String,
+                           ringCol: String, cellRes: Int = 6,
+                           maxIters: Int = 30): DataFrame = {
+    import spark.implicits._
+    val ds = shapes.select(col(idCol).cast("long").as("id"), col(ringCol).as("ring"))
+      .as[(Long, Array[Double])].cache()
+
+    // 1. covering cells of each shape's bbox
+    val cellsUdf = udf { (ring: Seq[Double]) =>
+      var x0 = Double.MaxValue; var y0 = Double.MaxValue
+      var x1 = Double.MinValue; var y1 = Double.MinValue
+      var i = 0
+      while (i < ring.length) {
+        x0 = math.min(x0, ring(i)); x1 = math.max(x1, ring(i))
+        y0 = math.min(y0, ring(i + 1)); y1 = math.max(y1, ring(i + 1))
+        i += 2
+      }
+      graft.cell.CellIndex.coveringCells(x0, y0, x1, y1, cellRes)
+    }
+    val bboxUdf = udf { (ring: Seq[Double]) =>
+      var x0 = Double.MaxValue; var y0 = Double.MaxValue
+      var x1 = Double.MinValue; var y1 = Double.MinValue
+      var i = 0
+      while (i < ring.length) {
+        x0 = math.min(x0, ring(i)); x1 = math.max(x1, ring(i))
+        y0 = math.min(y0, ring(i + 1)); y1 = math.max(y1, ring(i + 1))
+        i += 2
+      }
+      Array(x0, y0, x1, y1)
+    }
+    val withCells = ds.toDF("id", "ring")
+      .withColumn("bbox", bboxUdf(col("ring")))
+      .withColumn("cell", explode(cellsUdf(col("ring"))))
+      .select("id", "bbox", "cell")
+
+    val pairs = withCells.as("a").join(withCells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.id") < col("b.id"))
+      .filter(
+        col("a.bbox")(0) <= col("b.bbox")(2) && col("b.bbox")(0) <= col("a.bbox")(2) &&
+        col("a.bbox")(1) <= col("b.bbox")(3) && col("b.bbox")(1) <= col("a.bbox")(3))
+      .select(col("a.id").as("u"), col("b.id").as("v"))
+      .distinct().cache()
+
+    // 2. min-label propagation. localCheckpoint each iteration: iterative plans
+    // otherwise grow a join-chain logical tree that sends Catalyst analysis
+    // superlinear after ~8 rounds (caching truncates execution, NOT analysis).
+    val sym = pairs.union(pairs.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    var labels = ds.map(t => (t._1, t._1)).toDF("id", "comp").localCheckpoint(true)
+    var changedCount = 1L
+    var iter = 0
+    while (changedCount > 0 && iter < maxIters) {
+      val neighborMin = sym.join(labels, sym("v") === labels("id"))
+        .groupBy(col("u").as("id2")).agg(min(col("comp")).as("ncomp"))
+      val next = labels.join(neighborMin, labels("id") === col("id2"), "left")
+        .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint(true)
+      changedCount = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
+        .filter(col("n.comp") =!= col("o.comp")).count()
+      labels = next
+      iter += 1
+    }
+
+    // 3. mosaic dissolve per component
+    ds.toDF("id", "ring").join(labels, "id")
+      .select(col("comp"), col("ring"))
+      .as[(Long, Array[Double])]
+      .groupByKey(_._1)
+      .mapGroups { (comp, it) =>
+        val rings = it.map(_._2).toSeq
+        val out = Overlay.dissolve2(rings.map(r => Seq(r)))
+        (comp, rings.size.toLong, out.length.toLong, Overlay.layerArea(out))
+      }
+      .toDF("component", "n_shapes_in", "n_rings_out", "area")
+  }
 }
