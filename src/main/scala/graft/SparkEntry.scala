@@ -453,10 +453,45 @@ object SparkEntry {
         .select(col("doc_id"), TextAnalysis.fingerprintUdf(col("text")).as("fp"))
         .orderBy("doc_id")),
 
-    "q_embed_dedup" -> ((s, dir) =>
-      Dedup.embeddingPairs(s, t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.95)
+    // embedding near-dup: the raw table has no pairs above 0.52 cosine, so
+    // near-duplicates are PLANTED deterministically — scaled copies (x2 is
+    // exact in binary FP: identical LSH sign bits, cosine 1) of every 4th
+    // vector. LSH multi-probe must recover exactly the planted pairs; the
+    // DuckDB oracle checks the full all-pairs cosine >= 0.95 set.
+    "q_embed_dedup" -> ((s, dir) => {
+      val base = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val planted = base.filter(col("vec_id") % 4 === 0)
+        .select((col("vec_id") + 1000000).as("vec_id"),
+          transform(col("embedding"), v => (v * lit(2.0f)).cast("float")).as("embedding"))
+      Dedup.embeddingPairs(s, base.unionByName(planted), "vec_id", "embedding",
+          threshold = 0.95)
         .select(col("a_id"), col("b_id"))
-        .orderBy("a_id", "b_id")),
+        .orderBy("a_id", "b_id")
+    }),
+
+    // exact n-gram (3-word shingle) Jaccard over all candidate pairs — the
+    // minhash verifier run exhaustively on a bounded slice so DuckDB can
+    // mirror it with list functions; integer (inter, union) outputs and an
+    // integer cross-multiplied threshold keep the compare FP-free
+    "q_jaccard_pairs" -> ((s, dir) => {
+      val w = array_remove(split(lower(col("text")), "\\W+"), "")
+      val docs = t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), w.as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), array_distinct(
+          transform(sequence(lit(0), size(col("w")) - 3),
+            i => concat_ws(" ",
+              element_at(col("w"), i + 1),
+              element_at(col("w"), i + 2),
+              element_at(col("w"), i + 3)))).as("s"))
+      val inter = size(array_intersect(col("a.s"), col("b.s")))
+      val uni = size(col("a.s")) + size(col("b.s")) - inter
+      docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"),
+          inter.cast("long").as("inter"), uni.cast("long").as("uni"))
+        .filter(col("inter") * 10 >= col("uni") * 3)
+        .orderBy("a_id", "b_id")
+    }),
 
     "q_ann_lsh" -> ((s, dir) =>
       Ann.lshTopK(s, t(s, dir, "embeddings"), "vec_id", "embedding", k = 3)
@@ -1179,6 +1214,35 @@ object SparkEntry {
         |      BETWEEN 3.0 AND 12.0 THEN 1.0 ELSE 0.3 END) * 0.3
         |  ) * 1000000.0) AS BIGINT) AS q_int
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_embed_dedup" ->
+      """WITH aug AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id,
+        |    list_transform(embedding, x -> CAST(x * CAST(2.0 AS FLOAT) AS FLOAT)) AS embedding
+        |  FROM embeddings WHERE vec_id % 4 = 0)
+        |SELECT a.vec_id AS a_id, b.vec_id AS b_id
+        |FROM aug a JOIN aug b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |        CAST(b.embedding AS DOUBLE[])) >= 0.95
+        |ORDER BY a_id, b_id""".stripMargin,
+
+    "q_jaccard_pairs" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_filter(string_split_regex(lower(text), '\W+'), x -> x <> '') AS w
+        |  FROM documents WHERE doc_id < 300),
+        |sh AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS s
+        |  FROM docs WHERE len(w) >= 3)
+        |SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+        |  CAST(len(list_intersect(a.s, b.s)) AS BIGINT) AS inter,
+        |  CAST(len(a.s) + len(b.s) - len(list_intersect(a.s, b.s)) AS BIGINT) AS uni
+        |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |WHERE len(list_intersect(a.s, b.s)) * 10 >=
+        |      (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))) * 3
+        |ORDER BY a_id, b_id""".stripMargin,
 
     "q_ann_topk" ->
       """WITH pairs AS (

@@ -88,6 +88,25 @@ case class PipAllKeys(left: Expression, right: Expression, bc: Broadcast[Polygon
     copy(left = l, right = r)
 }
 
+/** All cell ids with Chebyshev distance <= k of the input cell (the "disk") —
+ * the kNN candidate-expansion kernel. Codegen'd: the boxed-UDF version of this
+ * allocated an Array per row per round and was the single most expensive probe
+ * in the round-1 bench (`BENCH_r01.json` q_knn = 2x the PIP join). */
+case class CellDiskExpr(child: Expression, k: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cell_disk"
+
+  override protected def nullSafeEval(cell: Any): Any =
+    ArrayData.toArrayData(CellIndex.neighborDisk(cell.asInstanceOf[Long], k))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(graft.cell.CellIndex.neighborDisk($c, $k))")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Morton-decode the image-table phash to a lon or lat coordinate. */
 case class PhashCoord(child: Expression, isLon: Boolean)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -118,6 +137,9 @@ object SpatialExprs {
 
   def pipAllKeys(x: Column, y: Column, bc: Broadcast[PolygonLayer]): Column =
     GraftBridge.column(PipAllKeys(dbl(x), dbl(y), bc))
+
+  def cellDisk(cell: Column, k: Int): Column =
+    GraftBridge.column(CellDiskExpr(GraftBridge.expr(cell.cast("long")), k))
 
   def phashLon(p: Column): Column = GraftBridge.column(PhashCoord(GraftBridge.expr(p.cast("long")), isLon = true))
   def phashLat(p: Column): Column = GraftBridge.column(PhashCoord(GraftBridge.expr(p.cast("long")), isLon = false))

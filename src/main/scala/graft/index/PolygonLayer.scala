@@ -177,7 +177,7 @@ final class PolygonLayer(
   def findKeys(x: Double, y: Double): Array[Long] = {
     val (cand, n) = candidates(x, y)
     if (n == 0) return emptyKeys
-    val keys = keysScratch.get()
+    var keys = keysScratch.get()
     var nk = 0
     var i = 0
     while (i < n) {
@@ -191,7 +191,11 @@ final class PolygonLayer(
         else if (r == Geom.IN) isIn = !isIn
         j += 1
       }
-      if ((isOn || isIn) && nk < keys.length) {
+      if (isOn || isIn) {
+        if (nk == keys.length) { // grow: >scratch-size overlapping shapes
+          keys = java.util.Arrays.copyOf(keys, keys.length * 2)
+          keysScratch.set(keys)
+        }
         keys(nk) = shapeKeys(shape)
         nk += 1
       }

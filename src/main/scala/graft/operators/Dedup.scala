@@ -91,18 +91,24 @@ object Dedup {
         h
       }.toArray
     }
-    val banded = df
-      .select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    val docs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+    // the banded self-join shuffles (id, bucket) ONLY — carrying the document
+    // text through the bands-way-exploded shuffle would move ~2*bands x the
+    // corpus; texts are hash-joined back per candidate pair instead
+    val banded = docs
       .withColumn("_bucket", explode(bandUdf(sigUdf(col("text")))))
+      .select(col("id"), col("_bucket"))
 
     val cand = banded.as("a").join(banded.as("b"),
         col("a._bucket") === col("b._bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        col("a.text").as("a_text"), col("b.text").as("b_text"))
+      .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
 
     val jacUdf = udf((a: String, b: String) => jaccard(a, b, shingleN))
-    cand.withColumn("jaccard", jacUdf(col("a_text"), col("b_text")))
+    cand
+      .join(docs.select(col("id").as("a_id"), col("text").as("a_text")), Seq("a_id"))
+      .join(docs.select(col("id").as("b_id"), col("text").as("b_text")), Seq("b_id"))
+      .withColumn("jaccard", jacUdf(col("a_text"), col("b_text")))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }
@@ -168,18 +174,35 @@ object Dedup {
 
   /**
    * Embedding cosine near-duplicates: pairs with cosine >= threshold, via LSH
-   * hyperplane buckets (see [[Ann.signature]]) + exact verification.
+   * hyperplane buckets (see [[Ann.signature]]) with Hamming-1 multi-probe
+   * (a near-duplicate pair differing in one sign bit still collides) + exact
+   * cosine verification. The probe self-join shuffles (id, bucket) only;
+   * vectors are hash-joined back per surviving candidate pair.
    */
   def embeddingPairs(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, planes: Int = 12): DataFrame = {
     val sigUdf = udf((v: Seq[Float]) => Ann.signature(v.toArray, planes))
-    val banded = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .withColumn("_bucket", sigUdf(col("v")))
+    val probesUdf = udf { (sig: Long) =>
+      val out = new Array[Long](planes + 1)
+      out(0) = sig
+      var p = 0
+      while (p < planes) { out(p + 1) = sig ^ (1L << p); p += 1 }
+      out
+    }
+    val vecs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val sigs = vecs.withColumn("_sig", sigUdf(col("v"))).select("id", "_sig")
+    val probes = sigs.withColumn("_bucket", explode(probesUdf(col("_sig"))))
+      .select(col("id"), col("_bucket"))
+    val base = sigs.select(col("id").as("bid"), col("_sig").as("_bucket"))
+    val cand = probes.join(base, Seq("_bucket"))
+      .filter(col("id") < col("bid"))
+      .select(col("id").as("a_id"), col("bid").as("b_id"))
+      .dropDuplicates("a_id", "b_id")
     val cosUdf = udf((a: Seq[Float], b: Seq[Float]) => Ann.cosine(a.toArray, b.toArray))
-    banded.as("a").join(banded.as("b"),
-        col("a._bucket") === col("b._bucket") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
-        cosUdf(col("a.v"), col("b.v")).as("cosine"))
+    cand
+      .join(vecs.select(col("id").as("a_id"), col("v").as("av")), Seq("a_id"))
+      .join(vecs.select(col("id").as("b_id"), col("v").as("bv")), Seq("b_id"))
+      .select(col("a_id"), col("b_id"), cosUdf(col("av"), col("bv")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

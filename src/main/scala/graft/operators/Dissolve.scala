@@ -94,7 +94,15 @@ object Dissolve {
 object RingAssembly {
   import org.apache.spark.sql.functions.udf
 
-  /** Walk edges into rings; returns the rings as flat coord arrays. */
+  /** Walk edges into rings; returns the rings as flat coord arrays.
+   *
+   * At vertices of degree >= 4 (two rings touching at a point) the
+   * continuation edge is chosen by ANGULAR order — the sharpest consistent
+   * turn relative to the incoming edge — so a bow-tie junction is traced as
+   * two simple rings, never one self-intersecting figure-eight. This mirrors
+   * the reference pathfinder's rightmost-turn rule
+   * (`/root/reference/src/paths/mapshaper-pathfinder.mjs:141-181`,
+   * `getAngle`-based candidate selection). */
   def assemble(edges: Array[Array[Double]]): Array[Array[Double]] = {
     // adjacency: point -> list of (edgeIdx)
     val adj = mutable.HashMap.empty[(Double, Double), mutable.ArrayBuffer[Int]]
@@ -110,6 +118,7 @@ object RingAssembly {
         val e0 = edges(start)
         used(start) = true
         val coords = mutable.ArrayBuffer[Double](e0(0), e0(1), e0(2), e0(3))
+        var prev = (e0(0), e0(1))
         var cur = (e0(2), e0(3))
         val origin = (e0(0), e0(1))
         var guard = 0
@@ -119,9 +128,23 @@ object RingAssembly {
           if (nexts.isEmpty) {
             cur = origin // open chain: bail (dirty input) — close as-is
           } else {
-            val i = nexts.head
+            // candidate giving the smallest CCW angle from the reverse of the
+            // incoming direction (ties: edge index — deterministic)
+            val backAngle = math.atan2(prev._2 - cur._2, prev._1 - cur._1)
+            var best = -1
+            var bestDelta = Double.MaxValue
+            nexts.foreach { i =>
+              val e = edges(i)
+              val other = if ((e(0), e(1)) == cur) (e(2), e(3)) else (e(0), e(1))
+              val outAngle = math.atan2(other._2 - cur._2, other._1 - cur._1)
+              var delta = outAngle - backAngle
+              while (delta <= 1e-12) delta += 2 * math.Pi
+              if (delta < bestDelta) { bestDelta = delta; best = i }
+            }
+            val i = best
             used(i) = true
             val e = edges(i)
+            prev = cur
             cur = if ((e(0), e(1)) == cur) (e(2), e(3)) else (e(0), e(1))
             coords += cur._1
             coords += cur._2

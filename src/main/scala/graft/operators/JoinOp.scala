@@ -31,25 +31,41 @@ object JoinOp {
 
   def join(
       target: DataFrame,
-      source: DataFrame,
+      rawSource: DataFrame,
       targetKey: String,
       sourceKey: String,
       fields: Seq[String] = Nil,
       prefix: String = "",
       duplication: Boolean = false,
       sumFields: Seq[String] = Nil,
-      orderCol: Option[String] = None): JoinResult = {
+      orderCol: Option[String] = None,
+      where: Option[Column] = None): JoinResult = {
+
+    // `where=` match filter: only source rows passing the predicate are
+    // eligible to match (ref `src/join/mapshaper-join-filter.mjs:9-29`);
+    // unmatched/unjoined side outputs see the filtered source too
+    val source = where.map(rawSource.filter).getOrElse(rawSource)
 
     val copyFields =
       if (fields.nonEmpty) fields
       else source.columns.filterNot(c => c == sourceKey || orderCol.contains(c)).toSeq
 
-    // source side reduced to one row per key for copy fields (keep-first)
+    // source side reduced to one row per key for copy fields (keep-first).
+    // The reference's "first" is file order (join-tables.mjs:106-115); a
+    // DataFrame has no file order, and monotonically_increasing_id() depends
+    // on partition layout — nondeterministic across repartitionings. Without
+    // an explicit orderCol the collision winner is therefore defined as the
+    // row that is SMALLEST under the full-tuple ordering of its columns: a
+    // stable content-derived total order, identical at any parallelism.
     val srcFirst =
       if (duplication) source
       else {
-        val ord = orderCol.map(col).getOrElse(monotonically_increasing_id())
-        val w = Window.partitionBy(col(sourceKey)).orderBy(ord)
+        val ord: Seq[Column] = orderCol match {
+          case Some(c) => Seq(col(c))
+          case None => source.columns.filterNot(_ == sourceKey).map(col).toSeq
+        }
+        val ordCols = if (ord.nonEmpty) ord else Seq(lit(1))
+        val w = Window.partitionBy(col(sourceKey)).orderBy(ordCols: _*)
         source.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
       }
 

@@ -50,13 +50,18 @@ object Knn {
     var pending = pts
     var results: DataFrame = null
     var lastRanked: DataFrame = null // best-known results of still-pending points
+    // checkpointed round outputs still referenced by lazy downstream frames;
+    // released only after the final result is itself materialized
+    val live = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var r = 1
     var round = 0
     while (round < maxRounds && !pending.isEmpty) {
       val ringR = r
-      val diskUdf = udf((cell: Long) => CellIndex.neighborDisk(cell, ringR))
+      // codegen disk expansion (a boxed UDF here allocates an Array per row per
+      // round; at 10^8 points the allocation rate makes the round GC-bound)
       val cand = pending
-        .withColumn("qcell", explode(diskUdf(col("cell"))))
+        .withColumn("qcell",
+          explode(graft.functions.SpatialExprs.cellDisk(col("cell"), ringR)))
         .select(col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"), col("qcell"))
         .join(pts.select(col("id").as("b_id"), col("x").as("bx"), col("y").as("by"),
           col("cell").as("qcell")), Seq("qcell"))
@@ -65,11 +70,14 @@ object Knn {
           (col("ax") - col("bx")) * (col("ax") - col("bx")) +
             (col("ay") - col("by")) * (col("ay") - col("by")))
       val w = Window.partitionBy("a_id").orderBy(col("dist2"), col("b_id"))
+      // localCheckpoint (eager) truncates BOTH execution lineage and the
+      // logical plan: without it the per-round union/anti-join chain sends
+      // Catalyst analysis superlinear (same lesson as OverlayOp's CC loop)
       val ranked = cand
         .withColumn("rank", row_number().over(w))
         .filter(col("rank") <= k)
         .select(col("a_id").as("id"), col("rank"), col("b_id").as("neighbor_id"), col("dist2"))
-        .cache()
+        .localCheckpoint(true)
 
       // a point is final iff it found k neighbors AND kth dist is within the bound
       val bound = (ringR * cs) * (ringR * cs)
@@ -79,8 +87,12 @@ object Knn {
       val doneIds = summary.filter(col("final")).select("id")
       val done = ranked.join(doneIds, Seq("id"), "left_semi")
       results = if (results == null) done else results.unionByName(done)
-      lastRanked = ranked.join(doneIds, Seq("id"), "left_anti")
-      pending = pending.join(doneIds, Seq("id"), "left_anti")
+      if (lastRanked != null) lastRanked.unpersist() // dead: superseded this round
+      lastRanked = ranked.join(doneIds, Seq("id"), "left_anti").localCheckpoint(true)
+      live += ranked
+      val nextPending = pending.join(doneIds, Seq("id"), "left_anti").localCheckpoint(true)
+      if (pending ne pts) pending.unpersist() // dead once nextPending is materialized
+      pending = nextPending
       r *= 2
       round += 1
     }
@@ -89,7 +101,18 @@ object Knn {
     // searched instead of dropping them
     if (lastRanked != null && !pending.isEmpty)
       results = if (results == null) lastRanked else results.unionByName(lastRanked)
-    results
+    // materialize the final result, then release every intermediate block
+    val out =
+      if (results == null) pts.limit(0)
+        .select(col("id"), lit(1).as("rank"), col("id").as("neighbor_id"),
+          lit(0.0).as("dist2"))
+      else results.localCheckpoint(true)
+    live.foreach(_.unpersist())
+    if (lastRanked != null) lastRanked.unpersist()
+    if (pending ne pts) pending.unpersist()
+    pts.unpersist()
+    base.unpersist()
+    out
   }
 
   /**
@@ -104,9 +127,9 @@ object Knn {
     val pts = points.select(col(idCol).cast("long").as("id"),
       col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
       .withColumn("cell", GraftCell.cellIdCol(col("x"), col("y"), res))
-    val diskUdf = udf((cell: Long) => CellIndex.neighborDisk(cell, 1))
     val left = pts
-      .withColumn("qcell", explode(diskUdf(col("cell"))))
+      .withColumn("qcell",
+        explode(graft.functions.SpatialExprs.cellDisk(col("cell"), 1)))
       .select(col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"), col("qcell"))
     val right = pts.select(col("id").as("b_id"), col("x").as("bx"), col("y").as("by"),
       col("cell").as("qcell"))

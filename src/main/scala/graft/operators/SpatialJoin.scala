@@ -128,14 +128,26 @@ object SpatialJoin {
       .withColumn("_cell", GraftCell.cellIdCol(col(xCol), col(yCol), res))
       .withColumn("_salt", pointSaltUdf(col("_cell"), col(xCol), col(yCol)))
 
-    val pipUdf = udf { (x: Double, y: Double, xs: Seq[Double], ys: Seq[Double]) =>
-      graft.geom.Geom.pointInRing(x, y, xs.toArray, ys.toArray, 0, xs.length) != graft.geom.Geom.OUT
+    // per-candidate ring state: 0 = out, 1 = in, 2 = on-boundary
+    val ringStateUdf = udf { (x: Double, y: Double, xs: Seq[Double], ys: Seq[Double]) =>
+      graft.geom.Geom.pointInRing(x, y, xs.toArray, ys.toArray, 0, xs.length)
     }
+    // even-odd across a shape's rings (parity of IN counts; ON wins) — same
+    // semantics as the broadcast path's PolygonLayer.findKeys: a point inside
+    // a hole ring has even parity and must NOT match, a boundary point always
+    // matches. Grouping key = all point columns + the shape key (a point row
+    // meets each shape's rings in exactly one (cell, salt) bucket, so the
+    // group is complete).
+    val ptCols = points.columns.toSeq
     ptCells
       .join(polySalted, Seq("_cell", "_salt"))
-      .filter(pipUdf(col(xCol), col(yCol), col("ring_x"), col("ring_y")))
+      .withColumn("_state", ringStateUdf(col(xCol), col(yCol), col("ring_x"), col("ring_y")))
+      .groupBy((ptCols.map(col) :+ col("poly_key")): _*)
+      .agg(max(when(col("_state") === graft.geom.Geom.ON, 1).otherwise(0)).as("_on"),
+        sum(when(col("_state") === graft.geom.Geom.IN, 1).otherwise(0)).as("_ins"))
+      .filter(col("_on") === 1 || col("_ins") % 2 === 1)
       .withColumnRenamed("poly_key", outCol)
-      .drop("_cell", "_salt", "ring_x", "ring_y")
+      .drop("_on", "_ins")
   }
 }
 

@@ -19,17 +19,20 @@ import graft.operators.SpatialJoin
  * (coarse-resolution cell), the natural shard of the spatial join.
  *
  * Layout under `outDir`:
- *   tiles/group=<g>/...parquet   output rows of each completed cell group
- *   manifest/<g>.json            lineage record, written AFTER the group's data
+ *   tiles/g=<g>/...parquet        output rows of each completed cell group
+ *   manifest/<g>.json             lineage record, written AFTER the group's data
  *
- * The manifest write is the commit point: a crashed run leaves at most a
- * non-manifested partial directory, which the retry overwrites (idempotent —
- * same deterministic input → same output). `resume` therefore never
- * recomputes completed groups and never double-counts.
+ * Scale shape: ONE partitioned write + TWO small aggregations per invocation,
+ * regardless of the number of groups — `write.partitionBy("g")` with dynamic
+ * partition overwrite shards the output, and the lineage (input rows, output
+ * rows, order-independent XOR checksum) is computed by a single `groupBy("g")`
+ * each over the input and the written output. No per-group full-table rescans:
+ * at 10^12 rows the whole run is O(1) Spark jobs.
  *
- * Lineage per group: input row count, output row count, XOR-checksum of the
- * joined keys (order-independent), wall-clock ms — enough to audit each
- * partition of a 10^12-row run without reading its data.
+ * The manifest write is the commit point: a crashed run leaves at most
+ * non-manifested partition directories, which the retry overwrites (dynamic
+ * partition overwrite is idempotent — same deterministic input → same output).
+ * `resume` therefore never recomputes completed groups and never double-counts.
  */
 object TileRun {
 
@@ -57,9 +60,10 @@ object TileRun {
   }
 
   /**
-   * Run (or resume) the tile pipeline: PIP join + cell assignment per cell
-   * group. Returns the manifests of groups processed in THIS invocation.
-   * `failAfter` (tests only): abort after N groups to simulate a crash.
+   * Run (or resume) the tile pipeline: PIP join + cell assignment, partitioned
+   * by cell group. Returns the manifests of groups processed in THIS
+   * invocation. `failAfter` (tests only): process at most N groups to simulate
+   * a crash mid-run.
    */
   def run(
       spark: SparkSession,
@@ -73,41 +77,55 @@ object TileRun {
     Files.createDirectories(Paths.get(s"$outDir/manifest"))
     val groups = planGroups(spark, images, coarseRes)
     val done = completedGroups(outDir)
-    val todo = groups.filterNot(done.contains)
+    val todo = groups.filterNot(done.contains).take(failAfter)
+    if (todo.isEmpty) return Seq.empty
+    val t0 = System.nanoTime()
 
     val located = images
       .withColumn("x", phashLon(col("phash")))
       .withColumn("y", phashLat(col("phash")))
       .withColumn("g", cellId(col("x"), col("y"), coarseRes))
+      .filter(col("g").isin(todo: _*))
 
-    var processed = 0
-    val out = Seq.newBuilder[GroupManifest]
-    todo.foreach { g =>
-      if (processed < failAfter) {
-        val t0 = System.nanoTime()
-        val part = located.filter(col("g") === g)
-        val joined = SpatialJoin.broadcastJoin(spark, part, "x", "y", layer)
-          .withColumn("cell_id", cellId(col("x"), col("y"), fineRes))
-          .select(col("image_id"), col("cell_id"), col("poly_key"))
-        // one pass: rows + order-independent checksum of the join output
-        val (inRows, outRows, checksum) = {
-          val inN = part.count()
-          val agg = joined.agg(
-            count(lit(1)).as("n"),
-            coalesce(expr("bit_xor(xxhash64(image_id, cell_id, poly_key))"), lit(0L)).as("xor"))
-            .as[(Long, Long)].head()
-          (inN, agg._1, agg._2)
-        }
-        joined.write.mode(SaveMode.Overwrite).parquet(s"$outDir/tiles/group=$g")
-        val m = GroupManifest(g, inRows, outRows, checksum,
-          (System.nanoTime() - t0) / 1000000)
-        // manifest write = commit point
-        Files.writeString(Paths.get(s"$outDir/manifest/$g.json"),
-          s"""{"group":$g,"input_rows":${m.inputRows},"output_rows":${m.outputRows},"checksum":${m.checksum},"wall_ms":${m.wallMs}}""")
-        out += m
-        processed += 1
-      }
+    // lineage: input rows per group (one shuffle of (g, count) partials)
+    val inRows = located.groupBy("g").agg(count(lit(1)).as("n"))
+      .as[(Long, Long)].collect().toMap
+
+    val joined = SpatialJoin.broadcastJoin(spark, located, "x", "y", layer)
+      .withColumn("cell_id", cellId(col("x"), col("y"), fineRes))
+      .select(col("image_id"), col("cell_id"), col("poly_key"), col("g"))
+
+    // ONE job writes every todo group; dynamic overwrite touches only the
+    // partitions present in `joined`, so completed groups are never rewritten
+    joined.write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("g")
+      .parquet(s"$outDir/tiles")
+
+    // lineage from the committed output itself (reads back only the 3 narrow
+    // columns of the todo partitions): rows + order-independent checksum
+    val tilesDir = new java.io.File(s"$outDir/tiles")
+    val anyWritten = tilesDir.exists() &&
+      tilesDir.listFiles().exists(_.getName.startsWith("g="))
+    val outAgg: Map[Long, (Long, Long)] =
+      if (!anyWritten) Map.empty
+      else spark.read.parquet(s"$outDir/tiles")
+        .filter(col("g").isin(todo: _*))
+        .groupBy("g")
+        .agg(count(lit(1)).as("n"),
+          coalesce(expr("bit_xor(xxhash64(image_id, cell_id, poly_key))"), lit(0L)).as("xor"))
+        .as[(Long, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+
+    val wallMs = (System.nanoTime() - t0) / 1000000
+    todo.toSeq.map { g =>
+      val (outN, checksum) = outAgg.getOrElse(g, (0L, 0L))
+      val m = GroupManifest(g, inRows.getOrElse(g, 0L), outN, checksum, wallMs)
+      // manifest write = commit point (data for g is already durable)
+      Files.writeString(Paths.get(s"$outDir/manifest/$g.json"),
+        s"""{"group":$g,"input_rows":${m.inputRows},"output_rows":${m.outputRows},"checksum":${m.checksum},"wall_ms":${m.wallMs}}""")
+      m
     }
-    out.result()
   }
 }
