@@ -59,6 +59,35 @@ class JoinSemanticsSpec extends SparkSuite {
     assert(r.unjoined.select("key").as[Int].collect().toSeq == Seq(7))
   }
 
+  test("keep-first without orderCol is deterministic across partitionings") {
+    // colliding keys, no explicit order: winner = smallest full tuple, so the
+    // output must be byte-identical at any parallelism (the round-1
+    // monotonically_increasing_id default depended on partition layout)
+    val a = Seq((1, "t1"), (2, "t2"), (3, "t3")).toDF("id", "name")
+    val b = Seq((1, 300, "z"), (1, 100, "y"), (1, 200, "x"),
+      (2, 50, "q"), (2, 50, "p")).toDF("key", "score", "tag")
+    def run(parts: Int) =
+      JoinOp.join(a, b.repartition(parts), "id", "key", fields = Seq("score", "tag"))
+        .joined.orderBy("id").select("id", "score", "tag").collect().toSeq
+    val r2 = run(2)
+    val r17 = run(17)
+    assert(r2 == r17)
+    // and the winner is the smallest (score, tag) tuple per key
+    assert(r2.map(r => (r.getInt(0), if (r.isNullAt(1)) -1 else r.getInt(1))) ==
+      Seq((1, 100), (2, 50), (3, -1)))
+  }
+
+  test("where= filters which source rows may match (join-filter.mjs:9-29)") {
+    val a = Seq((1, "t1"), (2, "t2")).toDF("id", "name")
+    val b = Seq((1, 100), (1, 5), (2, 7)).toDF("key", "score")
+    val r = JoinOp.join(a, b, "id", "key", fields = Seq("score"),
+      where = Some(org.apache.spark.sql.functions.col("score") < 50))
+    val out = r.joined.orderBy("id").select("id", "score").as[(Int, Int)].collect().toSeq
+    assert(out == Seq((1, 5), (2, 7)))
+    // rows excluded by where= don't count as joinable for side outputs either
+    assert(r.unjoined.count() == 0)
+  }
+
   test("modeWithMargin: fuzzy-join mode semantics with deterministic ties") {
     val df = Seq((1, "a"), (1, "a"), (1, "b"), (2, "c"), (2, "d")).toDF("g", "v")
     val out = JoinOp.modeWithMargin(df, "g", "v")

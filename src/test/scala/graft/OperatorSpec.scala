@@ -142,6 +142,37 @@ class OperatorSpec extends SparkSuite {
     assert(java.lang.Long.bitCount(a ^ b) < java.lang.Long.bitCount(a ^ c))
   }
 
+  test("embeddingPairs recall >= 0.9 on planted noisy near-duplicates") {
+    // 150 random base vectors + a NOISY near-copy of each (not exact: every
+    // component is jittered, so signatures can differ by a bit or two and the
+    // Hamming-1 multi-probe has to do real work)
+    val rng = new SplitMix64(23)
+    val base = (0 until 150).map { i =>
+      (i.toLong, Array.tabulate(24)(_ => (rng.nextDouble() * 2 - 1).toFloat))
+    }
+    val jit = new SplitMix64(99)
+    val noisy = base.map { case (id, v) =>
+      (id + 1000L, v.map(x => x + (jit.nextDouble() * 2 - 1).toFloat * 0.05f))
+    }
+    val df = (base ++ noisy).map { case (id, v) => (id, v.toSeq) }.toDF("id", "vec")
+    val found = Dedup.embeddingPairs(spark, df, "id", "vec", threshold = 0.95)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // ground truth: exhaustive pairs above threshold
+    val all = base ++ noisy
+    val truth = (for {
+      i <- all.indices; j <- (i + 1) until all.length
+      if Ann.cosine(all(i)._2, all(j)._2) >= 0.95
+    } yield {
+      val (a, b) = (all(i)._1, all(j)._1)
+      (math.min(a, b), math.max(a, b))
+    }).toSet
+    assert(truth.size >= 100, s"fixture degenerate: ${truth.size} true pairs")
+    val recall = found.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.9, s"recall=$recall (${found.size} found / ${truth.size} true)")
+    // and no false positives survive the exact cosine verification
+    assert(found.subsetOf(truth))
+  }
+
   // -------------------------------------------------------------------- ann
 
   test("lshTopK recall vs brute force is high on clustered vectors") {

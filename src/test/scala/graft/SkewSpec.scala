@@ -45,4 +45,21 @@ class SkewSpec extends SparkSuite {
       .select("id", "poly_key").as[(Long, Long)].collect().toSet
     assert(salted == broadcasted)
   }
+
+  test("cellJoin applies even-odd hole semantics (parity with broadcast path)") {
+    // square with a centered hole; points: inside-solid, inside-hole, outside
+    val outer = (Seq(0.0, 0.0, 10.0, 0.0, 10.0, 10.0, 0.0, 10.0, 0.0, 0.0), 7L)
+    val hole = (Seq(4.0, 4.0, 6.0, 4.0, 6.0, 6.0, 4.0, 6.0, 4.0, 4.0), 7L)
+    val polyDf = Seq(
+      (outer._2, outer._1.grouped(2).map(_.head).toSeq, outer._1.grouped(2).map(_.last).toSeq),
+      (hole._2, hole._1.grouped(2).map(_.head).toSeq, hole._1.grouped(2).map(_.last).toSeq))
+      .toDF("poly_key", "ring_x", "ring_y")
+    val pts = Seq((1L, 2.0, 2.0), (2L, 5.0, 5.0), (3L, 20.0, 20.0),
+      (4L, 4.0, 5.0) /* on hole boundary = boundary of the shape -> in */)
+      .toDF("id", "x", "y")
+    val got = SpatialJoin.cellJoin(spark, pts, "x", "y", polyDf, res = 4)
+      .select("id", "poly_key").as[(Long, Long)].collect().toSet
+    // point 2 sits in the hole: even parity, NOT a match
+    assert(got == Set((1L, 7L), (4L, 7L)))
+  }
 }
