@@ -65,18 +65,19 @@ object SparkEntry {
   private lazy val imageLayer: PolygonLayer = Synthetic.polygonLayer(64, seed = 42L)
 
   /** Polygon-join fixtures: targets = the distinct cell squares of the derived
-   * points; sources = three overlapping axis-aligned rectangles. */
-  private def polyJoinTargets(s: SparkSession, dir: String): Seq[PolyJoin.Keyed] =
+   * points (built DISTRIBUTED — no collect); sources = three overlapping
+   * axis-aligned rectangles. */
+  private def polyJoinTargetsDf(s: SparkSession, dir: String): DataFrame = {
+    val mkSquare = udf { (cx: Long, cy: Long) =>
+      val x = cx * 10.0; val y = cy * 10.0
+      Array(x, y, x + 10, y, x + 10, y + 10, x, y + 10, x, y)
+    }
     points(s, dir)
       .select(floor(col("x") / 10.0).cast("long").as("cx"),
         floor(col("y") / 10.0).cast("long").as("cy"))
-      .distinct().collect()
-      .map { r =>
-        val x = r.getLong(0) * 10.0
-        val y = r.getLong(1) * 10.0
-        (r.getLong(0) * 100 + r.getLong(1),
-          Seq(Array(x, y, x + 10, y, x + 10, y + 10, x, y + 10, x, y)): Overlay.Shape)
-      }.toSeq
+      .distinct()
+      .select((col("cx") * 100 + col("cy")).as("key"), mkSquare(col("cx"), col("cy")).as("ring"))
+  }
 
   private val polyJoinSources: Seq[PolyJoin.Keyed] = Seq(
     (100L, Seq(Array(5.0, 5.0, 55.0, 5.0, 55.0, 55.0, 5.0, 55.0, 5.0, 5.0))),
@@ -691,24 +692,28 @@ object SparkEntry {
       asg.toSeq.sortBy(_._1).toDF("poly_key", "cluster_id")
     }),
 
-    // polygon->polygon join via mosaic: cell squares vs 3 overlapping literal
-    // rectangles — shared areas have closed forms, so the whole mosaic join
-    // is DuckDB-verified
+    // polygon->polygon join, FULLY DISTRIBUTED (cell-join candidates +
+    // pairwise clip kernel — no driver mosaic): cell squares vs 3 overlapping
+    // literal rectangles; shared areas have closed forms → DuckDB-verified
     "q_poly_join" -> ((s, dir) => {
-      val targets = polyJoinTargets(s, dir)
-      PolyJoin.overlapDf(s, targets, polyJoinSources)
+      import s.implicits._
+      val sources = polyJoinSources.map { case (k, shape) => (k, shape.head) }
+        .toDF("key", "ring")
+      PolyJoin.overlapDistributed(s, polyJoinTargetsDf(s, dir), sources)
         .select(col("t_key"), col("s_key"),
           floor(col("shared_area") * 1000000.0).cast("long").as("area_int"))
         .orderBy("t_key", "s_key")
     }),
 
-    // largest-overlap variant (deterministic ties)
+    // largest-overlap variant: distributed max_by aggregation (deterministic ties)
     "q_poly_join_largest" -> ((s, dir) => {
       import s.implicits._
-      val targets = polyJoinTargets(s, dir)
-      PolyJoin.largestOverlap(targets, polyJoinSources)
-        .map { case (t, src, a) => (t, src, math.floor(a * 1000000.0).toLong) }
-        .toDF("t_key", "s_key", "area_int")
+      val sources = polyJoinSources.map { case (k, shape) => (k, shape.head) }
+        .toDF("key", "ring")
+      val overlaps = PolyJoin.overlapDistributed(s, polyJoinTargetsDf(s, dir), sources)
+      PolyJoin.largestOverlapDf(overlaps)
+        .select(col("t_key"), col("s_key"),
+          floor(col("shared_area") * 1000000.0).cast("long").as("area_int"))
         .orderBy("t_key")
     }),
 
@@ -725,13 +730,12 @@ object SparkEntry {
         .orderBy("poly_key")
     }),
 
-    // -alpha-shapes: concave hull of the derived points (Delaunay edge filter)
+    // -alpha-shapes: DISTRIBUTED alpha complex (cell-partitioned Delaunay,
+    // circumcenter-owned triangles, global edge parity); only the O(perimeter)
+    // boundary is collected for ring assembly
     "q_alpha_shape" -> ((s, dir) => {
       import s.implicits._
-      val pts = points(s, dir).select("x", "y").collect()
-      val xs = pts.map(_.getDouble(0))
-      val ys = pts.map(_.getDouble(1))
-      val rings = graft.geom.Delaunay.alphaShape(xs, ys, maxEdge = 8.0)
+      val rings = AlphaShape.distributedRings(s, points(s, dir), "x", "y", alpha = 6.0)
       rings.zipWithIndex.map { case (r, i) =>
         val n = r.length / 2
         val rx = Array.tabulate(n)(j => r(j * 2))

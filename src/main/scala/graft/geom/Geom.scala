@@ -168,6 +168,19 @@ object Geom {
     dx * dx + dy * dy
   }
 
+  /** Circumcenter of triangle (a,b,c); (NaN, NaN) when degenerate/collinear. */
+  def circumcenter(ax: Double, ay: Double, bx: Double, by: Double,
+                   cx: Double, cy: Double): (Double, Double) = {
+    val d = 2.0 * (ax * (by - cy) + bx * (cy - ay) + cx * (ay - by))
+    if (d == 0) return (Double.NaN, Double.NaN)
+    val a2 = ax * ax + ay * ay
+    val b2 = bx * bx + by * by
+    val c2 = cx * cx + cy * cy
+    val ux = (a2 * (by - cy) + b2 * (cy - ay) + c2 * (ay - by)) / d
+    val uy = (a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)) / d
+    (ux, uy)
+  }
+
   // ------------------------------------------------------------- orientation
 
   /**

@@ -2,6 +2,9 @@ package graft.operators
 
 import scala.collection.mutable
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
 /**
  * Greedy agglomerative clustering of shapes by centroid distance — the
  * reference's `-cluster` (`/root/reference/src/commands/mapshaper-cluster.mjs:16-40`):
@@ -59,6 +62,81 @@ object Cluster {
       nAlive -= 1
     }
     assignment(members, alive)
+  }
+
+  /** Weighted greedy agglomeration (id, x, y, weight) — same semantics as
+   * [[greedy]] with unit weights replaced by the given masses. */
+  def greedyWeighted(items: Seq[(Long, Double, Double, Double)], k: Int): Map[Long, Int] = {
+    val n = items.size
+    if (n == 0) return Map.empty
+    val members = mutable.ArrayBuffer(items.map(i => mutable.ArrayBuffer(i._1)): _*)
+    val cx = mutable.ArrayBuffer(items.map(_._2): _*)
+    val cy = mutable.ArrayBuffer(items.map(_._3): _*)
+    val wt = mutable.ArrayBuffer(items.map(_._4): _*)
+    val alive = mutable.ArrayBuffer.fill(n)(true)
+    var nAlive = n
+    while (nAlive > k) {
+      var bi = -1; var bj = -1; var bd = Double.MaxValue
+      var i = 0
+      while (i < members.length) {
+        if (alive(i)) {
+          var j = i + 1
+          while (j < members.length) {
+            if (alive(j)) {
+              val dx = cx(i) - cx(j); val dy = cy(i) - cy(j)
+              val d = dx * dx + dy * dy
+              if (d < bd) { bd = d; bi = i; bj = j }
+            }
+            j += 1
+          }
+        }
+        i += 1
+      }
+      if (bi < 0) return assignment(members, alive)
+      cx(bi) = (cx(bi) * wt(bi) + cx(bj) * wt(bj)) / (wt(bi) + wt(bj))
+      cy(bi) = (cy(bi) * wt(bi) + cy(bj) * wt(bj)) / (wt(bi) + wt(bj))
+      wt(bi) += wt(bj)
+      members(bi) ++= members(bj)
+      alive(bj) = false
+      nAlive -= 1
+    }
+    assignment(members, alive)
+  }
+
+  /**
+   * Scale contract for `-cluster` at 10^12 rows: the driver kernel NEVER sees
+   * more than `maxInput` tuples. Points are pre-aggregated distributed to
+   * grid-cell weighted centroids (coarsening the grid until the cell count
+   * fits), greedy agglomeration runs on the bounded summary, and the
+   * assignment is joined back to the full table via a broadcast map — one
+   * shuffle for the pre-agg, zero for the assignment.
+   * Output: input columns + cluster_id.
+   */
+  def assignPoints(spark: SparkSession, points: DataFrame, idCol: String,
+                   xCol: String, yCol: String, k: Int,
+                   maxInput: Int = 4096): DataFrame = {
+    import spark.implicits._
+    var res = 12 // cell = 360/2^res; coarsened until the summary fits
+    def cellAgg(r: Int): DataFrame = points
+      .select(GraftCell.cellIdCol(col(xCol), col(yCol), r).as("cell"),
+        col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+      .groupBy("cell")
+      .agg(sum("x").as("sx"), sum("y").as("sy"), count(lit(1)).cast("double").as("w"))
+    var cells = cellAgg(res).cache()
+    while (cells.count() > maxInput && res > 0) {
+      cells.unpersist()
+      res -= 1
+      cells = cellAgg(res).cache()
+    }
+    val summary = cells
+      .select(col("cell"), (col("sx") / col("w")).as("x"), (col("sy") / col("w")).as("y"), col("w"))
+      .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
+    cells.unpersist()
+    val asg = greedyWeighted(summary.toSeq, k)
+    val bc = spark.sparkContext.broadcast(asg)
+    val clusterOf = udf((cell: Long) => bc.value.getOrElse(cell, -1))
+    points.withColumn("cluster_id",
+      clusterOf(GraftCell.cellIdCol(col(xCol), col(yCol), res)))
   }
 
   private def assignment(members: mutable.ArrayBuffer[mutable.ArrayBuffer[Long]],

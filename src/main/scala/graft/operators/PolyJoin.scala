@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 import graft.geom.Overlay
 
@@ -73,4 +74,56 @@ object PolyJoin {
     import spark.implicits._
     overlapAreas(targets, sources).toDF("t_key", "s_key", "shared_area")
   }
+
+  /**
+   * FULLY DISTRIBUTED polygon→polygon overlap: both layers keyed by covering
+   * cells of their shape bboxes, candidate (target, source) pairs from the
+   * cell equi-join (bbox-filtered, deduped on ids only — rings rejoined per
+   * surviving pair), then area(t ∩ s) per pair via the pairwise clip kernel.
+   * Pairwise intersection areas equal the mosaic's shared tile sums, so this
+   * matches [[overlapAreas]] exactly while scaling horizontally: no driver
+   * kernel, no global mosaic.
+   *
+   * Input DFs: (key: Long, ring: Array[Double]) — single-ring shapes.
+   * Output: (t_key, s_key, shared_area), only pairs with positive area.
+   */
+  def overlapDistributed(spark: SparkSession, targets: DataFrame, sources: DataFrame,
+                         cellRes: Int = 6): DataFrame = {
+    def withCells(df: DataFrame, keyOut: String): DataFrame = {
+      val cellsUdf = udf { (ring: Seq[Double]) =>
+        var x0 = Double.MaxValue; var y0 = Double.MaxValue
+        var x1 = Double.MinValue; var y1 = Double.MinValue
+        var i = 0
+        while (i < ring.length) {
+          x0 = math.min(x0, ring(i)); x1 = math.max(x1, ring(i))
+          y0 = math.min(y0, ring(i + 1)); y1 = math.max(y1, ring(i + 1))
+          i += 2
+        }
+        graft.cell.CellIndex.coveringCells(x0, y0, x1, y1, cellRes)
+      }
+      df.select(col("key").cast("long").as(keyOut),
+          explode(cellsUdf(col("ring"))).as("_cell"))
+    }
+    val cand = withCells(targets, "t_key").join(withCells(sources, "s_key"), Seq("_cell"))
+      .select("t_key", "s_key").distinct()
+
+    val clipAreaUdf = udf { (t: Seq[Double], s: Seq[Double]) =>
+      Overlay.layerArea(Overlay.clip(Seq(Seq(t.toArray)), Seq(Seq(s.toArray))))
+    }
+    cand
+      .join(targets.select(col("key").cast("long").as("t_key"), col("ring").as("t_ring")), Seq("t_key"))
+      .join(sources.select(col("key").cast("long").as("s_key"), col("ring").as("s_ring")), Seq("s_key"))
+      .select(col("t_key"), col("s_key"),
+        clipAreaUdf(col("t_ring"), col("s_ring")).as("shared_area"))
+      .filter(col("shared_area") > 0.0)
+  }
+
+  /** largest-overlap as a distributed aggregation over an overlap table:
+   * per target, max shared area; ties broken to the SMALLER source key. */
+  def largestOverlapDf(overlaps: DataFrame): DataFrame =
+    overlaps.groupBy("t_key")
+      .agg(max_by(struct(col("s_key"), col("shared_area")),
+        struct(col("shared_area"), -col("s_key"))).as("_b"))
+      .select(col("t_key"), col("_b.s_key").as("s_key"),
+        col("_b.shared_area").as("shared_area"))
 }
