@@ -64,6 +64,89 @@ object SparkEntry {
   /** Bigger synthetic layer for the image-side (non-oracle) spatial queries. */
   private lazy val imageLayer: PolygonLayer = Synthetic.polygonLayer(64, seed = 42L)
 
+  // ------------------------------------------------------------- CRS oracle
+  import graft.geom.Crs
+  private val crsAea = Crs.Albers(29.5, 45.5, 23.0, -96.0)
+  private val crsLcc = Crs.Lcc(33.0, 45.0, 39.0, -96.0)
+  private val crsAeqd = Crs.Aeqd(40.0, -100.0)
+
+  /** Exact-round-trip double literal for SQL (E-notation parses as DOUBLE in
+   * DuckDB — plain decimals parse as DECIMAL and cast off by 1 ulp). */
+  private def dl(v: Double): String = "%.17e".format(v)
+
+  /** The q_proj_crs SQL: same formulas (Snyder), same operation order, with
+   * all projection constants interpolated from the very [[Crs]] objects the
+   * Spark side uses — byte-identical double literals on both engines. */
+  private lazy val projCrsSql: String = {
+    val D2R = dl(Crs.D2R); val E2 = dl(Crs.E2); val E = dl(Crs.E)
+    val OME2 = dl(1.0 - Crs.E2); val H2E = dl(1.0 / (2.0 * Crs.E))
+    val AL = dl(Crs.A)
+    val NN = dl(crsAea.n); val CC = dl(crsAea.c); val RHO0 = dl(crsAea.rho0)
+    val NL = dl(crsLcc.n); val AF = dl(Crs.A * crsLcc.f); val RHO0L = dl(crsLcc.rho0)
+    val PI4 = dl(math.Pi / 4.0); val EH = dl(Crs.E / 2.0)
+    val K0 = dl(0.9996); val EP2 = dl(Crs.Ep2)
+    val M0C = dl(Crs.Mc0); val M2C = dl(Crs.Mc2); val M4C = dl(Crs.Mc4); val M6C = dl(Crs.Mc6)
+    val SIN0 = dl(math.sin(40.0 * Crs.D2R)); val COS0 = dl(math.cos(40.0 * Crs.D2R))
+    s"""WITH $ptsSql,
+       |ll AS (SELECT id, x * 3.6 - 180.0 AS lon, y * 1.7 - 85.0 AS lat FROM pts),
+       |tri AS (SELECT id, lon, lat,
+       |  sin(lat * $D2R) AS sp, cos(lat * $D2R) AS cp FROM ll),
+       |-- Albers (Snyder ch.14): q aux, rho, theta
+       |a1 AS (SELECT id, lon, lat,
+       |  $OME2 * (sp / (1.0e0 - $E2 * sp * sp) -
+       |    $H2E * ln((1.0e0 - $E * sp) / (1.0e0 + $E * sp))) AS q FROM tri),
+       |a2 AS (SELECT id, $AL * sqrt($CC - $NN * q) / $NN AS rho,
+       |  $NN * (lon - (-9.6e1)) * $D2R AS th FROM a1),
+       |aea AS (SELECT id, rho * sin(th) AS ax, $RHO0 - rho * cos(th) AS ay FROM a2),
+       |-- LCC (Snyder ch.15): t aux, rho, theta
+       |l1 AS (SELECT id, lon, lat,
+       |  tan($PI4 - (lat * $D2R) / 2.0e0) /
+       |    pow((1.0e0 - $E * sp) / (1.0e0 + $E * sp), $EH) AS t FROM tri),
+       |l2 AS (SELECT id, $AF * pow(t, $NL) AS rho,
+       |  $NL * (lon - (-9.6e1)) * $D2R AS th FROM l1),
+       |lcc AS (SELECT id, rho * sin(th) AS lx, $RHO0L - rho * cos(th) AS ly FROM l2),
+       |-- UTM (Snyder ch.8 series), zone per row, hemisphere by latitude
+       |u0 AS (SELECT id, lon, lat, sp, cp,
+       |  CAST(least(60, greatest(1, CAST(floor((lon + 1.8e2) / 6.0e0) AS BIGINT) + 1)) AS DOUBLE)
+       |    * 6.0e0 - 1.83e2 AS lon0 FROM tri),
+       |u1 AS (SELECT id, lat, sp, cp, sp / cp AS tp,
+       |  $AL / sqrt(1.0e0 - $E2 * sp * sp) AS nr,
+       |  (lon - lon0) * $D2R * cp AS aa FROM u0),
+       |u2 AS (SELECT id, lat, nr, aa, tp * tp AS t, $EP2 * cp * cp AS cc,
+       |  $AL * ($M0C * (lat * $D2R) - $M2C * sin(2.0e0 * (lat * $D2R)) +
+       |    $M4C * sin(4.0e0 * (lat * $D2R)) - $M6C * sin(6.0e0 * (lat * $D2R))) AS m,
+       |  sp / cp AS tp2 FROM u1),
+       |utm AS (SELECT id,
+       |  $K0 * nr * (aa + (1.0e0 - t + cc) * aa * aa * aa / 6.0e0 +
+       |    (5.0e0 - 1.8e1 * t + t * t + 7.2e1 * cc - 5.8e1 * $EP2) * pow(aa, 5) / 1.2e2)
+       |    + 5.0e5 AS ux,
+       |  $K0 * (m + nr * tp2 * (aa * aa / 2.0e0 +
+       |    (5.0e0 - t + 9.0e0 * cc + 4.0e0 * cc * cc) * pow(aa, 4) / 2.4e1 +
+       |    (6.1e1 - 5.8e1 * t + t * t + 6.0e2 * cc - 3.3e2 * $EP2) * pow(aa, 6) / 7.2e2))
+       |    + CASE WHEN lat < 0.0e0 THEN 1.0e7 ELSE 0.0e0 END AS uy
+       |  FROM u2),
+       |-- AEQD spherical (Snyder ch.25), center (40, -100)
+       |q1 AS (SELECT id, sp, cp, (lon - (-1.0e2)) * $D2R AS dl FROM tri),
+       |q2 AS (SELECT id, sp, cp, dl,
+       |  acos(greatest(-1.0e0, least(1.0e0, $SIN0 * sp + $COS0 * cp * cos(dl)))) AS c FROM q1),
+       |q3 AS (SELECT id, sp, cp, dl,
+       |  CASE WHEN c = 0.0e0 THEN 1.0e0 ELSE c / sin(c) END AS k FROM q2),
+       |adq AS (SELECT id, $AL * k * cp * sin(dl) AS qx,
+       |  $AL * k * ($COS0 * sp - $SIN0 * cp * cos(dl)) AS qy FROM q3)
+       |SELECT aea.id,
+       |  CAST(floor(ax * 1.0e2) AS BIGINT) AS aea_x,
+       |  CAST(floor(ay * 1.0e2) AS BIGINT) AS aea_y,
+       |  CAST(floor(lx * 1.0e2) AS BIGINT) AS lcc_x,
+       |  CAST(floor(ly * 1.0e2) AS BIGINT) AS lcc_y,
+       |  CAST(floor(ux * 1.0e2) AS BIGINT) AS utm_x,
+       |  CAST(floor(uy * 1.0e2) AS BIGINT) AS utm_y,
+       |  CAST(floor(qx * 1.0e2) AS BIGINT) AS adq_x,
+       |  CAST(floor(qy * 1.0e2) AS BIGINT) AS adq_y
+       |FROM aea JOIN lcc ON aea.id = lcc.id JOIN utm ON aea.id = utm.id
+       |  JOIN adq ON aea.id = adq.id
+       |ORDER BY aea.id""".stripMargin
+  }
+
   /** Polygon-join fixtures: targets = the distinct cell squares of the derived
    * points (built DISTRIBUTED — no collect); sources = three overlapping
    * axis-aligned rectangles. */
@@ -772,6 +855,29 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // full CRS set (Albers equal-area, Lambert conformal conic, per-row-zone
+    // UTM, azimuthal equidistant): codegen forward transforms, every value
+    // DuckDB-mirrored at cm precision (floor * 100)
+    "q_proj_crs" -> ((s, dir) => {
+      val pts = points(s, dir)
+        .withColumn("lon", col("x") * 3.6 - 180.0)
+        .withColumn("lat", col("y") * 1.7 - 85.0)
+      val fa = Proj.forward(col("lon"), col("lat"), crsAea)
+      val fl = Proj.forward(col("lon"), col("lat"), crsLcc)
+      val fu = graft.functions.SpatialExprs.utmForward(col("lon"), col("lat"))
+      val fq = Proj.forward(col("lon"), col("lat"), crsAeqd)
+      pts.select(col("id"),
+          floor(fa(0) * 100.0).cast("long").as("aea_x"),
+          floor(fa(1) * 100.0).cast("long").as("aea_y"),
+          floor(fl(0) * 100.0).cast("long").as("lcc_x"),
+          floor(fl(1) * 100.0).cast("long").as("lcc_y"),
+          floor(fu(0) * 100.0).cast("long").as("utm_x"),
+          floor(fu(1) * 100.0).cast("long").as("utm_y"),
+          floor(fq(0) * 100.0).cast("long").as("adq_x"),
+          floor(fq(1) * 100.0).cast("long").as("adq_y"))
+        .orderBy("id")
+    }),
+
     // -point-to-grid: circle-influence weights into cells (rows-only; the
     // overlap kernel is unit-tested against closed-form values)
     "q_point_to_grid" -> ((s, dir) =>
@@ -1167,6 +1273,8 @@ object SparkEntry {
          |  CAST(floor((lon + 180.0) / 360.0 * 64) AS BIGINT) AS tx,
          |  CAST(floor((1.0 - ln(tan(lat * (pi() / 180.0)) + 1.0 / cos(lat * (pi() / 180.0))) / pi()) / 2.0 * 64) AS BIGINT) AS ty
          |FROM ll ORDER BY id""".stripMargin,
+
+    "q_proj_crs" -> projCrsSql,
 
     "q_innerlines" ->
       s"""WITH $ptsSql,

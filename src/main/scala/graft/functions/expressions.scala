@@ -107,6 +107,45 @@ case class CellDiskExpr(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Project (lon, lat) through a CRS forward transform ([[graft.geom.Crs]]) —
+ * returns array<double>[x, y]. The projection object is a codegen reference;
+ * generated code calls its primitive-math forward directly (no row boxing). */
+case class CrsForwardExpr(left: Expression, right: Expression, proj: graft.geom.Crs.Proj)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "crs_forward"
+
+  override protected def nullSafeEval(lon: Any, lat: Any): Any =
+    ArrayData.toArrayData(proj.forwardArr(lon.asInstanceOf[Double], lat.asInstanceOf[Double]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("crsProj", proj, classOf[graft.geom.Crs.Proj].getName)
+    defineCodeGen(ctx, ev, (lon, lat) =>
+      s"org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($pRef.forwardArr($lon, $lat))")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Per-row UTM forward: zone chosen from the longitude, hemisphere from the
+ * latitude — array<double>[easting, northing]. */
+case class UtmForwardExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "utm_forward"
+
+  override protected def nullSafeEval(lon: Any, lat: Any): Any =
+    ArrayData.toArrayData(
+      graft.geom.Crs.utmForward(lon.asInstanceOf[Double], lat.asInstanceOf[Double]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (lon, lat) =>
+      s"org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(graft.geom.Crs$$.MODULE$$.utmForward($lon, $lat))")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Morton-decode the image-table phash to a lon or lat coordinate. */
 case class PhashCoord(child: Expression, isLon: Boolean)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -140,6 +179,12 @@ object SpatialExprs {
 
   def cellDisk(cell: Column, k: Int): Column =
     GraftBridge.column(CellDiskExpr(GraftBridge.expr(cell.cast("long")), k))
+
+  def crsForward(lon: Column, lat: Column, proj: graft.geom.Crs.Proj): Column =
+    GraftBridge.column(CrsForwardExpr(dbl(lon), dbl(lat), proj))
+
+  def utmForward(lon: Column, lat: Column): Column =
+    GraftBridge.column(UtmForwardExpr(dbl(lon), dbl(lat)))
 
   def phashLon(p: Column): Column = GraftBridge.column(PhashCoord(GraftBridge.expr(p.cast("long")), isLon = true))
   def phashLat(p: Column): Column = GraftBridge.column(PhashCoord(GraftBridge.expr(p.cast("long")), isLon = false))

@@ -1,0 +1,253 @@
+package graft.geom
+
+/**
+ * CRS engine: the four projection families that cover most real usage of the
+ * reference's `-proj` (`/root/reference/src/commands/mapshaper-proj.mjs`,
+ * which delegates to a bundled PROJ port): Albers equal-area conic, Lambert
+ * conformal conic, transverse Mercator / UTM, and azimuthal equidistant.
+ *
+ * Formulas are the standard published ones (Snyder, "Map Projections — A
+ * Working Manual", USGS PP 1395: Albers 14-1..14-11, LCC 15-1..15-11, TM
+ * 8-9..8-13 with the 3-21 meridian arc, AEQD 25-1..25-15 spherical form;
+ * identical to PROJ's +proj=aea/lcc/tmerc/aeqd). Ellipsoid: WGS84 unless a
+ * sphere is requested. All forwards are pure double math with a fixed
+ * operation order, so results are bit-stable across partitions and can be
+ * mirrored in ANSI SQL for the DuckDB oracle.
+ */
+object Crs {
+
+  final val A = 6378137.0                      // WGS84 semi-major axis
+  final val F = 1.0 / 298.257223563            // WGS84 flattening
+  final val E2 = F * (2.0 - F)                 // first eccentricity squared
+  final val E = math.sqrt(E2)
+  final val D2R = math.Pi / 180.0
+  final val R2D = 180.0 / math.Pi
+
+  sealed trait Proj extends Serializable {
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double)
+    def inverse(x: Double, y: Double): (Double, Double)
+    /** Allocation shape used by the codegen expression (primitive array). */
+    final def forwardArr(lonDeg: Double, latDeg: Double): Array[Double] = {
+      val xy = forward(lonDeg, latDeg)
+      Array(xy._1, xy._2)
+    }
+  }
+
+  // -------------------------------------------------- Albers equal-area conic
+
+  /** q auxiliary (Snyder 3-12). */
+  @inline def authalicQ(sinPhi: Double): Double =
+    (1.0 - E2) * (sinPhi / (1.0 - E2 * sinPhi * sinPhi) -
+      (1.0 / (2.0 * E)) * math.log((1.0 - E * sinPhi) / (1.0 + E * sinPhi)))
+
+  /** m auxiliary (Snyder 14-15). */
+  @inline def mAux(phi: Double): Double = {
+    val s = math.sin(phi)
+    math.cos(phi) / math.sqrt(1.0 - E2 * s * s)
+  }
+
+  /** Albers equal-area conic on the WGS84 ellipsoid (Snyder ch. 14). */
+  final case class Albers(lat1Deg: Double, lat2Deg: Double, lat0Deg: Double, lon0Deg: Double)
+      extends Proj {
+    private val phi1 = lat1Deg * D2R
+    private val phi2 = lat2Deg * D2R
+    private val phi0 = lat0Deg * D2R
+    private val m1 = mAux(phi1)
+    private val m2 = mAux(phi2)
+    private val q0 = authalicQ(math.sin(phi0))
+    private val q1 = authalicQ(math.sin(phi1))
+    private val q2 = authalicQ(math.sin(phi2))
+    val n: Double = (m1 * m1 - m2 * m2) / (q2 - q1)
+    val c: Double = m1 * m1 + n * q1
+    val rho0: Double = A * math.sqrt(c - n * q0) / n
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val q = authalicQ(math.sin(latDeg * D2R))
+      val rho = A * math.sqrt(c - n * q) / n
+      val theta = n * (lonDeg - lon0Deg) * D2R
+      (rho * math.sin(theta), rho0 - rho * math.cos(theta))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val rho = math.sqrt(x * x + (rho0 - y) * (rho0 - y)) * (if (n < 0) -1 else 1)
+      val theta = math.atan2(x * math.signum(n), (rho0 - y) * math.signum(n))
+      val q = (c - rho * rho * n * n / (A * A)) / n
+      // iterate Snyder 3-16 for phi
+      var phi = math.asin(math.max(-1.0, math.min(1.0, q / 2.0)))
+      var i = 0
+      while (i < 8) {
+        val s = math.sin(phi)
+        val den = 1.0 - E2 * s * s
+        phi = phi + den * den / (2.0 * math.cos(phi)) *
+          (q / (1.0 - E2) - s / den + math.log((1.0 - E * s) / (1.0 + E * s)) / (2.0 * E))
+        i += 1
+      }
+      (lon0Deg + theta / n * R2D, phi * R2D)
+    }
+  }
+
+  // ---------------------------------------------- Lambert conformal conic
+
+  /** t auxiliary (Snyder 15-9). */
+  @inline def tAux(phi: Double): Double = {
+    val s = math.sin(phi)
+    math.tan(math.Pi / 4.0 - phi / 2.0) /
+      math.pow((1.0 - E * s) / (1.0 + E * s), E / 2.0)
+  }
+
+  /** Lambert conformal conic, 2SP, WGS84 (Snyder ch. 15). */
+  final case class Lcc(lat1Deg: Double, lat2Deg: Double, lat0Deg: Double, lon0Deg: Double)
+      extends Proj {
+    private val phi1 = lat1Deg * D2R
+    private val phi2 = lat2Deg * D2R
+    private val phi0 = lat0Deg * D2R
+    private val m1 = mAux(phi1)
+    private val m2 = mAux(phi2)
+    private val t0 = tAux(phi0)
+    private val t1 = tAux(phi1)
+    private val t2 = tAux(phi2)
+    val n: Double =
+      if (lat1Deg == lat2Deg) math.sin(phi1)
+      else (math.log(m1) - math.log(m2)) / (math.log(t1) - math.log(t2))
+    val f: Double = m1 / (n * math.pow(t1, n))
+    val rho0: Double = A * f * math.pow(t0, n)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val rho = A * f * math.pow(tAux(latDeg * D2R), n)
+      val theta = n * (lonDeg - lon0Deg) * D2R
+      (rho * math.sin(theta), rho0 - rho * math.cos(theta))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val rho = math.sqrt(x * x + (rho0 - y) * (rho0 - y)) * (if (n < 0) -1 else 1)
+      val theta = math.atan2(x * math.signum(n), (rho0 - y) * math.signum(n))
+      val t = math.pow(rho / (A * f), 1.0 / n)
+      // Snyder 7-9 iteration
+      var phi = math.Pi / 2.0 - 2.0 * math.atan(t)
+      var i = 0
+      while (i < 8) {
+        val s = E * math.sin(phi)
+        phi = math.Pi / 2.0 - 2.0 * math.atan(t * math.pow((1.0 - s) / (1.0 + s), E / 2.0))
+        i += 1
+      }
+      (lon0Deg + theta / n * R2D, phi * R2D)
+    }
+  }
+
+  // ------------------------------------------------- transverse Mercator / UTM
+
+  final val Ep2: Double = E2 / (1.0 - E2) // second eccentricity squared
+
+  // meridian-arc series coefficients (Snyder 3-21), public so the SQL oracle
+  // can interpolate the exact same doubles
+  final val Mc0: Double = 1.0 - E2 / 4.0 - 3.0 * E2 * E2 / 64.0 - 5.0 * E2 * E2 * E2 / 256.0
+  final val Mc2: Double = 3.0 * E2 / 8.0 + 3.0 * E2 * E2 / 32.0 + 45.0 * E2 * E2 * E2 / 1024.0
+  final val Mc4: Double = 15.0 * E2 * E2 / 256.0 + 45.0 * E2 * E2 * E2 / 1024.0
+  final val Mc6: Double = 35.0 * E2 * E2 * E2 / 3072.0
+
+  /** Meridian arc length from equator (Snyder 3-21). */
+  def meridianArc(phi: Double): Double =
+    A * (Mc0 * phi - Mc2 * math.sin(2.0 * phi) +
+      Mc4 * math.sin(4.0 * phi) - Mc6 * math.sin(6.0 * phi))
+
+  /** Transverse Mercator (Snyder ch. 8 series), k0 scale at central meridian. */
+  final case class Tmerc(lat0Deg: Double, lon0Deg: Double, k0: Double = 0.9996,
+                         falseE: Double = 0.0, falseN: Double = 0.0) extends Proj {
+    private val m0 = meridianArc(lat0Deg * D2R)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = latDeg * D2R
+      val sinP = math.sin(phi); val cosP = math.cos(phi)
+      val tanP = sinP / cosP
+      val nRad = A / math.sqrt(1.0 - E2 * sinP * sinP)
+      val t = tanP * tanP
+      val cc = Ep2 * cosP * cosP
+      val aa = (lonDeg - lon0Deg) * D2R * cosP
+      val m = meridianArc(phi)
+      val x = k0 * nRad * (aa + (1.0 - t + cc) * aa * aa * aa / 6.0 +
+        (5.0 - 18.0 * t + t * t + 72.0 * cc - 58.0 * Ep2) * math.pow(aa, 5) / 120.0)
+      val y = k0 * (m - m0 + nRad * tanP * (aa * aa / 2.0 +
+        (5.0 - t + 9.0 * cc + 4.0 * cc * cc) * math.pow(aa, 4) / 24.0 +
+        (61.0 - 58.0 * t + t * t + 600.0 * cc - 330.0 * Ep2) * math.pow(aa, 6) / 720.0))
+      (x + falseE, y + falseN)
+    }
+
+    def inverse(xIn: Double, yIn: Double): (Double, Double) = {
+      val x = xIn - falseE
+      val y = yIn - falseN
+      val m = m0 + y / k0
+      val mu = m / (A * (1.0 - E2 / 4.0 - 3.0 * E2 * E2 / 64.0 - 5.0 * E2 * E2 * E2 / 256.0))
+      val e1 = (1.0 - math.sqrt(1.0 - E2)) / (1.0 + math.sqrt(1.0 - E2))
+      val phi1 = mu + (3.0 * e1 / 2.0 - 27.0 * math.pow(e1, 3) / 32.0) * math.sin(2.0 * mu) +
+        (21.0 * e1 * e1 / 16.0 - 55.0 * math.pow(e1, 4) / 32.0) * math.sin(4.0 * mu) +
+        (151.0 * math.pow(e1, 3) / 96.0) * math.sin(6.0 * mu) +
+        (1097.0 * math.pow(e1, 4) / 512.0) * math.sin(8.0 * mu)
+      val sinP = math.sin(phi1); val cosP = math.cos(phi1)
+      val tanP = sinP / cosP
+      val c1 = Ep2 * cosP * cosP
+      val t1 = tanP * tanP
+      val n1 = A / math.sqrt(1.0 - E2 * sinP * sinP)
+      val r1 = A * (1.0 - E2) / math.pow(1.0 - E2 * sinP * sinP, 1.5)
+      val d = x / (n1 * k0)
+      val phi = phi1 - (n1 * tanP / r1) * (d * d / 2.0 -
+        (5.0 + 3.0 * t1 + 10.0 * c1 - 4.0 * c1 * c1 - 9.0 * Ep2) * math.pow(d, 4) / 24.0 +
+        (61.0 + 90.0 * t1 + 298.0 * c1 + 45.0 * t1 * t1 - 252.0 * Ep2 - 3.0 * c1 * c1) *
+          math.pow(d, 6) / 720.0)
+      val lon = lon0Deg * D2R + (d - (1.0 + 2.0 * t1 + c1) * math.pow(d, 3) / 6.0 +
+        (5.0 - 2.0 * c1 + 28.0 * t1 - 3.0 * c1 * c1 + 8.0 * Ep2 + 24.0 * t1 * t1) *
+          math.pow(d, 5) / 120.0) / cosP
+      (lon * R2D, phi * R2D)
+    }
+  }
+
+  /** UTM zone (northern or southern hemisphere). */
+  def utm(zone: Int, south: Boolean = false): Tmerc =
+    Tmerc(0.0, zone * 6.0 - 183.0, 0.9996, 500000.0, if (south) 10000000.0 else 0.0)
+
+  /** UTM zone of a longitude. */
+  def utmZone(lonDeg: Double): Int =
+    math.min(60, math.max(1, (math.floor((lonDeg + 180.0) / 6.0) + 1).toInt))
+
+  private lazy val utmNorth: Array[Tmerc] = Array.tabulate(61)(z => if (z == 0) null else utm(z))
+  private lazy val utmSouth: Array[Tmerc] =
+    Array.tabulate(61)(z => if (z == 0) null else utm(z, south = true))
+
+  /** Per-row UTM: zone from the longitude, hemisphere from the latitude —
+   * static entry point for the codegen expression (cached projections,
+   * zero per-row construction). */
+  def utmForward(lonDeg: Double, latDeg: Double): Array[Double] = {
+    val z = utmZone(lonDeg)
+    (if (latDeg < 0) utmSouth(z) else utmNorth(z)).forwardArr(lonDeg, latDeg)
+  }
+
+  // ------------------------------------------------- azimuthal equidistant
+
+  /** Azimuthal equidistant, spherical form (Snyder 25-1..25-15) on the
+   * WGS84 semi-major sphere — the variant used for quick range maps. */
+  final case class Aeqd(lat0Deg: Double, lon0Deg: Double, radius: Double = A) extends Proj {
+    private val phi0 = lat0Deg * D2R
+    private val sin0 = math.sin(phi0)
+    private val cos0 = math.cos(phi0)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = latDeg * D2R
+      val dl = (lonDeg - lon0Deg) * D2R
+      val sinP = math.sin(phi); val cosP = math.cos(phi)
+      val cosC = sin0 * sinP + cos0 * cosP * math.cos(dl)
+      val c = math.acos(math.max(-1.0, math.min(1.0, cosC)))
+      val k = if (c == 0.0) 1.0 else c / math.sin(c)
+      (radius * k * cosP * math.sin(dl),
+        radius * k * (cos0 * sinP - sin0 * cosP * math.cos(dl)))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val rho = math.sqrt(x * x + y * y)
+      if (rho == 0.0) return (lon0Deg, lat0Deg)
+      val c = rho / radius
+      val sinC = math.sin(c); val cosC = math.cos(c)
+      val phi = math.asin(cosC * sin0 + y * sinC * cos0 / rho)
+      val lon = lon0Deg + math.atan2(x * sinC, rho * cos0 * cosC - y * sin0 * sinC) * R2D
+      (lon, phi * R2D)
+    }
+  }
+}

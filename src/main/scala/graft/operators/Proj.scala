@@ -23,6 +23,13 @@ object Proj {
   def mercYToLat(y: Column): Column =
     (atan(exp(y / R)) * 2.0 - math.Pi / 2.0) * (180.0 / math.Pi)
 
+  // ---- full CRS forwards (codegen expression over graft.geom.Crs) --------
+
+  /** Project lon/lat columns through any [[graft.geom.Crs.Proj]]:
+   * returns array<double>[x, y]. */
+  def forward(lon: Column, lat: Column, proj: graft.geom.Crs.Proj): Column =
+    graft.functions.SpatialExprs.crsForward(lon, lat, proj)
+
   /** Web-Mercator tile (z/x/y) of a lon/lat point — the tile-pyramid key. */
   def tileX(lon: Column, z: Int): Column =
     floor((lon + 180.0) / 360.0 * (1 << z)).cast("long")
