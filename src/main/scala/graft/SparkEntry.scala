@@ -855,6 +855,71 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // -clip on polylines: horizontal segments vs a rectangle polygon — the
+    // clipped (inside) length has the closed form |[max(x,20), min(x+7,70)]|,
+    // so the full divide-at-intersections kernel is DuckDB-verified
+    "q_clip_lines" -> ((s, dir) => {
+      val rect: Overlay.Shape =
+        Seq(Array(20.0, 20.0, 70.0, 20.0, 70.0, 60.0, 20.0, 60.0, 20.0, 20.0))
+      val mkLine = udf((x: Double, y: Double) => Array(x, y, x + 7.0, y))
+      val lines = points(s, dir)
+        .filter(col("y") =!= 20.0 && col("y") =!= 60.0 &&
+          !col("x").isin(13.0, 20.0, 63.0, 70.0))
+        .select(col("id"), mkLine(col("x"), col("y")).as("line"))
+      // clipped lengths are mathematically k/1000-exact (3-decimal xs, integer
+      // bounds): ROUND to the integer both engines are within 1e-9 of —
+      // floor would flip on the aligned boundary
+      LineOps.clipLines(s, lines, "id", "line", rect)
+        .groupBy("id")
+        .agg(round(sum(col("piece_len")) * 1000.0, 0).cast("long").as("len_int"))
+        .orderBy("id")
+    }),
+
+    // polyline->polygon join (reference: per-part path midpoints, PIP-joined)
+    "q_line_join" -> ((s, dir) => {
+      val mkLine = udf((x: Double, y: Double) => Array(x, y, x + 5.0, y + 3.0))
+      val lines = points(s, dir)
+        .select(col("id"), mkLine(col("x"), col("y")).as("line"))
+      LineOps.joinToPolygons(s, lines, "id", "line", Synthetic.oracleLayer)
+        .select(col("id"), col("poly_key"))
+        .orderBy("id", "poly_key")
+    }),
+
+    // -buffer on polylines: capsule merge through the mosaic kernel; a single
+    // horizontal segment's buffer area has the closed form 2 r L + 15 r^2 sin(pi/15)
+    "q_buffer_line" -> ((s, dir) => {
+      val areaUdf = udf { (x: Double, y: Double, len: Double, r: Double) =>
+        Overlay.layerArea(Buffer.pathBuffer(Array(x, y, x + len, y), r, nSeg = 30))
+      }
+      points(s, dir)
+        .withColumn("len", (col("id") % 5 + 2).cast("double"))
+        .withColumn("r", (col("id") % 3 + 1).cast("double") / 2.0)
+        .select(col("id"),
+          floor(areaUdf(col("x"), col("y"), col("len"), col("r")) * 100.0)
+            .cast("long").as("area_int"))
+        .orderBy("id")
+    }),
+
+    // -buffer on polygons: dilation (square: s^2 + 4 s r + n-gon) and erosion
+    // ((s - 2r)^2) — both closed-form, mosaic-merge and erase kernels verified
+    "q_buffer_polygon" -> ((s, dir) => {
+      val dilUdf = udf { (x: Double, y: Double, r: Double) =>
+        val sq: Overlay.Shape = Seq(Array(x, y, x + 6, y, x + 6, y + 6, x, y + 6, x, y))
+        Overlay.layerArea(Buffer.polygonBuffer(sq, r, nSeg = 32))
+      }
+      val eroUdf = udf { (x: Double, y: Double, r: Double) =>
+        val sq: Overlay.Shape = Seq(Array(x, y, x + 6, y, x + 6, y + 6, x, y + 6, x, y))
+        Overlay.layerArea(Buffer.polygonBuffer(sq, -r, nSeg = 32))
+      }
+      points(s, dir)
+        .withColumn("r", (col("id") % 3 + 1).cast("double") / 2.0)
+        .select(col("id"),
+          floor(dilUdf(col("x"), col("y"), col("r")) * 100.0).cast("long").as("dil_int"),
+          // erosion areas are exact integers ((6-2r)^2 * 100) -> round, not floor
+          round(eroUdf(col("x"), col("y"), col("r")) * 100.0, 0).cast("long").as("ero_int"))
+        .orderBy("id")
+    }),
+
     // full CRS set (Albers equal-area, Lambert conformal conic, per-row-zone
     // UTM, azimuthal equidistant): codegen forward transforms, every value
     // DuckDB-mirrored at cm precision (floor * 100)
@@ -1275,6 +1340,48 @@ object SparkEntry {
          |FROM ll ORDER BY id""".stripMargin,
 
     "q_proj_crs" -> projCrsSql,
+
+    "q_clip_lines" ->
+      s"""WITH $ptsSql
+         |SELECT id,
+         |  CAST(round((least(x + 7.0, 70.0) - greatest(x, 20.0)) * 1000.0) AS BIGINT) AS len_int
+         |FROM pts
+         |WHERE y <> 20.0 AND y <> 60.0 AND x NOT IN (13.0, 20.0, 63.0, 70.0)
+         |  AND y > 20.0 AND y < 60.0
+         |  AND least(x + 7.0, 70.0) - greatest(x, 20.0) > 0.0
+         |ORDER BY id""".stripMargin,
+
+    "q_line_join" ->
+      s"""WITH $ptsSql,
+         |$oracleEdgesSql,
+         |mid AS (SELECT id, (1.0 - 0.5) * x + 0.5 * (x + 5.0) AS mx,
+         |  (1.0 - 0.5) * y + 0.5 * (y + 3.0) AS my FROM pts),
+         |hits AS (
+         |  SELECT m.id, e.pk,
+         |    SUM(CASE WHEN ((e.ex1 > m.mx) <> (e.ex2 > m.mx))
+         |          AND e.ey1 + (m.mx - e.ex1) * (e.ey2 - e.ey1) / (e.ex2 - e.ex1) > m.my
+         |        THEN 1 ELSE 0 END) AS crossings
+         |  FROM mid m CROSS JOIN edges e
+         |  GROUP BY m.id, e.pk)
+         |SELECT id, CAST(pk AS BIGINT) AS poly_key FROM hits WHERE crossings % 2 = 1
+         |ORDER BY id, poly_key""".stripMargin,
+
+    "q_buffer_line" ->
+      s"""WITH $ptsSql
+         |SELECT id, CAST(floor((2.0 * (CAST(id % 3 + 1 AS DOUBLE) / 2.0) * CAST(id % 5 + 2 AS DOUBLE)
+         |  + 15.0 * (CAST(id % 3 + 1 AS DOUBLE) / 2.0) * (CAST(id % 3 + 1 AS DOUBLE) / 2.0) * sin(pi() / 15.0)) * 100.0)
+         |  AS BIGINT) AS area_int
+         |FROM pts ORDER BY id""".stripMargin,
+
+    "q_buffer_polygon" ->
+      s"""WITH $ptsSql
+         |SELECT id,
+         |  CAST(floor((36.0 + 24.0 * (CAST(id % 3 + 1 AS DOUBLE) / 2.0)
+         |    + 16.0 * (CAST(id % 3 + 1 AS DOUBLE) / 2.0) * (CAST(id % 3 + 1 AS DOUBLE) / 2.0) * sin(pi() / 16.0)) * 100.0)
+         |    AS BIGINT) AS dil_int,
+         |  CAST(round((6.0 - 2.0 * (CAST(id % 3 + 1 AS DOUBLE) / 2.0)) * (6.0 - 2.0 * (CAST(id % 3 + 1 AS DOUBLE) / 2.0))
+         |    * 100.0) AS BIGINT) AS ero_int
+         |FROM pts ORDER BY id""".stripMargin,
 
     "q_innerlines" ->
       s"""WITH $ptsSql,

@@ -37,11 +37,11 @@ object Buffer {
     points.withColumn("buffer_ring", ringUdf(col(xCol), col(yCol)))
   }
 
-  /**
-   * Polyline buffer ring: convex-rounded rectangle around each segment,
-   * merged via the mosaic kernel. Adequate planar `-buffer` for open paths.
-   */
-  def pathBuffer(flat: Array[Double], radius: Double, nSeg: Int = 16): Seq[Array[Double]] = {
+  /** Raw per-segment capsule shapes (rect + endpoint circles) of a path —
+   * the pre-merge geometry of the reference's path buffer
+   * (`src/buffer/mapshaper-path-buffer.mjs` builds the same offset
+   * rect/arc primitives before the mosaic merge). */
+  def segmentCapsules(flat: Array[Double], radius: Double, nSeg: Int = 16): Seq[Overlay.Shape] = {
     val shapes = scala.collection.mutable.ArrayBuffer.empty[Seq[Array[Double]]]
     var i = 0
     while (i + 3 < flat.length) {
@@ -52,7 +52,6 @@ object Buffer {
       if (len > 0) {
         val nx = -dy / len * radius
         val ny = dx / len * radius
-        // capsule approximated by rect + endpoint circles
         shapes += Seq(Array(
           x1 + nx, y1 + ny, x2 + nx, y2 + ny, x2 - nx, y2 - ny, x1 - nx, y1 - ny, x1 + nx, y1 + ny))
         shapes += Seq(pointBufferRing(x1, y1, radius, nSeg))
@@ -60,7 +59,60 @@ object Buffer {
       }
       i += 2
     }
-    Overlay.dissolve2(shapes.toSeq)
+    shapes.toSeq
+  }
+
+  /**
+   * Polyline buffer: convex-rounded rectangle around each segment,
+   * merged via the mosaic kernel. Planar `-buffer` for open paths.
+   */
+  def pathBuffer(flat: Array[Double], radius: Double, nSeg: Int = 16): Seq[Array[Double]] =
+    Overlay.dissolve2(segmentCapsules(flat, radius, nSeg))
+
+  /**
+   * Polygon buffer (`-buffer` on polygon layers,
+   * `src/buffer/mapshaper-polygon-buffer.mjs:9-32` semantics): positive
+   * radius = shape ∪ boundary buffer (dilation); negative = shape minus
+   * boundary buffer (erosion). Rings are closed flat coord arrays.
+   */
+  def polygonBuffer(shape: Overlay.Shape, radius: Double, nSeg: Int = 16): Seq[Array[Double]] = {
+    if (radius == 0) return shape.map(identity)
+    val caps = shape.flatMap(ring => segmentCapsules(ring, math.abs(radius), nSeg))
+    if (radius > 0) Overlay.dissolve2(shape +: caps)
+    else {
+      // dissolved boundary buffer = ONE multi-ring shape (outer + hole rings,
+      // even-odd) — splitting the rings into separate shapes would lose holes
+      val boundary: Overlay.Shape = Overlay.dissolve2(caps)
+      Overlay.erase(Seq(shape), Seq(boundary))
+    }
+  }
+
+  /** Geodesic point buffer: ring of constant great-circle distance on the
+   * sphere (spherical direct problem; the reference's geodesic buffers use
+   * the ellipsoidal equivalent via geographiclib —
+   * `src/buffer/mapshaper-geodesic.mjs`). Output ring in lon/lat degrees. */
+  def geodesicPointBufferRing(lonDeg: Double, latDeg: Double, radiusMeters: Double,
+                              nSeg: Int = 32, radiusEarth: Double = 6371008.8): Array[Double] = {
+    val d2r = math.Pi / 180.0
+    val phi = latDeg * d2r
+    val lam = lonDeg * d2r
+    val delta = radiusMeters / radiusEarth
+    val sinD = math.sin(delta); val cosD = math.cos(delta)
+    val sinP = math.sin(phi); val cosP = math.cos(phi)
+    val out = new Array[Double]((nSeg + 1) * 2)
+    var i = 0
+    while (i < nSeg) {
+      val theta = 2.0 * math.Pi * i / nSeg
+      val sinLat2 = sinP * cosD + cosP * sinD * math.cos(theta)
+      val lat2 = math.asin(math.max(-1.0, math.min(1.0, sinLat2)))
+      val lon2 = lam + math.atan2(math.sin(theta) * sinD * cosP, cosD - sinP * sinLat2)
+      out(i * 2) = lon2 / d2r
+      out(i * 2 + 1) = lat2 / d2r
+      i += 1
+    }
+    out(nSeg * 2) = out(0)
+    out(nSeg * 2 + 1) = out(1)
+    out
   }
 
   /** Polylines → polygons: every bounded face of the line arrangement

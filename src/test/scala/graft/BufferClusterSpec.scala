@@ -57,6 +57,35 @@ class BufferClusterSpec extends AnyFunSuite {
     assert(insideLen == 6.0 && outsideLen == 4.0)
   }
 
+  test("geodesic point buffer: constant great-circle distance from center") {
+    val R = 6371008.8
+    def haversine(lon1: Double, lat1: Double, lon2: Double, lat2: Double): Double = {
+      val d2r = math.Pi / 180
+      val dlat = (lat2 - lat1) * d2r; val dlon = (lon2 - lon1) * d2r
+      val a = math.sin(dlat / 2) * math.sin(dlat / 2) +
+        math.cos(lat1 * d2r) * math.cos(lat2 * d2r) * math.sin(dlon / 2) * math.sin(dlon / 2)
+      2 * R * math.asin(math.sqrt(a))
+    }
+    for ((lon, lat, r) <- Seq((-100.0, 40.0, 50000.0), (10.0, 70.0, 200000.0), (170.0, -35.0, 1000000.0))) {
+      val ring = Buffer.geodesicPointBufferRing(lon, lat, r, nSeg = 36)
+      (0 until 36).foreach { i =>
+        val d = haversine(lon, lat, ring(i * 2), ring(i * 2 + 1))
+        assert(math.abs(d - r) < 1e-3, s"vertex $i: $d vs $r")
+      }
+    }
+  }
+
+  test("polygon buffer dilation/erosion areas match closed forms") {
+    val sq: graft.geom.Overlay.Shape =
+      Seq(Array(0.0, 0.0, 6.0, 0.0, 6.0, 6.0, 0.0, 6.0, 0.0, 0.0))
+    val r = 1.0
+    val dil = graft.geom.Overlay.layerArea(Buffer.polygonBuffer(sq, r, nSeg = 32))
+    val ngon = 16.0 * r * r * math.sin(math.Pi / 16.0)
+    assert(math.abs(dil - (36.0 + 24.0 * r + ngon)) < 1e-9)
+    val ero = graft.geom.Overlay.layerArea(Buffer.polygonBuffer(sq, -r, nSeg = 32))
+    assert(math.abs(ero - 16.0) < 1e-9)
+  }
+
   test("greedy cluster merges nearest centroids deterministically") {
     val items = Seq(
       (1L, 0.0, 0.0), (2L, 1.0, 0.0), (3L, 0.5, 0.5), // tight group
