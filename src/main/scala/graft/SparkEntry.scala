@@ -855,6 +855,39 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // -classify method=quantile: exact reference break semantics
+    // (ascending[floor(i*n/numRanges)]) via distributed rank-select
+    "q_classify_quantile" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val breaks = Classify.quantileBreaks(s, part, "p_retailprice", numBreaks = 4)
+      part.select(col("p_partkey"),
+          Classify.classId(col("p_retailprice"), breaks).cast("long").as("cls"))
+        .orderBy("p_partkey")
+    }),
+
+    // -classify method=hybrid: quantile outer buckets + equal-interval inner
+    "q_classify_hybrid" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val breaks = Classify.hybridBreaks(s, li, "l_extendedprice", numBreaks = 5)
+      li.select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+          Classify.classId(col("l_extendedprice"), breaks).cast("long").as("cls"))
+        .orderBy("l_orderkey", "l_linenumber", "cls")
+    }),
+
+    // -colorizer: sequential (equal-interval breaks -> color ramp) and
+    // categorical (exact match + other) color assignment
+    "q_colorize" -> ((s, dir) => {
+      val part = t(s, dir, "part")
+      val breaks = Classify.equalIntervalBreaks(part, "p_retailprice", numBreaks = 4)
+      val ramp = Seq("#fee", "#fcc", "#f99", "#f66", "#f33")
+      part.select(col("p_partkey"),
+          Classify.colorize(col("p_retailprice"), breaks, ramp).as("seq_color"),
+          Classify.colorizeCategorical(col("p_brand"),
+            Seq("Brand#13", "Brand#23"), Seq("#b13", "#b23"), otherColor = "#oth")
+            .as("cat_color"))
+        .orderBy("p_partkey")
+    }),
+
     // -clip on polylines: horizontal segments vs a rectangle polygon — the
     // clipped (inside) length has the closed form |[max(x,20), min(x+7,70)]|,
     // so the full divide-at-intersections kernel is DuckDB-verified
@@ -1340,6 +1373,67 @@ object SparkEntry {
          |FROM ll ORDER BY id""".stripMargin,
 
     "q_proj_crs" -> projCrsSql,
+
+    "q_classify_quantile" ->
+      """WITH asc0 AS (SELECT p_retailprice AS v,
+        |  row_number() OVER (ORDER BY p_retailprice) - 1 AS rnk,
+        |  count(*) OVER () AS n FROM part),
+        |brk AS (SELECT
+        |  max(CASE WHEN rnk = CAST(floor(1.0 * (CAST(n AS DOUBLE) / 5.0)) AS BIGINT) THEN v END) AS b1,
+        |  max(CASE WHEN rnk = CAST(floor(2.0 * (CAST(n AS DOUBLE) / 5.0)) AS BIGINT) THEN v END) AS b2,
+        |  max(CASE WHEN rnk = CAST(floor(3.0 * (CAST(n AS DOUBLE) / 5.0)) AS BIGINT) THEN v END) AS b3,
+        |  max(CASE WHEN rnk = CAST(floor(4.0 * (CAST(n AS DOUBLE) / 5.0)) AS BIGINT) THEN v END) AS b4
+        |  FROM asc0)
+        |SELECT p_partkey, CAST(
+        |  (CASE WHEN p_retailprice >= b1 THEN 1 ELSE 0 END) +
+        |  (CASE WHEN p_retailprice >= b2 THEN 1 ELSE 0 END) +
+        |  (CASE WHEN p_retailprice >= b3 THEN 1 ELSE 0 END) +
+        |  (CASE WHEN p_retailprice >= b4 THEN 1 ELSE 0 END) AS BIGINT) AS cls
+        |FROM part CROSS JOIN brk ORDER BY p_partkey""".stripMargin,
+
+    "q_classify_hybrid" ->
+      """WITH asc0 AS (SELECT l_extendedprice AS v,
+        |  row_number() OVER (ORDER BY l_extendedprice) - 1 AS rnk,
+        |  count(*) OVER () AS n FROM lineitem),
+        |qb AS (SELECT
+        |  max(CASE WHEN rnk = CAST(floor(1.0 * (CAST(n AS DOUBLE) / 6.0)) AS BIGINT) THEN v END) AS q1,
+        |  max(CASE WHEN rnk = CAST(floor(5.0 * (CAST(n AS DOUBLE) / 6.0)) AS BIGINT) THEN v END) AS q5
+        |  FROM asc0),
+        |mm AS (SELECT min(v) AS mn, max(v) AS mx
+        |  FROM asc0 CROSS JOIN qb WHERE v >= q1 AND v < q5),
+        |brk AS (SELECT q1 AS b1,
+        |  mn + 1.0 * ((mx - mn) / 4.0) AS b2,
+        |  mn + 2.0 * ((mx - mn) / 4.0) AS b3,
+        |  mn + 3.0 * ((mx - mn) / 4.0) AS b4,
+        |  q5 AS b5 FROM qb CROSS JOIN mm)
+        |SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, CAST(
+        |  (CASE WHEN l_extendedprice >= b1 THEN 1 ELSE 0 END) +
+        |  (CASE WHEN l_extendedprice >= b2 THEN 1 ELSE 0 END) +
+        |  (CASE WHEN l_extendedprice >= b3 THEN 1 ELSE 0 END) +
+        |  (CASE WHEN l_extendedprice >= b4 THEN 1 ELSE 0 END) +
+        |  (CASE WHEN l_extendedprice >= b5 THEN 1 ELSE 0 END) AS BIGINT) AS cls
+        |FROM lineitem CROSS JOIN brk
+        |ORDER BY l_orderkey, l_linenumber, cls""".stripMargin,
+
+    "q_colorize" ->
+      """WITH mm AS (SELECT min(p_retailprice) AS mn, max(p_retailprice) AS mx FROM part),
+        |brk AS (SELECT
+        |  mn + 1.0 * ((mx - mn) / 5.0) AS b1,
+        |  mn + 2.0 * ((mx - mn) / 5.0) AS b2,
+        |  mn + 3.0 * ((mx - mn) / 5.0) AS b3,
+        |  mn + 4.0 * ((mx - mn) / 5.0) AS b4 FROM mm),
+        |cls AS (SELECT p_partkey, p_brand,
+        |  (CASE WHEN p_retailprice >= b1 THEN 1 ELSE 0 END) +
+        |  (CASE WHEN p_retailprice >= b2 THEN 1 ELSE 0 END) +
+        |  (CASE WHEN p_retailprice >= b3 THEN 1 ELSE 0 END) +
+        |  (CASE WHEN p_retailprice >= b4 THEN 1 ELSE 0 END) AS c
+        |  FROM part CROSS JOIN brk)
+        |SELECT p_partkey,
+        |  CASE c WHEN 0 THEN '#fee' WHEN 1 THEN '#fcc' WHEN 2 THEN '#f99'
+        |         WHEN 3 THEN '#f66' ELSE '#f33' END AS seq_color,
+        |  CASE WHEN p_brand = 'Brand#13' THEN '#b13'
+        |       WHEN p_brand = 'Brand#23' THEN '#b23' ELSE '#oth' END AS cat_color
+        |FROM cls ORDER BY p_partkey""".stripMargin,
 
     "q_clip_lines" ->
       s"""WITH $ptsSql
