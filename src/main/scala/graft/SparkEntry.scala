@@ -855,6 +855,32 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // -slice: pairwise clip pieces per (target, source) — rect fixtures give
+    // closed-form piece areas
+    "q_slice" -> ((s, dir) => {
+      import s.implicits._
+      val sources = polyJoinSources.map { case (k, shape) => (k, shape.head) }
+        .toDF("key", "ring")
+      OverlayOp.slice(s, polyJoinTargetsDf(s, dir), sources)
+        .select(col("t_key"), col("s_key"), col("n_rings"),
+          floor(col("area") * 1000000.0).cast("long").as("area_int"))
+        .orderBy("t_key", "s_key")
+    }),
+
+    // -split expression= : tag rows with the split layer (scale path:
+    // write.partitionBy(layer)); verified via per-layer aggregates
+    "q_split_expr" -> ((s, dir) =>
+      Split.byExpression(t(s, dir, "part"), col("p_brand"))
+        .groupBy("layer")
+        .agg(count(lit(1)).as("n"), sum(col("p_partkey")).as("key_sum"))
+        .orderBy("layer")),
+
+    // -info: per-column stats in one aggregation
+    "q_info" -> ((s, dir) =>
+      Info.describe(s, t(s, dir, "part"), Seq("p_partkey", "p_brand", "p_type"))
+        .withColumnRenamed("column", "col_name")
+        .orderBy("col_name")),
+
     // -classify method=quantile: exact reference break semantics
     // (ascending[floor(i*n/numRanges)]) via distributed rank-select
     "q_classify_quantile" -> ((s, dir) => {
@@ -1373,6 +1399,39 @@ object SparkEntry {
          |FROM ll ORDER BY id""".stripMargin,
 
     "q_proj_crs" -> projCrsSql,
+
+    "q_slice" ->
+      s"""WITH $ptsSql,
+         |cells AS (SELECT DISTINCT CAST(floor(x / 10.0) AS BIGINT) AS cx,
+         |    CAST(floor(y / 10.0) AS BIGINT) AS cy FROM pts),
+         |srcs(s_key, sx1, sy1, sx2, sy2) AS (VALUES
+         |  (100, 5, 5, 55, 55), (101, 45, 25, 95, 75), (102, 25, 45, 75, 95)),
+         |ov AS (
+         |  SELECT cx * 100 + cy AS t_key, s_key,
+         |    greatest(least(cx * 10 + 10, sx2) - greatest(cx * 10, sx1), 0) *
+         |    greatest(least(cy * 10 + 10, sy2) - greatest(cy * 10, sy1), 0) AS a
+         |  FROM cells CROSS JOIN srcs)
+         |SELECT t_key, CAST(s_key AS BIGINT) AS s_key, CAST(1 AS BIGINT) AS n_rings,
+         |  CAST(floor(CAST(a AS DOUBLE) * 1000000.0) AS BIGINT) AS area_int
+         |FROM ov WHERE a > 0 ORDER BY t_key, s_key""".stripMargin,
+
+    "q_split_expr" ->
+      """SELECT p_brand AS layer, count(*) AS n, sum(p_partkey) AS key_sum
+        |FROM part GROUP BY p_brand ORDER BY layer""".stripMargin,
+
+    "q_info" ->
+      """SELECT * FROM (
+        |  SELECT 'p_partkey' AS col_name, 'bigint' AS dtype, count(p_partkey) AS n,
+        |    count(*) - count(p_partkey) AS n_null,
+        |    CAST(min(p_partkey) AS VARCHAR) AS min_s, CAST(max(p_partkey) AS VARCHAR) AS max_s
+        |  FROM part
+        |  UNION ALL
+        |  SELECT 'p_brand', 'string', count(p_brand), count(*) - count(p_brand),
+        |    CAST(min(p_brand) AS VARCHAR), CAST(max(p_brand) AS VARCHAR) FROM part
+        |  UNION ALL
+        |  SELECT 'p_type', 'string', count(p_type), count(*) - count(p_type),
+        |    CAST(min(p_type) AS VARCHAR), CAST(max(p_type) AS VARCHAR) FROM part)
+        |ORDER BY col_name""".stripMargin,
 
     "q_classify_quantile" ->
       """WITH asc0 AS (SELECT p_retailprice AS v,

@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.geom.Overlay
+
+/**
+ * Smaller command-surface operators:
+ *
+ *  - [[Split.byExpression]] — `-split` with an expression/field: each distinct
+ *    value becomes a layer (`/root/reference/src/commands/mapshaper-split.mjs:9-60`).
+ *  - [[Stitch.antimeridian]] — `-stitch`: remove antimeridian cuts in lat-lon
+ *    polygon data by shifting west-side pieces +360, dissolving shared edges,
+ *    and renormalizing (`mapshaper-stitch.mjs:12-60`).
+ *  - [[Info.describe]] — `-info`: per-column stats (count, nulls, min, max)
+ *    as a table (`src/commands/mapshaper-info.mjs:18-50`).
+ */
+object Split {
+
+  /** Tag rows with their layer name (the split key); at scale this feeds
+   * `write.partitionBy("layer")` — one job for any number of layers. */
+  def byExpression(df: DataFrame, expr: Column): DataFrame =
+    df.withColumn("layer", expr.cast("string"))
+
+  /** Materialized per-layer views (layer count is user-bounded, like the
+   * reference's one-layer-per-value output). */
+  def toLayers(df: DataFrame, expr: Column): Map[String, DataFrame] = {
+    val tagged = byExpression(df, expr)
+    tagged.select("layer").distinct().collect().map(_.getString(0))
+      .map(name => name -> tagged.filter(col("layer") === name).drop("layer"))
+      .toMap
+  }
+}
+
+object Stitch {
+
+  private def lonRange(r: Array[Double]): (Double, Double) = {
+    var mn = Double.MaxValue; var mx = Double.MinValue
+    var i = 0
+    while (i < r.length) {
+      mn = math.min(mn, r(i)); mx = math.max(mx, r(i))
+      i += 2
+    }
+    (mn, mx)
+  }
+
+  private def shiftLon(r: Array[Double], d: Double): Array[Double] = {
+    val out = r.clone()
+    var i = 0
+    while (i < out.length) { out(i) += d; i += 2 }
+    out
+  }
+
+  /**
+   * Merge polygon pieces that were cut at the antimeridian: pieces touching
+   * lon = -180 are shifted +360 onto the east side, shared cut edges cancel
+   * in the mosaic dissolve, and fully-shifted output rings are renormalized
+   * to [-180, 180]. Rings that genuinely span the meridian after merging are
+   * returned in the 0..360 frame (the caller reprojects).
+   */
+  def antimeridian(rings: Seq[Array[Double]], eps: Double = 1e-9): Seq[Array[Double]] = {
+    val shifted = rings.map { r =>
+      val (mn, _) = lonRange(r)
+      if (mn <= -180.0 + eps) shiftLon(r, 360.0) else r
+    }
+    val merged = Overlay.dissolve2(shifted.map(Seq(_)))
+    merged.map { r =>
+      val (mn, _) = lonRange(r)
+      if (mn >= 180.0 - eps) shiftLon(r, -360.0) else r
+    }
+  }
+}
+
+object Info {
+
+  /** Column statistics table: (column, dtype, n, n_null, min_s, max_s) —
+   * one distributed aggregation for all columns. */
+  def describe(spark: SparkSession, df: DataFrame, cols: Seq[String] = Nil): DataFrame = {
+    import spark.implicits._
+    val names = if (cols.nonEmpty) cols else df.columns.toSeq
+    val aggs = names.flatMap { c =>
+      Seq(count(col(c)).as(s"_n_$c"),
+        min(col(c)).cast("string").as(s"_mn_$c"),
+        max(col(c)).cast("string").as(s"_mx_$c"))
+    }
+    val total = count(lit(1)).as("_total")
+    val row = df.agg(total, aggs: _*).head()
+    val totalN = row.getLong(0)
+    val types = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toMap
+    names.map { c =>
+      val n = row.getAs[Long](s"_n_$c")
+      (c, types(c), n, totalN - n,
+        Option(row.getAs[String](s"_mn_$c")).getOrElse(""),
+        Option(row.getAs[String](s"_mx_$c")).getOrElse(""))
+    }.toDF("column", "dtype", "n", "n_null", "min_s", "max_s")
+  }
+}

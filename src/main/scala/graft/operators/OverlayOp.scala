@@ -51,6 +51,28 @@ object OverlayOp {
   }
 
   /**
+   * `-slice`: cut target shapes by each source polygon — one output row per
+   * overlapping (target, source) pair carrying the clipped piece's ring count
+   * and area (ref `mapshaper-clip-erase.mjs:38-44`, clip type "slice").
+   * Distributed exactly like [[PolyJoin.overlapDistributed]]: cell-join
+   * candidates on ids, re-join rings, pairwise clip kernel per pair.
+   */
+  def slice(spark: SparkSession, targets: DataFrame, sources: DataFrame,
+            cellRes: Int = 6): DataFrame = {
+    val pieceUdf = udf { (t: Seq[Double], s: Seq[Double]) =>
+      val out = Overlay.clip(Seq(Seq(t.toArray)), Seq(Seq(s.toArray)))
+      (out.length, Overlay.layerArea(out))
+    }
+    PolyJoin.candidatePairs(spark, targets, sources, cellRes)
+      .join(targets.select(col("key").cast("long").as("t_key"), col("ring").as("t_ring")), Seq("t_key"))
+      .join(sources.select(col("key").cast("long").as("s_key"), col("ring").as("s_ring")), Seq("s_key"))
+      .withColumn("_p", pieceUdf(col("t_ring"), col("s_ring")))
+      .select(col("t_key"), col("s_key"),
+        col("_p._1").cast("long").as("n_rings"), col("_p._2").as("area"))
+      .filter(col("area") > 0.0)
+  }
+
+  /**
    * FULLY DISTRIBUTED dissolve2 — the scale path for overlay on shape sets
    * too big for one kernel invocation. The mosaic kernel is only global per
    * CONNECTED COMPONENT of touching/overlapping shapes, so:

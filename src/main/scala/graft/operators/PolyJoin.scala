@@ -87,8 +87,10 @@ object PolyJoin {
    * Input DFs: (key: Long, ring: Array[Double]) — single-ring shapes.
    * Output: (t_key, s_key, shared_area), only pairs with positive area.
    */
-  def overlapDistributed(spark: SparkSession, targets: DataFrame, sources: DataFrame,
-                         cellRes: Int = 6): DataFrame = {
+  /** Candidate (t_key, s_key) pairs whose bbox covering cells intersect —
+   * ids only through the shuffle; shared by overlap join and `-slice`. */
+  def candidatePairs(spark: SparkSession, targets: DataFrame, sources: DataFrame,
+                     cellRes: Int): DataFrame = {
     def withCells(df: DataFrame, keyOut: String): DataFrame = {
       val cellsUdf = udf { (ring: Seq[Double]) =>
         var x0 = Double.MaxValue; var y0 = Double.MaxValue
@@ -104,9 +106,13 @@ object PolyJoin {
       df.select(col("key").cast("long").as(keyOut),
           explode(cellsUdf(col("ring"))).as("_cell"))
     }
-    val cand = withCells(targets, "t_key").join(withCells(sources, "s_key"), Seq("_cell"))
+    withCells(targets, "t_key").join(withCells(sources, "s_key"), Seq("_cell"))
       .select("t_key", "s_key").distinct()
+  }
 
+  def overlapDistributed(spark: SparkSession, targets: DataFrame, sources: DataFrame,
+                         cellRes: Int = 6): DataFrame = {
+    val cand = candidatePairs(spark, targets, sources, cellRes)
     val clipAreaUdf = udf { (t: Seq[Double], s: Seq[Double]) =>
       Overlay.layerArea(Overlay.clip(Seq(Seq(t.toArray)), Seq(Seq(s.toArray))))
     }

@@ -58,4 +58,27 @@ class MiscOpsSpec extends SparkSuite {
       i += 2
     }
   }
+
+  test("stitch merges polygon pieces cut at the antimeridian") {
+    import graft.operators.Stitch
+    // rectangle [170, 190] x [-10, 10] cut into east [170,180] + west [-180,-170]
+    val east = rect(170, -10, 180, 10)
+    val west = rect(-180, -10, -170, 10)
+    val out = Stitch.antimeridian(Seq(east, west))
+    assert(out.size == 1)
+    assert(math.abs(math.abs(Overlay.layerArea(out)) - 400.0) < 1e-9)
+    // a polygon NOT touching the meridian is untouched
+    val inner = rect(0, 0, 10, 10)
+    val out2 = Stitch.antimeridian(Seq(inner))
+    assert(out2.size == 1 && math.abs(math.abs(Overlay.layerArea(out2)) - 100.0) < 1e-9)
+  }
+
+  test("split by expression produces per-value layers") {
+    import graft.operators.Split
+    val df = Seq((1, "a"), (2, "b"), (3, "a"), (4, "c")).toDF("id", "k")
+    val layers = Split.toLayers(df, col("k"))
+    assert(layers.keySet == Set("a", "b", "c"))
+    assert(layers("a").select("id").as[Int].collect().sorted.toSeq == Seq(1, 3))
+    assert(layers("c").count() == 1)
+  }
 }
