@@ -855,6 +855,26 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // raster blur: point-density grid -> clamped 3x3 box blur; output the
+    // integer neighbor-sum (9 * blurred value) so the compare is FP-free
+    "q_raster_blur" -> ((s, dir) => {
+      import s.implicits._
+      val counts = points(s, dir)
+        .select(floor(col("x") / 10.0).cast("int").as("cx"),
+          floor(col("y") / 10.0).cast("int").as("cy"))
+        .groupBy("cx", "cy").count()
+        .collect().map(r => ((r.getInt(0), r.getInt(1)), r.getLong(2))).toMap
+      val vals = Array.tabulate(100) { i =>
+        counts.getOrElse((i % 10, i / 10), 0L).toDouble
+      }
+      val g = Raster.Grid(10, 10, vals, Raster.Georef(0, 100, 10))
+      val blurred = Raster.boxBlur(g, 1)
+      (for (cy <- 0 until 10; cx <- 0 until 10) yield
+        (cx.toLong, cy.toLong, math.round(blurred(cx, cy) * 9.0)))
+        .toDF("cx", "cy", "m")
+        .orderBy("cx", "cy")
+    }),
+
     // -slice: pairwise clip pieces per (target, source) — rect fixtures give
     // closed-form piece areas
     "q_slice" -> ((s, dir) => {
@@ -1399,6 +1419,23 @@ object SparkEntry {
          |FROM ll ORDER BY id""".stripMargin,
 
     "q_proj_crs" -> projCrsSql,
+
+    "q_raster_blur" ->
+      s"""WITH $ptsSql,
+         |cnt AS (SELECT CAST(floor(x / 10.0) AS BIGINT) AS cx,
+         |  CAST(floor(y / 10.0) AS BIGINT) AS cy, count(*) AS c
+         |  FROM pts GROUP BY 1, 2),
+         |g AS (SELECT gx.range AS cx, gy.range AS cy, COALESCE(cnt.c, 0) AS c
+         |  FROM range(10) gx CROSS JOIN range(10) gy
+         |  LEFT JOIN cnt ON cnt.cx = gx.range AND cnt.cy = gy.range)
+         |SELECT a.cx, a.cy, CAST(sum(bv.c) AS BIGINT) AS m
+         |FROM g a
+         |CROSS JOIN (VALUES (-1), (0), (1)) dxs(dx)
+         |CROSS JOIN (VALUES (-1), (0), (1)) dys(dy)
+         |JOIN g bv ON bv.cx = least(greatest(a.cx + dxs.dx, 0), 9)
+         |         AND bv.cy = least(greatest(a.cy + dys.dy, 0), 9)
+         |GROUP BY a.cx, a.cy
+         |ORDER BY a.cx, a.cy""".stripMargin,
 
     "q_slice" ->
       s"""WITH $ptsSql,
