@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{DbfReader, Export, GeoParquet, ShpReader}
+
+class ExportSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def rect(x1: Double, y1: Double, x2: Double, y2: Double): Array[Double] =
+    Array(x1, y1, x2, y1, x2, y2, x1, y2, x1, y1)
+
+  test("shapefile polygon export round-trips through our own reader") {
+    val shapes = Seq(
+      Seq(rect(0, 0, 10, 10), rect(3, 3, 5, 5)), // with hole ring
+      Seq(rect(20, 20, 25, 30)))
+    val (shp, shx) = Export.writePolygonShp(shapes)
+    assert(shx.length == 100 + shapes.length * 8)
+    val dir = Files.createTempDirectory("shpexp")
+    Files.write(dir.resolve("t.shp"), shp)
+    val layer = ShpReader.readPolygons(dir.resolve("t.shp").toString)
+    assert(layer.numRings == 3)
+    // ring coordinates survive byte-exactly
+    val r0 = (0 until 5).flatMap(i => Seq(layer.xx(i), layer.yy(i))).toArray
+    assert(r0.sameElements(shapes.head.head))
+  }
+
+  test("shapefile point export round-trips") {
+    val pts = Seq((1.5, 2.5), (-3.25, 4.0), (100.0, -45.5))
+    val (shp, _) = Export.writePointShp(pts)
+    val dir = Files.createTempDirectory("shppt")
+    Files.write(dir.resolve("p.shp"), shp)
+    val back = ShpReader.readPoints(dir.resolve("p.shp").toString)
+    assert(back.map(p => (p._2, p._3)) == pts)
+  }
+
+  test("dbf export round-trips through our own reader") {
+    val fields = Seq(("NAME", 'C', 12, 0), ("POP", 'N', 10, 0), ("RATE", 'N', 12, 3))
+    val rows = Seq(
+      Seq("alpha", 1234L, 0.25),
+      Seq("beta-longer", 987654321L, 12.5),
+      Seq("", null, null))
+    val bytes = Export.writeDbf(fields, rows)
+    val dir = Files.createTempDirectory("dbfexp")
+    Files.write(dir.resolve("t.dbf"), bytes)
+    val table = DbfReader.read(dir.resolve("t.dbf").toString)
+    assert(table.fields.map(_.name) == Seq("NAME", "POP", "RATE"))
+    assert(table.rows.length == 3)
+    assert(table.rows(0)("NAME") == "alpha" && table.rows(0)("POP") == 1234.0)
+    assert(table.rows(1)("RATE") == 12.5)
+    assert(table.rows(2)("POP") == null)
+  }
+
+  test("svg export contains a path per shape with flipped y") {
+    val svg = Export.writeSvg(Seq(
+      (Seq(rect(0, 0, 10, 10)), """fill="red""""),
+      (Seq(rect(2, 2, 4, 4)), """fill="blue"""")))
+    assert(svg.contains("<svg") && svg.count(_ == 'M') == 2)
+    assert(svg.contains("viewBox=\"0 0 10.00 10.00\""))
+    // y flip: the outer rect's (0,0) renders at svg y = 10
+    assert(svg.contains("M0.00 10.00"))
+  }
+
+  test("zip and gzip containers round-trip (shp+dbf bundle)") {
+    val (shp, shx) = Export.writePointShp(Seq((1.0, 2.0)))
+    val dbf = Export.writeDbf(Seq(("ID", 'N', 4, 0)), Seq(Seq(7L)))
+    val bundle = Export.zip(Seq(("layer.shp", shp), ("layer.shx", shx), ("layer.dbf", dbf)))
+    val back = Export.unzip(bundle).toMap
+    assert(back.keySet == Set("layer.shp", "layer.shx", "layer.dbf"))
+    assert(back("layer.shp").sameElements(shp))
+    val gz = Export.gzip(shp)
+    assert(Export.gunzip(gz).sameElements(shp))
+  }
+
+  test("GeoParquet: WKB column + geo footer metadata, Spark reads data back") {
+    val df = Seq((1L, 10.0, 20.0), (2L, -5.5, 7.25)).toDF("id", "x", "y")
+      .withColumn("geometry", GeoParquet.wkbPoint(col("x"), col("y")))
+    val dir = Files.createTempDirectory("geopq").toString + "/pts"
+    GeoParquet.write(spark, df, "geometry", dir, Seq("Point"), (-5.5, 7.25, 10.0, 20.0))
+    val meta = GeoParquet.readGeoMetadata(dir)
+    assert(meta != null && meta.contains("\"primary_column\":\"geometry\"")
+      && meta.contains("\"encoding\":\"WKB\"") && meta.contains("1.0.0"))
+    // Spark still reads the rewritten files, and the WKB decodes
+    val back = spark.read.parquet(dir).orderBy("id").collect()
+    assert(back.length == 2)
+    val (x, y) = GeoParquet.parseWkbPoint(back(0).getAs[Array[Byte]]("geometry"))
+    assert(x == 10.0 && y == 20.0)
+  }
+}
