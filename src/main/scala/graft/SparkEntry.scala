@@ -855,6 +855,28 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // -rotate: spherical Euler-angle rotation (d3 semantics, ref
+    // mapshaper-spherical-rotation.mjs) — trig mirrored in DuckDB, floor 1e6
+    "q_rotate" -> ((s, dir) => {
+      val rot = Proj.forward(col("lon"), col("lat"), graft.geom.Crs.Rotation(25.0, 15.0, 30.0))
+      points(s, dir)
+        .withColumn("lon", col("x") * 3.6 - 180.0)
+        .withColumn("lat", col("y") * 1.7 - 85.0)
+        .select(col("id"),
+          floor(rot(0) * 1000000.0).cast("long").as("rlon_int"),
+          floor(rot(1) * 1000000.0).cast("long").as("rlat_int"))
+        .orderBy("id")
+    }),
+
+    // polygon->polygon join via points: target squares reduced to interior
+    // points, PIP-joined to the broadcast source rectangles
+    "q_poly_join_points" -> ((s, dir) => {
+      val srcLayer = PolygonLayer.fromShapes(polyJoinSources)
+      PolyJoin.viaPoints(s, polyJoinTargetsDf(s, dir), srcLayer)
+        .select(col("key").as("t_key"), col("s_key"))
+        .orderBy("t_key", "s_key")
+    }),
+
     // raster blur: point-density grid -> clamped 3x3 box blur; output the
     // integer neighbor-sum (9 * blurred value) so the compare is FP-free
     "q_raster_blur" -> ((s, dir) => {
@@ -1419,6 +1441,40 @@ object SparkEntry {
          |FROM ll ORDER BY id""".stripMargin,
 
     "q_proj_crs" -> projCrsSql,
+
+    "q_rotate" -> {
+      val D2R = dl(Crs.D2R); val PI = dl(math.Pi); val TWOPI = dl(2.0 * math.Pi)
+      val A = dl(25.0 * Crs.D2R)
+      val COSB = dl(math.cos(15.0 * Crs.D2R)); val SINB = dl(math.sin(15.0 * Crs.D2R))
+      val COSC = dl(math.cos(30.0 * Crs.D2R)); val SINC = dl(math.sin(30.0 * Crs.D2R))
+      val R2D = dl(Crs.R2D)
+      s"""WITH $ptsSql,
+         |ll AS (SELECT id, x * 3.6 - 180.0 AS lon, y * 1.7 - 85.0 AS lat FROM pts),
+         |r0 AS (SELECT id, lon * $D2R + $A AS lam0, lat * $D2R AS phi FROM ll),
+         |r1 AS (SELECT id, phi,
+         |  CASE WHEN lam0 > $PI THEN lam0 - $TWOPI
+         |       WHEN lam0 < -$PI THEN lam0 + $TWOPI ELSE lam0 END AS lam FROM r0),
+         |r2 AS (SELECT id, cos(lam) * cos(phi) AS x, sin(lam) * cos(phi) AS y,
+         |  sin(phi) AS z FROM r1),
+         |r3 AS (SELECT id, x, y, z, z * $COSB + x * $SINB AS k FROM r2)
+         |SELECT id,
+         |  CAST(floor(atan2(y * $COSC - k * $SINC, x * $COSB - z * $SINB) * $R2D
+         |    * 1000000.0) AS BIGINT) AS rlon_int,
+         |  CAST(floor(asin(k * $COSC + y * $SINC) * $R2D * 1000000.0) AS BIGINT) AS rlat_int
+         |FROM r3 ORDER BY id""".stripMargin
+    },
+
+    "q_poly_join_points" ->
+      s"""WITH $ptsSql,
+         |cells AS (SELECT DISTINCT CAST(floor(x / 10.0) AS BIGINT) AS cx,
+         |    CAST(floor(y / 10.0) AS BIGINT) AS cy FROM pts),
+         |srcs(s_key, sx1, sy1, sx2, sy2) AS (VALUES
+         |  (100, 5, 5, 55, 55), (101, 45, 25, 95, 75), (102, 25, 45, 75, 95))
+         |SELECT cx * 100 + cy AS t_key, CAST(s_key AS BIGINT) AS s_key
+         |FROM cells CROSS JOIN srcs
+         |WHERE CAST(cx * 10 + 5 AS DOUBLE) >= sx1 AND CAST(cx * 10 + 5 AS DOUBLE) <= sx2
+         |  AND CAST(cy * 10 + 5 AS DOUBLE) >= sy1 AND CAST(cy * 10 + 5 AS DOUBLE) <= sy2
+         |ORDER BY t_key, s_key""".stripMargin,
 
     "q_raster_blur" ->
       s"""WITH $ptsSql,

@@ -220,6 +220,60 @@ object Crs {
     (if (latDeg < 0) utmSouth(z) else utmNorth(z)).forwardArr(lonDeg, latDeg)
   }
 
+  // ------------------------------------------------- spherical rotation
+
+  /**
+   * Spherical (Euler-angle) rotation — the reference's `-rotate`
+   * (`/root/reference/src/crs/mapshaper-spherical-rotation.mjs:26-84`, itself
+   * based on d3-geo's rotation.js): lambda shift with wrap, then the
+   * phi/gamma rotation. Forward/inverse in degrees, so it plugs into the
+   * same codegen [[Proj]] surface as the map projections.
+   */
+  final case class Rotation(aDeg: Double, bDeg: Double, cDeg: Double) extends Proj {
+    private val a = aDeg * D2R
+    private val b = bDeg * D2R
+    private val c = cDeg * D2R
+    private val cosB = math.cos(b); private val sinB = math.sin(b)
+    private val cosC = math.cos(c); private val sinC = math.sin(c)
+
+    private def wrap(lam: Double): Double =
+      if (lam > math.Pi) lam - 2 * math.Pi
+      else if (lam < -math.Pi) lam + 2 * math.Pi
+      else lam
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      var lam = lonDeg * D2R
+      var phi = latDeg * D2R
+      if (a != 0) lam = wrap(lam + a)
+      if (b != 0 || c != 0) {
+        val cosPhi = math.cos(phi)
+        val x = math.cos(lam) * cosPhi
+        val y = math.sin(lam) * cosPhi
+        val z = math.sin(phi)
+        val k = z * cosB + x * sinB
+        lam = math.atan2(y * cosC - k * sinC, x * cosB - z * sinB)
+        phi = math.asin(k * cosC + y * sinC)
+      }
+      (lam * R2D, phi * R2D)
+    }
+
+    def inverse(xDeg: Double, yDeg: Double): (Double, Double) = {
+      var lam = xDeg * D2R
+      var phi = yDeg * D2R
+      if (b != 0 || c != 0) {
+        val cosPhi = math.cos(phi)
+        val x = math.cos(lam) * cosPhi
+        val y = math.sin(lam) * cosPhi
+        val z = math.sin(phi)
+        val k = z * cosC - y * sinC
+        lam = math.atan2(y * cosC + z * sinC, x * cosB + k * sinB)
+        phi = math.asin(k * cosB - x * sinB)
+      }
+      if (a != 0) lam = wrap(lam - a)
+      (lam * R2D, phi * R2D)
+    }
+  }
+
   // ------------------------------------------------- azimuthal equidistant
 
   /** Azimuthal equidistant, spherical form (Snyder 25-1..25-15) on the

@@ -124,6 +124,59 @@ object PolyJoin {
       .filter(col("shared_area") > 0.0)
   }
 
+  /** Deterministic interior point of a single ring: the area centroid if it
+   * lies inside, else the first inside point of a bbox grid scan (ordered by
+   * distance from the bbox center). */
+  def ringInnerPoint(r: Array[Double]): (Double, Double) = {
+    val n = r.length / 2
+    val xs = Array.tabulate(n)(i => r(i * 2))
+    val ys = Array.tabulate(n)(i => r(i * 2 + 1))
+    var a2 = 0.0; var cx = 0.0; var cy = 0.0
+    var i = 0
+    while (i < n - 1) {
+      val cross = xs(i) * ys(i + 1) - xs(i + 1) * ys(i)
+      a2 += cross
+      cx += (xs(i) + xs(i + 1)) * cross
+      cy += (ys(i) + ys(i + 1)) * cross
+      i += 1
+    }
+    if (a2 != 0) {
+      val gx = cx / (3.0 * a2); val gy = cy / (3.0 * a2)
+      if (graft.geom.Geom.pointInRing(gx, gy, xs, ys, 0, n) != graft.geom.Geom.OUT)
+        return (gx, gy)
+    }
+    // concave fallback: grid scan
+    val x0 = xs.min; val x1 = xs.max; val y0 = ys.min; val y1 = ys.max
+    val mx = (x0 + x1) / 2; val my = (y0 + y1) / 2
+    val cands = for (gy <- 1 until 16; gx <- 1 until 16) yield
+      (x0 + (x1 - x0) * gx / 16.0, y0 + (y1 - y0) * gy / 16.0)
+    cands.filter { case (px, py) =>
+      graft.geom.Geom.pointInRing(px, py, xs, ys, 0, n) == graft.geom.Geom.IN
+    }.sortBy { case (px, py) => ((px - mx) * (px - mx) + (py - my) * (py - my), px, py) }
+      .headOption.getOrElse((mx, my))
+  }
+
+  /**
+   * Polygon→polygon join VIA POINTS (ref
+   * `src/join/mapshaper-join-polygons-via-points.mjs:3-30`): the bigger layer
+   * is reduced to interior points and PIP-joined against the broadcast
+   * smaller layer. Input targets: (key, ring); output: targets + `outCol`.
+   */
+  def viaPoints(spark: SparkSession, targets: DataFrame,
+                sourceLayer: graft.index.PolygonLayer, outCol: String = "s_key"): DataFrame = {
+    val innerUdf = udf { (ring: Seq[Double]) =>
+      val (x, y) = ringInnerPoint(ring.toArray)
+      Array(x, y)
+    }
+    val pts = targets
+      .withColumn("_ip", innerUdf(col("ring")))
+      .withColumn("_ix", col("_ip")(0))
+      .withColumn("_iy", col("_ip")(1))
+      .drop("_ip")
+    SpatialJoin.broadcastJoin(spark, pts, "_ix", "_iy", sourceLayer, outCol)
+      .drop("_ix", "_iy")
+  }
+
   /** largest-overlap as a distributed aggregation over an overlap table:
    * per target, max shared area; ties broken to the SMALLER source key. */
   def largestOverlapDf(overlaps: DataFrame): DataFrame =

@@ -93,6 +93,28 @@ class CrsSpec extends AnyFunSuite {
     }
   }
 
+  test("spherical rotation: pure lambda shift wraps, full rotation round-trips") {
+    val shift = Crs.Rotation(30.0, 0.0, 0.0)
+    val (l1, p1) = shift.forward(170.0, 10.0)
+    assert(math.abs(l1 - (-160.0)) < 1e-12 && math.abs(p1 - 10.0) < 1e-12)
+    val rot = Crs.Rotation(25.0, 15.0, 30.0)
+    testPts.foreach { case (lon, lat) =>
+      val (x, y) = rot.forward(lon, lat)
+      val (lon2, lat2) = rot.inverse(x, y)
+      val dLon = math.abs(((lon2 - lon) % 360 + 540) % 360 - 180)
+      assert(dLon < 1e-9 && math.abs(lat2 - lat) < 1e-9, s"($lon,$lat)")
+      // rotation is an isometry of the sphere: distances to a second point hold
+      val (x2, y2) = rot.forward(lon + 3.0, lat)
+      def gc(a1: Double, b1: Double, a2: Double, b2: Double): Double = {
+        val d2r = Crs.D2R
+        math.acos(math.max(-1, math.min(1,
+          math.sin(b1 * d2r) * math.sin(b2 * d2r) +
+            math.cos(b1 * d2r) * math.cos(b2 * d2r) * math.cos((a1 - a2) * d2r))))
+      }
+      assert(math.abs(gc(x, y, x2, y2) - gc(lon, lat, lon + 3.0, lat)) < 1e-9)
+    }
+  }
+
   test("AEQD: planar distance from center equals great-circle distance; round-trip") {
     val p = Crs.Aeqd(40.0, -100.0)
     testPts.foreach { case (lon, lat) =>
