@@ -582,6 +582,12 @@ object SparkEntry {
         .select(col("id"), col("rank").cast("long").as("rnk"), col("neighbor_id"))
         .orderBy("id", "rnk")),
 
+    "q_ann_ivf" -> ((s, dir) =>
+      Ann.ivfTopK(s, t(s, dir, "embeddings"), "vec_id", "embedding", k = 3,
+          nlist = 16, nprobe = 4)
+        .select(col("id"), col("rank").cast("long").as("rnk"), col("neighbor_id"))
+        .orderBy("id", "rnk")),
+
     // ---------------- image table (north-rule ops; binary payloads) --------
     "q_img_cell" -> ((s, dir) =>
       imagesDf(s, dir)

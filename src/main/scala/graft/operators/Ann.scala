@@ -71,6 +71,83 @@ object Ann {
   }
 
   /**
+   * IVF (inverted-file) approximate top-k — the classic coarse-quantizer ANN:
+   * deterministic Lloyd iterations build `nlist` centroids; every vector is
+   * assigned to its nearest list; a query probes the `nprobe` nearest lists
+   * and ranks candidates by exact cosine. At scale the per-list layout is a
+   * partitioned table: queries shuffle only (id, list) pairs, candidates
+   * co-locate by list id.
+   */
+  def ivfTopK(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
+              k: Int, nlist: Int = 16, nprobe: Int = 4, iters: Int = 3): DataFrame = {
+    import spark.implicits._
+    val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")).cache()
+
+    // deterministic init: the nlist vectors with the smallest ids
+    var centroids: Array[Array[Float]] = v.orderBy("id").limit(nlist)
+      .select("vec").as[Seq[Float]].collect().map(_.toArray)
+
+    def nearestList(centroidsBc: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]]) =
+      udf { (vv: Seq[Float]) =>
+        val arr = vv.toArray
+        var best = 0; var bestScore = Double.NegativeInfinity
+        var i = 0
+        while (i < centroidsBc.value.length) {
+          val s = cosine(arr, centroidsBc.value(i))
+          if (s > bestScore) { bestScore = s; best = i }
+          i += 1
+        }
+        best
+      }
+
+    // Lloyd: assign -> mean (deterministic; ties in argmax break to lower list)
+    var it = 0
+    while (it < iters) {
+      val bc = spark.sparkContext.broadcast(centroids)
+      val assigned = v.withColumn("_l", nearestList(bc)(col("vec")))
+      val dims = centroids(0).length
+      val sums = assigned
+        .select(col("_l"), posexplode(col("vec")).as(Seq("_d", "_x")))
+        .groupBy("_l", "_d").agg(sum(col("_x")).as("_s"), count(lit(1)).as("_n"))
+        .collect()
+      val acc = Array.fill(nlist, dims)(0.0)
+      val cnt = new Array[Long](nlist)
+      sums.foreach { r =>
+        val l = r.getInt(0); val d = r.getInt(1)
+        acc(l)(d) = r.getDouble(2)
+        cnt(l) = r.getLong(3)
+      }
+      centroids = Array.tabulate(nlist) { l =>
+        if (cnt(l) == 0) centroids(l)
+        else acc(l).map(x => (x / cnt(l)).toFloat)
+      }
+      it += 1
+    }
+
+    val bc = spark.sparkContext.broadcast(centroids)
+    val lists = v.withColumn("_l", nearestList(bc)(col("vec"))).cache()
+    val probesUdf = udf { (vv: Seq[Float]) =>
+      val arr = vv.toArray
+      bc.value.indices
+        .map(i => (cosine(arr, bc.value(i)), i))
+        .sortBy { case (s, i) => (-s, i) }
+        .take(nprobe).map(_._2).toArray
+    }
+    val queries = lists
+      .withColumn("_probe", explode(probesUdf(col("vec"))))
+      .select(col("id"), col("vec"), col("_probe").as("_l"))
+    val cand = queries.join(
+        lists.select(col("id").as("neighbor_id"), col("vec").as("nvec"), col("_l")), Seq("_l"))
+      .filter(col("id") =!= col("neighbor_id"))
+    val cosUdf = udf((a: Seq[Float], b: Seq[Float]) => cosine(a.toArray, b.toArray))
+    val w = Window.partitionBy("id").orderBy(col("score").desc, col("neighbor_id"))
+    cand.select(col("id"), col("neighbor_id"), cosUdf(col("vec"), col("nvec")).as("score"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("id", "rank", "neighbor_id", "score")
+  }
+
+  /**
    * LSH-bucketed approximate top-k: candidates share a hyperplane bucket with
    * the query (multi-probe: bucket itself + all Hamming-1 neighbors).
    */

@@ -102,21 +102,54 @@ object Grids {
   def hexCenter(q: Long, r: Long, size: Double): (Double, Double) =
     (size * math.sqrt(3.0) * (q + r / 2.0), size * 1.5 * r)
 
-  /** Hex polygon grid covering a bbox: (q, r, cx, cy, ring).
-   * The reference: `src/grids/mapshaper-hex-grid.mjs`. */
-  def hexGrid(spark: SparkSession, x0: Double, y0: Double, x1: Double, y1: Double,
-              size: Double): DataFrame = {
-    import spark.implicits._
-    val rMin = math.floor(y0 / (1.5 * size)).toLong - 1
-    val rMax = math.ceil(y1 / (1.5 * size)).toLong + 1
-    val rows = (rMin to rMax).flatMap { r =>
-      val qMin = math.floor(x0 / (math.sqrt(3.0) * size) - r / 2.0).toLong - 1
-      val qMax = math.ceil(x1 / (math.sqrt(3.0) * size) - r / 2.0).toLong + 1
-      (qMin to qMax).map { q =>
-        val (cx, cy) = hexCenter(q, r, size)
-        (q, r, cx, cy, hexRing(cx, cy, size))
-      }
+  /** Flat-top hexagon ring (circumradius r), closed. */
+  def hexRingFlatTop(cx: Double, cy: Double, r: Double): Array[Double] = {
+    val out = new Array[Double](14)
+    var i = 0
+    while (i < 6) {
+      val a = math.Pi / 3.0 * i // 0°, 60°, ...
+      out(i * 2) = cx + r * math.cos(a)
+      out(i * 2 + 1) = cy + r * math.sin(a)
+      i += 1
     }
+    out(12) = out(0); out(13) = out(1)
+    out
+  }
+
+  /** Center of an axial flat-top hex (columns step 1.5*size in x). */
+  def hexCenterFlatTop(q: Long, r: Long, size: Double): (Double, Double) =
+    (size * 1.5 * q, size * math.sqrt(3.0) * (r + q / 2.0))
+
+  /** Hex polygon grid covering a bbox: (q, r, cx, cy, ring). Both reference
+   * orientations (`src/grids/mapshaper-hex-grid.mjs:13,33`): `hex` = flat-top
+   * (flatTop = true), `hex2` = pointy-top (the default here). */
+  def hexGrid(spark: SparkSession, x0: Double, y0: Double, x1: Double, y1: Double,
+              size: Double, flatTop: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val rows =
+      if (!flatTop) {
+        val rMin = math.floor(y0 / (1.5 * size)).toLong - 1
+        val rMax = math.ceil(y1 / (1.5 * size)).toLong + 1
+        (rMin to rMax).flatMap { r =>
+          val qMin = math.floor(x0 / (math.sqrt(3.0) * size) - r / 2.0).toLong - 1
+          val qMax = math.ceil(x1 / (math.sqrt(3.0) * size) - r / 2.0).toLong + 1
+          (qMin to qMax).map { q =>
+            val (cx, cy) = hexCenter(q, r, size)
+            (q, r, cx, cy, hexRing(cx, cy, size))
+          }
+        }
+      } else {
+        val qMin = math.floor(x0 / (1.5 * size)).toLong - 1
+        val qMax = math.ceil(x1 / (1.5 * size)).toLong + 1
+        (qMin to qMax).flatMap { q =>
+          val rMin = math.floor(y0 / (math.sqrt(3.0) * size) - q / 2.0).toLong - 1
+          val rMax = math.ceil(y1 / (math.sqrt(3.0) * size) - q / 2.0).toLong + 1
+          (rMin to rMax).map { r =>
+            val (cx, cy) = hexCenterFlatTop(q, r, size)
+            (q, r, cx, cy, hexRingFlatTop(cx, cy, size))
+          }
+        }
+      }
     rows.toDF("q", "r", "cx", "cy", "ring")
   }
 

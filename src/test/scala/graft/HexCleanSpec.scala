@@ -59,4 +59,22 @@ class HexCleanSpec extends SparkSuite {
     assert(math.abs(b2 - 50.0) < 1e-9)  // second loses it
     assert(math.abs((a2 + b2) - 150.0) < 1e-9) // total = union, no double count
   }
+
+  test("flat-top hexGrid (reference 'hex' orientation) covers the bbox") {
+    import graft.operators.Grids
+    import graft.geom.Overlay
+    val hexes = Grids.hexGrid(spark, 0, 0, 30, 30, size = 3.0, flatTop = true)
+      .select("ring").collect().map(_.getSeq[Double](0).toArray)
+    val rng = new graft.tables.SplitMix64(77)
+    (0 until 200).foreach { _ =>
+      val px = rng.nextDouble() * 30
+      val py = rng.nextDouble() * 30
+      val n = hexes.count(r => Overlay.evenOddContains(Seq(r), px, py))
+      assert(n >= 1, s"uncovered point ($px,$py)")
+    }
+    // flat-top: ring has vertices at angle 0 (x = cx + r)
+    val first = hexes.head
+    val cx = (0 until 6).map(i => first(i * 2)).sum / 6.0
+    assert(hexes.exists(r => (0 until 6).exists(i => math.abs(r(i * 2 + 1) - (0 until 6).map(j => r(j * 2 + 1)).sum / 6.0) < 1e-9)))
+  }
 }

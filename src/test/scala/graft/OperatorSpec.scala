@@ -175,6 +175,23 @@ class OperatorSpec extends SparkSuite {
 
   // -------------------------------------------------------------------- ann
 
+  test("ivfTopK recall vs brute force >= 0.9 on clustered vectors") {
+    val rng = new SplitMix64(29)
+    val vecs = (0 until 240).map { i =>
+      val center = i % 6
+      val v = Array.tabulate(16)(d =>
+        (if (d % 6 == center) 1.0f else 0.0f) + rng.nextDouble().toFloat * 0.15f)
+      (i.toLong, v.toSeq)
+    }
+    val df = vecs.toDF("id", "vec")
+    val exact = Ann.bruteForceTopK(spark, df, "id", "vec", 3)
+      .select("id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Ann.ivfTopK(spark, df, "id", "vec", 3, nlist = 12, nprobe = 4)
+      .select("id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
   test("lshTopK recall vs brute force is high on clustered vectors") {
     val rng = new SplitMix64(17)
     val vecs = (0 until 200).map { i =>
