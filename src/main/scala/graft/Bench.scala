@@ -179,6 +179,26 @@ object Bench {
     val tFull = measureAt(cpus, imagesPath)
     val ipsFull = nLogical / tFull
 
+    // unexcluded wall time: the same pipeline INCLUDING a cold parquet scan
+    // (no cache) — published alongside so the cached headline can't be read
+    // as cherry-picked; the local small-file scan path is serial (see BENCH.md)
+    val tWithScan = time {
+      val raw = s.read.parquet(imagesPath)
+        .select(col("image_id"), col("w"), col("h"), col("phash"))
+      import graft.functions.SpatialExprs._
+      val bc = layerBc(s)
+      val mask = (1L << 52) - 1
+      val imgs = raw
+        .withColumn("rep", explode(sequence(lit(0), lit(Rep - 1))))
+        .withColumn("ph", when(col("rep") === 0, col("phash"))
+          .otherwise(xxhash64(col("phash"), col("rep")).bitwiseAND(mask)))
+        .withColumn("x", phashLon(col("ph")))
+        .withColumn("y", phashLat(col("ph")))
+        .withColumn("cell", cellIdCol(col("x"), col("y"), 8))
+        .withColumn("poly_key", explode(pipAllKeys(col("x"), col("y"), bc)))
+      imgs.groupBy("cell", "poly_key").agg(count(lit(1))).count()
+    }
+
     // q_ann_lsh (not the O(n²) exact baseline) — the scale path is what the
     // timing should reflect; the exact variant stays in the correctness gate
     val benchQueries = Seq(
@@ -196,7 +216,7 @@ object Bench {
     val qJson = qTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     val total = tFull + qTimes.map(_._2).sum
     println(
-      s"""{"metric":"spatial_join_tile_assign","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir","n_images":$nLogical,"headline_sec":${f"$tFull%.3f"},"images_per_sec":${f"$ipsFull%.0f"},"scaling":{"cores_lo":$loCores,"sec_lo":${f"$tLo%.3f"},"ips_lo":${f"${nLogical / tLo}%.0f"},"cores_hi":$hiCores,"sec_hi":${f"$tHi%.3f"},"ips_hi":${f"${nLogical / tHi}%.0f"},"efficiency":${f"$eff%.3f"},"cores_full":$cpus,"ips_full":${f"$ipsFull%.0f"}}}""")
+      s"""{"metric":"spatial_join_tile_assign","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir","n_images":$nLogical,"headline_sec":${f"$tFull%.3f"},"headline_with_scan_sec":${f"$tWithScan%.3f"},"images_per_sec":${f"$ipsFull%.0f"},"scaling":{"cores_lo":$loCores,"sec_lo":${f"$tLo%.3f"},"ips_lo":${f"${nLogical / tLo}%.0f"},"cores_hi":$hiCores,"sec_hi":${f"$tHi%.3f"},"ips_hi":${f"${nLogical / tHi}%.0f"},"efficiency":${f"$eff%.3f"},"cores_full":$cpus,"ips_full":${f"$ipsFull%.0f"}}}""")
     s.stop()
   }
 }

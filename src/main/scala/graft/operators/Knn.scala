@@ -34,13 +34,17 @@ object Knn {
       col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y")).cache()
     // auto resolution: aim for ~k+1 points per cell so the first 3x3 disk
     // usually satisfies the k-th-distance bound in one round
+    val stats = base.agg(count(lit(1)), min(col("x")), max(col("x")),
+      min(col("y")), max(col("y"))).head()
+    val nPoints = math.max(1L, stats.getLong(0))
     val useRes = if (res >= 0) res else {
-      val stats = base.agg(count(lit(1)), min(col("x")), max(col("x")),
-        min(col("y")), max(col("y"))).head()
-      val n = math.max(1L, stats.getLong(0))
       val w = math.max(1e-9, stats.getDouble(2) - stats.getDouble(1))
       val h = math.max(1e-9, stats.getDouble(4) - stats.getDouble(3))
-      val csTarget = math.sqrt(w * h / n.toDouble * (k + 1).toDouble)
+      // aim for ~2(k+1) points per cell: the 3x3 disk then satisfies the
+      // k-th-distance bound for ~all points in ROUND 1 — every extra round
+      // costs a full job + fresh codegen, which dominates at moderate n,
+      // while 2x more candidates per point is noise in the ranked shuffle
+      val csTarget = math.sqrt(w * h / nPoints.toDouble * 2.0 * (k + 1).toDouble)
       math.min(26, math.max(0, math.floor(math.log(360.0 / csTarget) / math.log(2.0)).toInt))
     }
     val pts = base.withColumn("cell", GraftCell.cellIdCol(col("x"), col("y"), useRes))
@@ -48,6 +52,7 @@ object Knn {
 
     val cs = CellIndex.cellSize(useRes)
     var pending = pts
+    var pendingCount = nPoints // tracked arithmetically: no isEmpty/count jobs
     var results: DataFrame = null
     var lastRanked: DataFrame = null // best-known results of still-pending points
     // checkpointed round outputs still referenced by lazy downstream frames;
@@ -55,7 +60,7 @@ object Knn {
     val live = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
     var r = 1
     var round = 0
-    while (round < maxRounds && !pending.isEmpty) {
+    while (round < maxRounds && pendingCount > 0) {
       val ringR = r
       // codegen disk expansion (a boxed UDF here allocates an Array per row per
       // round; at 10^8 points the allocation rate makes the round GC-bound)
@@ -84,22 +89,27 @@ object Knn {
       val summary = ranked.groupBy("id")
         .agg(count(lit(1)).as("n"), max(col("dist2")).as("kth"))
         .withColumn("final", col("n") === k && col("kth") <= bound)
+      // one job decides the round: count of finalized points (doneIds, done,
+      // lastRanked all stay LAZY over the checkpointed `ranked`)
       val doneIds = summary.filter(col("final")).select("id")
+      val doneCount = doneIds.count()
       val done = ranked.join(doneIds, Seq("id"), "left_semi")
       results = if (results == null) done else results.unionByName(done)
-      if (lastRanked != null) lastRanked.unpersist() // dead: superseded this round
-      lastRanked = ranked.join(doneIds, Seq("id"), "left_anti").localCheckpoint(true)
+      lastRanked = ranked.join(doneIds, Seq("id"), "left_anti")
       live += ranked
-      val nextPending = pending.join(doneIds, Seq("id"), "left_anti").localCheckpoint(true)
-      if (pending ne pts) pending.unpersist() // dead once nextPending is materialized
-      pending = nextPending
-      r *= 2
+      pendingCount -= doneCount
       round += 1
+      if (pendingCount > 0 && round < maxRounds) {
+        val nextPending = pending.join(doneIds, Seq("id"), "left_anti").localCheckpoint(true)
+        if (pending ne pts) pending.unpersist() // dead once nextPending is materialized
+        pending = nextPending
+      }
+      r *= 2
     }
     // stragglers (k >= n-1, or degenerate distributions that exhaust
     // maxRounds): emit their best-known neighbors from the widest ring
     // searched instead of dropping them
-    if (lastRanked != null && !pending.isEmpty)
+    if (lastRanked != null && pendingCount > 0)
       results = if (results == null) lastRanked else results.unionByName(lastRanked)
     // materialize the final result, then release every intermediate block
     val out =
@@ -108,7 +118,6 @@ object Knn {
           lit(0.0).as("dist2"))
       else results.localCheckpoint(true)
     live.foreach(_.unpersist())
-    if (lastRanked != null) lastRanked.unpersist()
     if (pending ne pts) pending.unpersist()
     pts.unpersist()
     base.unpersist()
