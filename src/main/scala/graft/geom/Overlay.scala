@@ -428,6 +428,17 @@ object Overlay {
     dissolveFaces(m.faces.filter(f => inAny(f, 0, shapes.length)))
   }
 
+  /** dissolve2 with `gap_fill_area=`: enclosed mosaic faces that belong to NO
+   * input shape (gaps/slivers between neighbors) are absorbed into the output
+   * when smaller than the threshold (reference
+   * `src/dissolve/mapshaper-polygon-dissolve2.mjs:85-92` + `MosaicIndex
+   * .removeGaps`; min-area rule per `mapshaper-slivers.mjs:63-69`). */
+  def dissolve2GapFill(shapes: Seq[Shape], gapFillArea: Double): Seq[Array[Double]] = {
+    val m = mosaic(shapes)
+    dissolveFaces(m.faces.filter(f =>
+      inAny(f, 0, shapes.length) || math.abs(faceArea(f)) < gapFillArea))
+  }
+
   /** `-inlay`: insert `inlayShapes` into `base`, erasing the overlap from the
    * base first (reference: `mapshaper-inlay.mjs:7` — erase + union). The
    * combined coverage equals base ∪ inlay with the inlay on top. */

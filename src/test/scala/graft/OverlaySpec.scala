@@ -127,4 +127,23 @@ class OverlaySpec extends AnyFunSuite {
     val coveredFaces = m.faces.filter(f => f.inLayer(0) || f.inLayer(1))
     assert(math.abs(coveredFaces.map(Overlay.faceArea).sum - unionArea) < 1e-6)
   }
+
+  test("dissolve2 gap_fill_area absorbs small enclosed gaps, keeps big ones") {
+    // four L-shaped-ish rects around a small 1x1 central gap
+    def rect(x1: Double, y1: Double, x2: Double, y2: Double): Array[Double] =
+      Array(x1, y1, x2, y1, x2, y2, x1, y2, x1, y1)
+    val shapes: Seq[Overlay.Shape] = Seq(
+      Seq(rect(0, 0, 10, 4.5)),       // bottom
+      Seq(rect(0, 5.5, 10, 10)),      // top
+      Seq(rect(0, 4.5, 4.5, 5.5)),    // left bridge
+      Seq(rect(5.5, 4.5, 10, 5.5)))   // right bridge
+    // gap = [4.5,5.5]x[4.5,5.5], area 1
+    val noFill = Overlay.dissolve2(shapes)
+    assert(math.abs(Overlay.layerArea(noFill) - 99.0) < 1e-9) // 100 - 1 gap
+    val filled = Overlay.dissolve2GapFill(shapes, gapFillArea = 2.0)
+    assert(math.abs(Overlay.layerArea(filled) - 100.0) < 1e-9)
+    assert(filled.size == 1) // single outer ring, hole gone
+    val notFilled = Overlay.dissolve2GapFill(shapes, gapFillArea = 0.5)
+    assert(math.abs(Overlay.layerArea(notFilled) - 99.0) < 1e-9)
+  }
 }
