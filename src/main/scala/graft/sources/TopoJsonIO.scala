@@ -99,35 +99,110 @@ object TopoJsonIO {
     PolygonLayer.fromShapes(shapes.result())
   }
 
-  /** Export with quantization (default 1e5 grid like the reference's default):
-   * one arc per ring (valid TopoJSON; arc dedup is an optimization, not a
-   * semantic requirement). */
+  /**
+   * Export with quantization (default 1e5 grid like the reference's default)
+   * and SHARED ARCS — the buildTopology analog
+   * (`/root/reference/src/topology/mapshaper-topology.mjs`,
+   * `mapshaper-arc-dissolve.mjs`): rings are split at topology nodes
+   * (quantized vertices whose distinct-neighbor set is not exactly 2), the
+   * node-to-node chains are deduplicated across shapes (a border shared by
+   * two polygons is stored ONCE), and rings reference arcs by signed index
+   * (~i = reversed) like the reference's arc id convention.
+   */
   def toTopoJson(layer: PolygonLayer, quantization: Int = 100000): String = {
     val (x0, y0, x1, y1) = layer.extent
     val kx = if (x1 > x0) (quantization - 1) / (x1 - x0) else 1.0
     val ky = if (y1 > y0) (quantization - 1) / (y1 - y0) else 1.0
     def qx(v: Double): Long = math.round((v - x0) * kx)
     def qy(v: Double): Long = math.round((v - y0) * ky)
+    @inline def pk(x: Long, y: Long): Long = (x << 32) | y
 
+    // quantized open rings (closing point dropped, consecutive dupes removed)
+    val rings: Seq[Array[Long]] = (0 until layer.numRings).map { r =>
+      val st = layer.ringStart(r); val en = layer.ringStart(r + 1)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var i = st
+      while (i < en - 1) { // skip the duplicate closing vertex
+        val p = pk(qx(layer.xx(i)), qy(layer.yy(i)))
+        if (buf.isEmpty || buf.last != p) buf += p
+        i += 1
+      }
+      if (buf.length > 1 && buf.head == buf.last) buf.remove(buf.length - 1)
+      buf.toArray
+    }
+
+    // topology nodes: vertices whose distinct neighbor set != 2
+    val neighbors = scala.collection.mutable.HashMap.empty[Long, scala.collection.mutable.HashSet[Long]]
+    rings.foreach { ring =>
+      val n = ring.length
+      var i = 0
+      while (i < n) {
+        val p = ring(i)
+        val prev = ring((i + n - 1) % n)
+        val next = ring((i + 1) % n)
+        val s = neighbors.getOrElseUpdate(p, scala.collection.mutable.HashSet.empty)
+        s += prev; s += next
+        i += 1
+      }
+    }
+    def isNode(p: Long): Boolean = neighbors(p).size != 2
+
+    // split rings into arcs at nodes; dedup arcs by canonical orientation
+    val arcTable = scala.collection.mutable.LinkedHashMap.empty[Seq[Long], Int]
+    def arcId(pts: Array[Long]): Int = { // signed TopoJSON id
+      val fwd = pts.toSeq
+      val rev = pts.reverse.toSeq
+      if (arcTable.contains(fwd)) arcTable(fwd)
+      else if (arcTable.contains(rev)) ~arcTable(rev)
+      else { val id = arcTable.size; arcTable(fwd) = id; id }
+    }
+    val ringArcs: Seq[Seq[Int]] = rings.map { ring =>
+      val n = ring.length
+      if (n < 2) Seq.empty
+      else {
+        val nodeIdx = (0 until n).filter(i => isNode(ring(i)))
+        if (nodeIdx.isEmpty) {
+          // isolated ring: one closed arc, original start preserved (so a
+          // round-trip reproduces vertex order; cross-ring dedup only applies
+          // to genuinely shared borders, which always carry nodes)
+          val closed = Array.tabulate(n + 1)(j => ring(j % n))
+          Seq(arcId(closed))
+        } else {
+          // chains from node to node (cyclic)
+          val ids = scala.collection.mutable.ArrayBuffer.empty[Int]
+          var s = 0
+          while (s < nodeIdx.length) {
+            val a = nodeIdx(s)
+            val b = nodeIdx((s + 1) % nodeIdx.length)
+            val len = (b - a + n) % n match { case 0 => n; case l => l }
+            val chain = Array.tabulate(len + 1)(j => ring((a + j) % n))
+            ids += arcId(chain)
+            s += 1
+          }
+          ids.toSeq
+        }
+      }
+    }
+
+    // serialize: delta-encoded arcs + shape geometries
     val sb = new StringBuilder
     sb.append(s"""{"type":"Topology","transform":{"scale":[${1.0 / kx},${1.0 / ky}],"translate":[$x0,$y0]},"arcs":[""")
-    var r = 0
-    while (r < layer.numRings) {
-      if (r > 0) sb.append(',')
+    var firstArc = true
+    arcTable.keysIterator.foreach { arc =>
+      if (!firstArc) sb.append(',')
+      firstArc = false
       sb.append('[')
-      var px = 0L
-      var py = 0L
-      var i = layer.ringStart(r)
-      while (i < layer.ringStart(r + 1)) {
-        val cx = qx(layer.xx(i))
-        val cy = qy(layer.yy(i))
-        if (i > layer.ringStart(r)) sb.append(',')
+      var px = 0L; var py = 0L
+      var i = 0
+      while (i < arc.length) {
+        val cx = arc(i) >> 32
+        val cy = arc(i) & 0xffffffffL
+        if (i > 0) sb.append(',')
         sb.append('[').append(cx - px).append(',').append(cy - py).append(']')
         px = cx; py = cy
         i += 1
       }
       sb.append(']')
-      r += 1
     }
     sb.append("""],"objects":{"layer":{"type":"GeometryCollection","geometries":[""")
     var first = true
@@ -135,8 +210,9 @@ object TopoJsonIO {
     while (s < layer.numShapes) {
       if (!first) sb.append(',')
       first = false
-      val rings = (0 until layer.numRings).filter(layer.ringShape(_) == s)
-      sb.append(s"""{"type":"Polygon","arcs":[${rings.map(r0 => s"[$r0]").mkString(",")}],"id":${layer.shapeKeys(s)}}""")
+      val ringIds = (0 until layer.numRings).filter(layer.ringShape(_) == s)
+      val arcsJson = ringIds.map(r0 => ringArcs(r0).mkString("[", ",", "]")).mkString(",")
+      sb.append(s"""{"type":"Polygon","arcs":[$arcsJson],"id":${layer.shapeKeys(s)}}""")
       s += 1
     }
     sb.append("]}}}")

@@ -63,4 +63,33 @@ class ShpTopoSpec extends AnyFunSuite {
     assert(layer.findShapes(-5.0, 5.0).length == 1)
     assert(layer.findShapes(5.0, 5.0).length == 1)
   }
+
+  test("TopoJSON export dedups shared border arcs (buildTopology analog)") {
+    import graft.index.PolygonLayer
+    // two squares sharing the edge x=10: 3 arcs expected, not 2 full rings
+    def rect(x1: Double, y1: Double, x2: Double, y2: Double): Array[Double] =
+      Array(x1, y1, x2, y1, x2, y2, x1, y2, x1, y1)
+    val layer = PolygonLayer.fromShapes(Seq(
+      (1L, Seq(rect(0, 0, 10, 10))),
+      (2L, Seq(rect(10, 0, 20, 10)))))
+    val json = TopoJsonIO.toTopoJson(layer, quantization = 10000)
+    // count arcs in the serialized topology
+    val arcsSection = json.substring(json.indexOf("\"arcs\":[") + 8,
+      json.indexOf("],\"objects\""))
+    val nArcs = arcsSection.count(_ == '[') - arcsSection.count(_ == ']') match {
+      case _ => // count top-level arcs: split on "],[" at depth 1
+        var depth = 0; var count = 0
+        arcsSection.foreach {
+          case '[' => depth += 1; if (depth == 1) count += 1
+          case ']' => depth -= 1
+          case _ =>
+        }
+        count
+    }
+    assert(nArcs == 3, s"expected 3 shared arcs, got $nArcs in $arcsSection")
+    // round-trip: same shapes, same total area
+    val back = TopoJsonIO.fromTopoJson(json)
+    assert(back.numShapes == 2)
+    assert(math.abs(back.shapeArea(0)) > 99.0 && math.abs(back.shapeArea(1)) > 99.0)
+  }
 }
