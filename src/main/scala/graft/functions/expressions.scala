@@ -146,6 +146,48 @@ case class UtmForwardExpr(left: Expression, right: Expression) extends BinaryExp
     copy(left = l, right = r)
 }
 
+/** Ring state (0=OUT / 1=IN / 2=ON) of a point against one packed ring —
+ * the cell-join PIP kernel. Codegen reads the ring's ArrayData in place:
+ * no Seq boxing, no array copy per candidate pair. */
+case class PipRingStateExpr(children: Seq[Expression])
+    extends Expression {
+  require(children.length == 4, "pip_ring_state(x, y, ring_x, ring_y)")
+  override def dataType: DataType = IntegerType
+  override def nullable: Boolean = children.exists(_.nullable)
+  override def prettyName: String = "pip_ring_state"
+  override def foldable: Boolean = false
+
+  override def eval(input: InternalRow): Any = {
+    val x = children(0).eval(input)
+    val y = children(1).eval(input)
+    val xs = children(2).eval(input)
+    val ys = children(3).eval(input)
+    if (x == null || y == null || xs == null || ys == null) null
+    else graft.geom.Geom.pointInRingData(
+      x.asInstanceOf[Double], y.asInstanceOf[Double],
+      xs.asInstanceOf[ArrayData], ys.asInstanceOf[ArrayData])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cs = children.map(_.genCode(ctx))
+    val nullCheck = cs.map(c => c.isNull.toString).mkString(" || ")
+    ev.copy(code = org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper(
+      new StringContext(
+        s"""
+           |${cs.map(_.code.toString).mkString("\n")}
+           |boolean ${ev.isNull} = $nullCheck;
+           |int ${ev.value} = -1;
+           |if (!${ev.isNull}) {
+           |  ${ev.value} = graft.geom.Geom$$.MODULE$$.pointInRingData(
+           |    ${cs(0).value}, ${cs(1).value}, ${cs(2).value}, ${cs(3).value});
+           |}
+           |""".stripMargin)).code())
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Expression = copy(children = newChildren)
+}
+
 /** Morton-decode the image-table phash to a lon or lat coordinate. */
 case class PhashCoord(child: Expression, isLon: Boolean)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -185,6 +227,10 @@ object SpatialExprs {
 
   def utmForward(lon: Column, lat: Column): Column =
     GraftBridge.column(UtmForwardExpr(dbl(lon), dbl(lat)))
+
+  def pipRingState(x: Column, y: Column, ringX: Column, ringY: Column): Column =
+    GraftBridge.column(PipRingStateExpr(Seq(dbl(x), dbl(y),
+      GraftBridge.expr(ringX), GraftBridge.expr(ringY))))
 
   def phashLon(p: Column): Column = GraftBridge.column(PhashCoord(GraftBridge.expr(p.cast("long")), isLon = true))
   def phashLat(p: Column): Column = GraftBridge.column(PhashCoord(GraftBridge.expr(p.cast("long")), isLon = false))

@@ -77,6 +77,25 @@ object Geom {
     if (isOn) ON else if (isIn) IN else OUT
   }
 
+  /** [[pointInRing]] over Catalyst ArrayData — reads elements in place
+   * (no per-row array copy, no boxing); the codegen spatial-join kernel. */
+  def pointInRingData(x: Double, y: Double,
+                      xx: org.apache.spark.sql.catalyst.util.ArrayData,
+                      yy: org.apache.spark.sql.catalyst.util.ArrayData): Int = {
+    var isIn = false
+    var isOn = false
+    var i = 0
+    val end = math.min(xx.numElements(), yy.numElements()) - 1
+    while (i < end) {
+      val r = rayIntersection(x, y, xx.getDouble(i), yy.getDouble(i),
+        xx.getDouble(i + 1), yy.getDouble(i + 1))
+      if (r == 1) isIn = !isIn
+      else if (r == ON) isOn = true
+      i += 1
+    }
+    if (isOn) ON else if (isIn) IN else OUT
+  }
+
   /**
    * Even-odd accumulation across several rings of one shape; boundary counts as
    * enclosed (mirrors `testPointInRings`, path-index.mjs:176-188).

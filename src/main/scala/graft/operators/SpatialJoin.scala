@@ -128,10 +128,9 @@ object SpatialJoin {
       .withColumn("_cell", GraftCell.cellIdCol(col(xCol), col(yCol), res))
       .withColumn("_salt", pointSaltUdf(col("_cell"), col(xCol), col(yCol)))
 
-    // per-candidate ring state: 0 = out, 1 = in, 2 = on-boundary
-    val ringStateUdf = udf { (x: Double, y: Double, xs: Seq[Double], ys: Seq[Double]) =>
-      graft.geom.Geom.pointInRing(x, y, xs.toArray, ys.toArray, 0, xs.length)
-    }
+    // per-candidate ring state: 0 = out, 1 = in, 2 = on-boundary — a codegen
+    // expression reading the packed ring arrays in place (a UDF here boxes
+    // two Seq[Double] per candidate pair, the #1 allocation source at scale)
     // even-odd across a shape's rings (parity of IN counts; ON wins) — same
     // semantics as the broadcast path's PolygonLayer.findKeys: a point inside
     // a hole ring has even parity and must NOT match, a boundary point always
@@ -141,7 +140,8 @@ object SpatialJoin {
     val ptCols = points.columns.toSeq
     ptCells
       .join(polySalted, Seq("_cell", "_salt"))
-      .withColumn("_state", ringStateUdf(col(xCol), col(yCol), col("ring_x"), col("ring_y")))
+      .withColumn("_state", graft.functions.SpatialExprs.pipRingState(
+        col(xCol), col(yCol), col("ring_x"), col("ring_y")))
       .groupBy((ptCols.map(col) :+ col("poly_key")): _*)
       .agg(max(when(col("_state") === graft.geom.Geom.ON, 1).otherwise(0)).as("_on"),
         sum(when(col("_state") === graft.geom.Geom.IN, 1).otherwise(0)).as("_ins"))
