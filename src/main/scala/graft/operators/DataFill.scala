@@ -27,11 +27,16 @@ object DataFill {
   def fill(spark: SparkSession, features: DataFrame, adjacency: DataFrame,
            idCol: String = "id", valueCol: String = "value",
            maxRounds: Int = 20): DataFrame = {
+    // localCheckpoint (not cache): caching truncates execution but NOT
+    // Catalyst analysis — 20 rounds of join-on-join otherwise grow a logical
+    // tree that makes analysis superlinear (same lesson as the CC loop in
+    // OverlayOp.dissolve2Distributed)
     val adj = adjacency.select(col("a"), col("b"))
       .union(adjacency.select(col("b").as("a"), col("a").as("b")))
       .distinct()
-      .cache()
-    var cur = features.select(col(idCol).as("id"), col(valueCol).as("value")).cache()
+      .localCheckpoint(true)
+    var cur = features.select(col(idCol).as("id"), col(valueCol).as("value"))
+      .localCheckpoint(true)
     var round = 0
     var remaining = cur.filter(col("value").isNull).count()
     while (remaining > 0 && round < maxRounds) {
@@ -46,13 +51,15 @@ object DataFill {
         .select(col("id").as("fid"), col("nval"))
       val next = cur.join(chosen, cur("id") === chosen("fid"), "left")
         .select(cur("id"), coalesce(cur("value"), col("nval")).as("value"))
-        .cache()
+        .localCheckpoint(true) // one materializing job per round (plan reset)
       val nextRemaining = next.filter(col("value").isNull).count()
       if (nextRemaining == remaining) round = maxRounds // no progress: disconnected
       remaining = nextRemaining
+      cur.unpersist()
       cur = next
       round += 1
     }
+    adj.unpersist()
     cur
   }
 }
