@@ -205,7 +205,7 @@ class OperatorSpec extends SparkSuite {
     val approx = Ann.lshTopK(spark, df, "id", "vec", 3, planes = 8)
       .select("id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = exact.intersect(approx).size.toDouble / exact.size
-    assert(recall > 0.6, s"recall=$recall")
+    assert(recall >= 0.9, s"recall=$recall") // measured 0.973 on this fixture
   }
 
   // ------------------------------------------------------------- multimodal
