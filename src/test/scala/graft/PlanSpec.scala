@@ -69,6 +69,41 @@ class PlanSpec extends SparkSuite {
     assert(readSchema.nonEmpty && !readSchema.contains("bytes"), readSchema)
   }
 
+  test("CRS forward expressions run inside WholeStageCodegen, scan prunes") {
+    val df = spark.read.parquet(s"$Sf/customer.parquet")
+      .select(col("c_custkey"))
+      .withColumn("lon", (col("c_custkey") % 360).cast("double") - 180.0)
+      .withColumn("lat", (col("c_custkey") % 170).cast("double") - 85.0)
+      .withColumn("aea", graft.functions.SpatialExprs.crsForward(
+        col("lon"), col("lat"), graft.geom.Crs.Albers(29.5, 45.5, 23.0, -96.0)))
+      .withColumn("utm", graft.functions.SpatialExprs.utmForward(col("lon"), col("lat")))
+    val hasWsc = df.queryExecution.executedPlan.exists(
+      _.isInstanceOf[org.apache.spark.sql.execution.WholeStageCodegenExec])
+    assert(hasWsc)
+    val readSchema = df.queryExecution.executedPlan.toString
+      .linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("c_custkey") && !readSchema.contains("c_name"), readSchema)
+    // codegen result == scalar kernel
+    val r = df.limit(5).collect()
+    r.foreach { row =>
+      val lon = row.getDouble(1); val lat = row.getDouble(2)
+      val (x, y) = graft.geom.Crs.Albers(29.5, 45.5, 23.0, -96.0).forward(lon, lat)
+      assert(row.getSeq[Double](3) == Seq(x, y))
+    }
+  }
+
+  test("distributed polygon-overlap join broadcasts the small side (no cartesian)") {
+    import spark.implicits._
+    def sq(x: Double, y: Double): Array[Double] =
+      Array(x, y, x + 5, y, x + 5, y + 5, x, y + 5, x, y)
+    val targets = (0 until 50).map(i => (i.toLong, sq(i % 10 * 4.0, i / 10 * 4.0))).toDF("key", "ring")
+    val sources = (0 until 3).map(i => (100L + i, sq(i * 8.0, i * 8.0))).toDF("key", "ring")
+    val df = graft.operators.PolyJoin.overlapDistributed(spark, targets, sources)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"),
+      plan.take(1500))
+  }
+
   test("broadcast PIP join produces no shuffle of the point side") {
     val df = spark.range(1000)
       .withColumn("x", (col("id") % 100).cast("double"))
