@@ -74,6 +74,44 @@ object SparkEntry {
    * DuckDB — plain decimals parse as DECIMAL and cast off by 1 ulp). */
   private def dl(v: Double): String = "%.17e".format(v)
 
+  /** The q_img_cell SQL: full Morton decode (phash → lon/lat) and re-encode
+   * (cell id at res 6) as DuckDB bit-op cascades — the image table's spatial
+   * keying is verified end to end, not just row-counted. The image parquet is
+   * read by absolute path (the driver's correctness run materializes it at
+   * sf0.01 via Verify before the oracle executes). */
+  private lazy val imgCellSql: String = {
+    val LS = dl(Images.LocScale)
+    s"""WITH img AS (SELECT phash FROM read_parquet('/root/repo/data/images_sf0.01.parquet/*.parquet')),
+       |s0 AS (SELECT phash >> 1 AS x, phash AS y FROM img),
+       |d1 AS (SELECT x & 6148914691236517205 AS x, y & 6148914691236517205 AS y FROM s0),
+       |d2 AS (SELECT (x | (x >> 1)) & 3689348814741910323 AS x,
+       |              (y | (y >> 1)) & 3689348814741910323 AS y FROM d1),
+       |d3 AS (SELECT (x | (x >> 2)) & 1085102592571150095 AS x,
+       |              (y | (y >> 2)) & 1085102592571150095 AS y FROM d2),
+       |d4 AS (SELECT (x | (x >> 4)) & 71777214294589695 AS x,
+       |              (y | (y >> 4)) & 71777214294589695 AS y FROM d3),
+       |d5 AS (SELECT (x | (x >> 8)) & 281470681808895 AS x,
+       |              (y | (y >> 8)) & 281470681808895 AS y FROM d4),
+       |d6 AS (SELECT (x | (x >> 16)) & 4294967295 AS x,
+       |              (y | (y >> 16)) & 4294967295 AS y FROM d5),
+       |ll AS (SELECT CAST(x AS DOUBLE) * $LS AS lon, CAST(y AS DOUBLE) * $LS AS lat FROM d6),
+       |ic AS (SELECT CAST(floor(lon / 5.625) AS BIGINT) + 268435456 AS x,
+       |              CAST(floor(lat / 5.625) AS BIGINT) + 268435456 AS y FROM ll),
+       |i0 AS (SELECT x & 536870911 AS x, y & 536870911 AS y FROM ic),
+       |i1 AS (SELECT (x | (x << 16)) & 281470681808895 AS x,
+       |              (y | (y << 16)) & 281470681808895 AS y FROM i0),
+       |i2 AS (SELECT (x | (x << 8)) & 71777214294589695 AS x,
+       |              (y | (y << 8)) & 71777214294589695 AS y FROM i1),
+       |i3 AS (SELECT (x | (x << 4)) & 1085102592571150095 AS x,
+       |              (y | (y << 4)) & 1085102592571150095 AS y FROM i2),
+       |i4 AS (SELECT (x | (x << 2)) & 3689348814741910323 AS x,
+       |              (y | (y << 2)) & 3689348814741910323 AS y FROM i3),
+       |i5 AS (SELECT (x | (x << 1)) & 6148914691236517205 AS x,
+       |              (y | (y << 1)) & 6148914691236517205 AS y FROM i4)
+       |SELECT (1729382256910270464 | (x << 1) | y) AS cell_id, count(*) AS n
+       |FROM i5 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
   /** The q_proj_crs SQL: same formulas (Snyder), same operation order, with
    * all projection constants interpolated from the very [[Crs]] objects the
    * Spark side uses — byte-identical double literals on both engines. */
@@ -861,6 +899,24 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // robust dissolve2 against a closed form: per group, three overlapping
+    // axis-aligned rectangles whose union area has the inclusion-exclusion
+    // closed form — the full mosaic kernel (snap/cut/trace/classify) is
+    // DuckDB-verified on 50 distinct overlap configurations
+    "q_dissolve2_rect" -> ((s, dir) => {
+      val mkRect = udf { (g: Long, i: Int) =>
+        val x0 = (g * (3 + 2 * i) % 13).toDouble
+        val y0 = (g * (5 + 3 * i) % 17).toDouble
+        Array(x0, y0, x0 + 10, y0, x0 + 10, y0 + 10, x0, y0 + 10, x0, y0)
+      }
+      val groups = points(s, dir).select((col("id") % 50).as("g")).distinct()
+        .withColumn("i", explode(array(lit(0), lit(1), lit(2))))
+        .select(col("g"), mkRect(col("g"), col("i")).as("ring"))
+      OverlayOp.dissolve2(s, groups, "g", "ring")
+        .select(col("group"), round(col("area") * 100.0, 0).cast("long").as("area_int"))
+        .orderBy("group")
+    }),
+
     // -rotate: spherical Euler-angle rotation (d3 semantics, ref
     // mapshaper-spherical-rotation.mjs) — trig mirrored in DuckDB, floor 1e6
     "q_rotate" -> ((s, dir) => {
@@ -1447,6 +1503,31 @@ object SparkEntry {
          |FROM ll ORDER BY id""".stripMargin,
 
     "q_proj_crs" -> projCrsSql,
+
+    "q_img_cell" -> imgCellSql,
+
+    "q_dissolve2_rect" ->
+      s"""WITH $ptsSql,
+         |gs AS (SELECT DISTINCT id % 50 AS g FROM pts),
+         |r AS (SELECT g,
+         |  CAST(g * 3 % 13 AS DOUBLE) AS ax0, CAST(g * 5 % 17 AS DOUBLE) AS ay0,
+         |  CAST(g * 5 % 13 AS DOUBLE) AS bx0, CAST(g * 8 % 17 AS DOUBLE) AS by0,
+         |  CAST(g * 7 % 13 AS DOUBLE) AS cx0, CAST(g * 11 % 17 AS DOUBLE) AS cy0
+         |  FROM gs),
+         |ov AS (SELECT g,
+         |  -- pairwise and triple overlaps of the three 10x10 rects
+         |  greatest(least(ax0+10, bx0+10) - greatest(ax0, bx0), 0) *
+         |  greatest(least(ay0+10, by0+10) - greatest(ay0, by0), 0) AS ab,
+         |  greatest(least(ax0+10, cx0+10) - greatest(ax0, cx0), 0) *
+         |  greatest(least(ay0+10, cy0+10) - greatest(ay0, cy0), 0) AS ac,
+         |  greatest(least(bx0+10, cx0+10) - greatest(bx0, cx0), 0) *
+         |  greatest(least(by0+10, cy0+10) - greatest(by0, cy0), 0) AS bc,
+         |  greatest(least(least(ax0, bx0) + 10, cx0 + 10) - greatest(greatest(ax0, bx0), cx0), 0) *
+         |  greatest(least(least(ay0, by0) + 10, cy0 + 10) - greatest(greatest(ay0, by0), cy0), 0) AS abc
+         |  FROM r)
+         |SELECT g AS "group",
+         |  CAST(round((300.0 - ab - ac - bc + abc) * 100.0) AS BIGINT) AS area_int
+         |FROM ov ORDER BY g""".stripMargin,
 
     "q_rotate" -> {
       val D2R = dl(Crs.D2R); val PI = dl(math.Pi); val TWOPI = dl(2.0 * math.Pi)
