@@ -646,6 +646,19 @@ object SparkEntry {
         .orderBy("poly_key")
     }),
 
+    // the headline's semantics DuckDB-verified end to end: Morton-decode the
+    // image phash to (x, y), broadcast-PIP against the 8-shape oracle layer,
+    // count per polygon — decode cascade + ray-cast parity both mirrored
+    "q_img_pip_oracle" -> ((s, dir) => {
+      val imgs = imagesDf(s, dir)
+        .select(col("image_id"), col("phash"))
+        .withColumn("x", phashLon(col("phash")))
+        .withColumn("y", phashLat(col("phash")))
+      SpatialJoin.broadcastJoin(s, imgs, "x", "y", Synthetic.oracleLayer)
+        .groupBy("poly_key").agg(count(lit(1)).as("n_images"))
+        .orderBy("poly_key")
+    }),
+
     "q_img_tiles" -> ((s, dir) =>
       Tiling.tileAssign(s, imagesDf(s, dir), tileGrid = 4, res = 9, Some(imageLayer))
         .groupBy("cell_id", "poly_key").agg(count(lit(1)).as("n_tiles"))
@@ -1505,6 +1518,35 @@ object SparkEntry {
     "q_proj_crs" -> projCrsSql,
 
     "q_img_cell" -> imgCellSql,
+
+    "q_img_pip_oracle" ->
+      s"""WITH img AS (SELECT phash FROM read_parquet('/root/repo/data/images_sf0.01.parquet/*.parquet')),
+         |s0 AS (SELECT phash >> 1 AS x, phash AS y FROM img),
+         |d1 AS (SELECT x & 6148914691236517205 AS x, y & 6148914691236517205 AS y FROM s0),
+         |d2 AS (SELECT (x | (x >> 1)) & 3689348814741910323 AS x,
+         |              (y | (y >> 1)) & 3689348814741910323 AS y FROM d1),
+         |d3 AS (SELECT (x | (x >> 2)) & 1085102592571150095 AS x,
+         |              (y | (y >> 2)) & 1085102592571150095 AS y FROM d2),
+         |d4 AS (SELECT (x | (x >> 4)) & 71777214294589695 AS x,
+         |              (y | (y >> 4)) & 71777214294589695 AS y FROM d3),
+         |d5 AS (SELECT (x | (x >> 8)) & 281470681808895 AS x,
+         |              (y | (y >> 8)) & 281470681808895 AS y FROM d4),
+         |d6 AS (SELECT (x | (x >> 16)) & 4294967295 AS x,
+         |              (y | (y >> 16)) & 4294967295 AS y FROM d5),
+         |pts2 AS (SELECT row_number() OVER () AS id,
+         |  CAST(x AS DOUBLE) * ${dl(Images.LocScale)} AS x,
+         |  CAST(y AS DOUBLE) * ${dl(Images.LocScale)} AS y FROM d6),
+         |$oracleEdgesSql,
+         |hits AS (
+         |  SELECT p.id, e.pk,
+         |    SUM(CASE WHEN ((e.ex1 > p.x) <> (e.ex2 > p.x))
+         |          AND e.ey1 + (p.x - e.ex1) * (e.ey2 - e.ey1) / (e.ex2 - e.ex1) > p.y
+         |        THEN 1 ELSE 0 END) AS crossings
+         |  FROM pts2 p CROSS JOIN edges e
+         |  GROUP BY p.id, e.pk)
+         |SELECT CAST(pk AS BIGINT) AS poly_key, count(*) AS n_images
+         |FROM hits WHERE crossings % 2 = 1
+         |GROUP BY pk ORDER BY poly_key""".stripMargin,
 
     "q_dissolve2_rect" ->
       s"""WITH $ptsSql,
