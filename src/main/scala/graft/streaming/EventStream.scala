@@ -31,6 +31,35 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("min_value"), col("max_value"))
 
+  /** Streaming exact dedup: `dropDuplicates` keyed on the id column with a
+   * watermark bounding the dedup state — the streaming form of
+   * [[graft.operators.Dedup.exact]] (state is evicted once the watermark
+   * passes, so memory stays bounded at any stream length). */
+  def dedupStream(events: DataFrame, idCol: String, watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicates(idCol, "ts")
+
+  /** Stateful per-key session counts via mapGroupsWithState: the custom-state
+   * surface (KeyValueGroupedDataset) the north rule's streaming mode names.
+   * Emits (key, events_in_batch, running_total) per trigger. */
+  def runningTotals(spark: SparkSession, events: DataFrame, keyCol: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    events.selectExpr(s"$keyCol AS k")
+      .as[String]
+      .groupByKey(identity)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (key: String, rows: Iterator[String],
+         state: org.apache.spark.sql.streaming.GroupState[Long]) =>
+          val n = rows.size.toLong
+          val total = state.getOption.getOrElse(0L) + n
+          state.update(total)
+          (key, n, total)
+      }
+      .toDF("event_type", "n_batch", "running_total")
+  }
+
   /** Drain everything currently available, then stop (backfill mode). */
   def runAvailableNow(agg: DataFrame, queryName: String): Unit = {
     val q = agg.writeStream

@@ -39,4 +39,50 @@ class StreamingSpec extends SparkSuite {
       .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
     assert(streamed == expected)
   }
+
+  test("streaming dedup drops duplicate event ids (watermark-bounded state)") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val streamDir = java.nio.file.Files.createTempDirectory("events_dup")
+    // write the events TWICE: the stream must emit each event_id once
+    batch.write.mode("append").parquet(streamDir.toString)
+    batch.write.mode("append").parquet(streamDir.toString)
+    val stream = spark.readStream.schema(batch.schema).parquet(streamDir.toString)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val deduped = graft.streaming.EventStream.dedupStream(stream, "event_id")
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("ev_dedup")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT count(*), count(DISTINCT event_id) FROM ev_dedup").head()
+    val expected = batch.count()
+    assert(got.getLong(0) == expected && got.getLong(1) == expected,
+      s"got ${got.getLong(0)} rows / ${got.getLong(1)} distinct, want $expected")
+  }
+
+  test("mapGroupsWithState running totals accumulate across triggers") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val streamDir = java.nio.file.Files.createTempDirectory("events_state")
+    batch.write.mode("append").parquet(streamDir.toString)
+    val stream = spark.readStream.schema(batch.schema).parquet(streamDir.toString)
+    val totals = graft.streaming.EventStream.runningTotals(spark, stream, "event_type")
+    val q = totals.writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName("ev_totals")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    // latest running_total per key == batch counts
+    val got = spark.sql(
+      """SELECT event_type, max(running_total) FROM ev_totals GROUP BY event_type""")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = batch.groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+  }
 }
