@@ -72,6 +72,46 @@ object ShpReader {
     PolygonLayer.fromShapes(shapes.result())
   }
 
+  /** Read polyline records as (recIdx, parts: flat coord arrays). */
+  def readPolylines(path: String): Seq[(Long, Seq[Array[Double]])] = {
+    val buf = ByteBuffer.wrap(Files.readAllBytes(Paths.get(path)))
+    buf.order(ByteOrder.BIG_ENDIAN)
+    require(buf.getInt(0) == 9994)
+    val fileBytes = buf.getInt(24) * 2
+    val out = Seq.newBuilder[(Long, Seq[Array[Double]])]
+    var pos = 100
+    var rec = 0L
+    while (pos + 8 <= fileBytes) {
+      val contentWords = buf.getInt(pos + 4)
+      val contentStart = pos + 8
+      buf.order(ByteOrder.LITTLE_ENDIAN)
+      if (buf.getInt(contentStart) == TypePolyline) {
+        val numParts = buf.getInt(contentStart + 36)
+        val numPoints = buf.getInt(contentStart + 40)
+        val partsOff = contentStart + 44
+        val pointsOff = partsOff + numParts * 4
+        val parts = Array.tabulate(numParts)(i => buf.getInt(partsOff + i * 4))
+        val paths = (0 until numParts).map { p =>
+          val start = parts(p)
+          val end = if (p + 1 < numParts) parts(p + 1) else numPoints
+          val flat = new Array[Double]((end - start) * 2)
+          var i = start
+          while (i < end) {
+            flat((i - start) * 2) = buf.getDouble(pointsOff + i * 16)
+            flat((i - start) * 2 + 1) = buf.getDouble(pointsOff + i * 16 + 8)
+            i += 1
+          }
+          flat
+        }
+        out += ((rec, paths))
+      }
+      buf.order(ByteOrder.BIG_ENDIAN)
+      pos = contentStart + contentWords * 2
+      rec += 1
+    }
+    out.result()
+  }
+
   /** Read point records as (recIdx, x, y). */
   def readPoints(path: String): Seq[(Long, Double, Double)] = {
     val buf = ByteBuffer.wrap(Files.readAllBytes(Paths.get(path)))

@@ -28,6 +28,19 @@ class ExportSpec extends SparkSuite {
     assert(r0.sameElements(shapes.head.head))
   }
 
+  test("shapefile polyline export round-trips") {
+    val lines = Seq(
+      Seq(Array(0.0, 0.0, 5.0, 3.0, 9.5, -1.25)),
+      Seq(Array(10.0, 10.0, 12.0, 14.0), Array(20.0, 20.0, 21.0, 22.0, 23.0, 19.0)))
+    val (shp, _) = Export.writePolylineShp(lines)
+    val dir = Files.createTempDirectory("shpline")
+    Files.write(dir.resolve("l.shp"), shp)
+    val back = ShpReader.readPolylines(dir.resolve("l.shp").toString)
+    assert(back.length == 2)
+    assert(back(0)._2.head.sameElements(lines(0).head))
+    assert(back(1)._2.length == 2 && back(1)._2(1).sameElements(lines(1)(1)))
+  }
+
   test("shapefile point export round-trips") {
     val pts = Seq((1.5, 2.5), (-3.25, 4.0), (100.0, -45.5))
     val (shp, _) = Export.writePointShp(pts)
