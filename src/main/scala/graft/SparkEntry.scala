@@ -912,6 +912,24 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // distributed clip/erase of a target LAYER vs a clip LAYER — per-target
+    // areas have the inclusion-exclusion closed form |T ∩ (A∪B∪C)|
+    "q_clip_layer" -> ((s, dir) => {
+      import s.implicits._
+      val clips = polyJoinSources.map { case (k, shape) => (k, shape.head) }
+        .toDF("key", "ring")
+      val clipped = OverlayOp.clipLayerDistributed(s, polyJoinTargetsDf(s, dir), clips)
+        .select(col("t_key"), round(col("area") * 100.0, 0).cast("long").as("clip_int"))
+      val erased = OverlayOp.clipLayerDistributed(s, polyJoinTargetsDf(s, dir), clips,
+          erase = true)
+        .select(col("t_key").as("e_key"), round(col("area") * 100.0, 0).cast("long").as("erase_int"))
+      clipped.join(erased, clipped("t_key") === erased("e_key"), "full")
+        .select(coalesce(col("t_key"), col("e_key")).as("t_key"),
+          coalesce(col("clip_int"), lit(0L)).as("clip_int"),
+          coalesce(col("erase_int"), lit(0L)).as("erase_int"))
+        .orderBy("t_key")
+    }),
+
     // robust dissolve2 against a closed form: per group, three overlapping
     // axis-aligned rectangles whose union area has the inclusion-exclusion
     // closed form — the full mosaic kernel (snap/cut/trace/classify) is
@@ -1547,6 +1565,32 @@ object SparkEntry {
          |SELECT CAST(pk AS BIGINT) AS poly_key, count(*) AS n_images
          |FROM hits WHERE crossings % 2 = 1
          |GROUP BY pk ORDER BY poly_key""".stripMargin,
+
+    "q_clip_layer" ->
+      s"""WITH $ptsSql,
+         |cells AS (SELECT DISTINCT CAST(floor(x / 10.0) AS BIGINT) AS cx,
+         |    CAST(floor(y / 10.0) AS BIGINT) AS cy FROM pts),
+         |t AS (SELECT cx * 100 + cy AS t_key,
+         |  CAST(cx * 10 AS DOUBLE) AS tx1, CAST(cy * 10 AS DOUBLE) AS ty1,
+         |  CAST(cx * 10 + 10 AS DOUBLE) AS tx2, CAST(cy * 10 + 10 AS DOUBLE) AS ty2
+         |  FROM cells),
+         |ov AS (SELECT t_key,
+         |  greatest(least(tx2, 55) - greatest(tx1, 5), 0) * greatest(least(ty2, 55) - greatest(ty1, 5), 0) AS a,
+         |  greatest(least(tx2, 95) - greatest(tx1, 45), 0) * greatest(least(ty2, 75) - greatest(ty1, 25), 0) AS b,
+         |  greatest(least(tx2, 75) - greatest(tx1, 25), 0) * greatest(least(ty2, 95) - greatest(ty1, 45), 0) AS c,
+         |  greatest(least(least(tx2, 55), 95) - greatest(greatest(tx1, 5), 45), 0) *
+         |    greatest(least(least(ty2, 55), 75) - greatest(greatest(ty1, 5), 25), 0) AS ab,
+         |  greatest(least(least(tx2, 55), 75) - greatest(greatest(tx1, 5), 25), 0) *
+         |    greatest(least(least(ty2, 55), 95) - greatest(greatest(ty1, 5), 45), 0) AS ac,
+         |  greatest(least(least(tx2, 95), 75) - greatest(greatest(tx1, 45), 25), 0) *
+         |    greatest(least(least(ty2, 75), 95) - greatest(greatest(ty1, 25), 45), 0) AS bc,
+         |  greatest(least(least(least(tx2, 55), 95), 75) - greatest(greatest(greatest(tx1, 5), 45), 25), 0) *
+         |    greatest(least(least(least(ty2, 55), 75), 95) - greatest(greatest(greatest(ty1, 5), 25), 45), 0) AS abc
+         |  FROM t)
+         |SELECT t_key,
+         |  CAST(round((a + b + c - ab - ac - bc + abc) * 100.0) AS BIGINT) AS clip_int,
+         |  CAST(round((100.0 - (a + b + c - ab - ac - bc + abc)) * 100.0) AS BIGINT) AS erase_int
+         |FROM ov ORDER BY t_key""".stripMargin,
 
     "q_dissolve2_rect" ->
       s"""WITH $ptsSql,

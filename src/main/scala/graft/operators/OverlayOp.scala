@@ -51,6 +51,47 @@ object OverlayOp {
   }
 
   /**
+   * FULLY DISTRIBUTED `-clip` / `-erase` of a target layer against a clip
+   * LAYER (not one broadcast shape): candidate (target, clip) pairs come from
+   * the id-only cell join; each target then runs ONE overlay kernel against
+   * the collected candidate clip rings (bounded by spatial locality). Targets
+   * with no candidates pass through whole under erase and vanish under clip.
+   * Input: (key, ring) single-ring shapes both sides.
+   * Output: (t_key, n_rings, area).
+   */
+  def clipLayerDistributed(spark: SparkSession, targets: DataFrame, clips: DataFrame,
+                           cellRes: Int = 6, erase: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val cand = PolyJoin.candidatePairs(spark, targets, clips, cellRes)
+    val clipRings = cand
+      .join(clips.select(col("key").cast("long").as("s_key"), col("ring").as("s_ring")), Seq("s_key"))
+      .groupBy("t_key").agg(collect_list(col("s_ring")).as("clip_rings"))
+    val doErase = erase
+    targets.select(col("key").cast("long").as("t_key"), col("ring"))
+      .join(clipRings, Seq("t_key"), "left")
+      .as[(Long, Array[Double], Seq[Seq[Double]])]
+      .flatMap { case (tKey, ring, clipsRaw) =>
+        val subject: Seq[Overlay.Shape] = Seq(Seq(ring))
+        if (clipsRaw == null) {
+          if (doErase) {
+            val n = ring.length / 2
+            val xs = Array.tabulate(n)(i => ring(i * 2))
+            val ys = Array.tabulate(n)(i => ring(i * 2 + 1))
+            Some((tKey, 1L, math.abs(graft.geom.Geom.signedRingArea(xs, ys, 0, n))))
+          } else None
+        } else {
+          val clipShapes: Seq[Overlay.Shape] = clipsRaw.map(r => Seq(r.toArray))
+          val out = if (doErase) Overlay.erase(subject, clipShapes)
+                    else Overlay.clip(subject, clipShapes)
+          val area = Overlay.layerArea(out)
+          if (out.isEmpty || area == 0.0) None
+          else Some((tKey, out.length.toLong, area))
+        }
+      }
+      .toDF("t_key", "n_rings", "area")
+  }
+
+  /**
    * `-slice`: cut target shapes by each source polygon — one output row per
    * overlapping (target, source) pair carrying the clipped piece's ring count
    * and area (ref `mapshaper-clip-erase.mjs:38-44`, clip type "slice").
