@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
+import graft.geom.Overlay
 import graft.operators.{AlphaShape, Cluster, PolyJoin}
 import graft.tables.SplitMix64
 
@@ -77,6 +78,43 @@ class DistributedKernelsSpec extends SparkSuite {
       .as[(Long, Long, Double)].collect()
       .map { case (t, s, a) => (t, s, math.round(a * 1e6)) }.toSet
     assert(gotBest == expectedBest)
+  }
+
+  test("clipLayerDistributed equals the driver kernel (clip AND erase)") {
+    import graft.operators.OverlayOp
+    val rng = new SplitMix64(61)
+    def hexagon(cx: Double, cy: Double, r: Double): Array[Double] = {
+      val out = new Array[Double](14)
+      (0 until 6).foreach { i =>
+        val a = math.Pi / 3 * i + 0.3
+        out(i * 2) = cx + r * math.cos(a)
+        out(i * 2 + 1) = cy + r * math.sin(a)
+      }
+      out(12) = out(0); out(13) = out(1)
+      out
+    }
+    val targets = (0 until 30).map(i =>
+      (i.toLong, hexagon(rng.nextDouble() * 80 + 10, rng.nextDouble() * 80 + 10,
+        3 + rng.nextDouble() * 6)))
+    val clips = (0 until 8).map(i =>
+      (100L + i, hexagon(rng.nextDouble() * 80 + 10, rng.nextDouble() * 80 + 10,
+        6 + rng.nextDouble() * 10)))
+    val clipShapes: Seq[graft.geom.Overlay.Shape] = clips.map(c => Seq(c._2))
+
+    for (erase <- Seq(false, true)) {
+      val got = OverlayOp.clipLayerDistributed(spark,
+          targets.toDF("key", "ring"), clips.toDF("key", "ring"), erase = erase)
+        .select("t_key", "area").as[(Long, Double)].collect()
+        .map { case (k, a) => k -> math.round(a * 1e6) }.toMap
+      val want = targets.flatMap { case (k, ring) =>
+        val out = if (erase) Overlay.erase(Seq(Seq(ring)), clipShapes)
+                  else Overlay.clip(Seq(Seq(ring)), clipShapes)
+        val a = Overlay.layerArea(out)
+        if (out.isEmpty || a == 0.0) None else Some(k -> math.round(a * 1e6))
+      }.toMap
+      assert(got == want, s"erase=$erase")
+      assert(got.nonEmpty)
+    }
   }
 
   test("cluster assignPoints bounds driver input and clusters sanely") {
