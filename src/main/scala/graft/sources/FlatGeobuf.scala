@@ -37,6 +37,215 @@ object FlatGeobuf {
   final val GPolygon = 3
   final val GMultiPolygon = 6
 
+  // --------------------------------------------------------------- writing
+
+  /** Minimal FlatBuffers builder: objects are created children-first and laid
+   * out in REVERSE creation order (parents at lower addresses), so all
+   * references are forward u32 offsets per the wire format. Each chunk
+   * carries an alignment requirement honored during layout. */
+  private final class FbBuilder {
+    final case class Chunk(bytes: Array[Byte], align: Int, alignOffset: Int,
+                           refs: Seq[(Int, Int)], // (bytePosInChunk, targetChunkIdx)
+                           refDelta: Int = 0)     // references point at chunkPos + refDelta
+    private val chunks = scala.collection.mutable.ArrayBuffer.empty[Chunk]
+
+    def doubleVector(vs: Array[Double]): Int = {
+      val b = ByteBuffer.allocate(4 + vs.length * 8).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(vs.length)
+      vs.foreach(b.putDouble)
+      chunks += Chunk(b.array(), 8, 4, Nil) // data at +4 must be 8-aligned
+      chunks.length - 1
+    }
+
+    def uintVector(vs: Array[Int]): Int = {
+      val b = ByteBuffer.allocate(4 + vs.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(vs.length)
+      vs.foreach(b.putInt)
+      chunks += Chunk(b.array(), 4, 0, Nil)
+      chunks.length - 1
+    }
+
+    def byteVector(vs: Array[Byte]): Int = {
+      val b = ByteBuffer.allocate(4 + vs.length).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(vs.length)
+      b.put(vs)
+      chunks += Chunk(b.array(), 4, 0, Nil)
+      chunks.length - 1
+    }
+
+    def string(s: String): Int = {
+      val sb = s.getBytes(StandardCharsets.UTF_8)
+      val b = ByteBuffer.allocate(4 + sb.length + 1).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(sb.length)
+      b.put(sb) // + implicit NUL
+      chunks += Chunk(b.array(), 4, 0, Nil)
+      chunks.length - 1
+    }
+
+    /** Vector of table references. */
+    def tableVector(ids: Seq[Int]): Int = {
+      val b = ByteBuffer.allocate(4 + ids.length * 4).order(ByteOrder.LITTLE_ENDIAN)
+      b.putInt(ids.length)
+      chunks += Chunk(b.array(), 4, 0, ids.zipWithIndex.map { case (t, i) => (4 + i * 4, t) })
+      chunks.length - 1
+    }
+
+    sealed trait Field
+    final case class U8(id: Int, v: Int) extends Field
+    final case class U16(id: Int, v: Int) extends Field
+    final case class U64(id: Int, v: Long) extends Field
+    final case class Ref(id: Int, target: Int) extends Field
+
+    /** Table from fields (vtable inline before the table). */
+    def table(fields: Seq[Field]): Int = {
+      val maxId = if (fields.isEmpty) -1 else fields.map {
+        case U8(i, _) => i; case U16(i, _) => i; case U64(i, _) => i; case Ref(i, _) => i
+      }.max
+      val vtSlots = maxId + 1
+      val vtLen = 4 + vtSlots * 2
+      // lay out table data: soffset(4) then fields in order with alignment
+      var tblLen = 4
+      val fieldOffsets = new Array[Int](vtSlots)
+      val ordered = fields.sortBy {
+        case U8(i, _) => i; case U16(i, _) => i; case U64(i, _) => i; case Ref(i, _) => i
+      }
+      val placements = ordered.map { f =>
+        val (sz, al) = f match {
+          case _: U8 => (1, 1); case _: U16 => (2, 2)
+          case _: U64 => (8, 8); case _: Ref => (4, 4)
+        }
+        val pad = (al - (tblLen % al)) % al
+        tblLen += pad
+        val pos = tblLen
+        tblLen += sz
+        val id = f match {
+          case U8(i, _) => i; case U16(i, _) => i; case U64(i, _) => i; case Ref(i, _) => i
+        }
+        fieldOffsets(id) = pos
+        (f, pos)
+      }
+      val b = ByteBuffer.allocate(vtLen + tblLen).order(ByteOrder.LITTLE_ENDIAN)
+      b.putShort(0, vtLen.toShort)
+      b.putShort(2, tblLen.toShort)
+      (0 until vtSlots).foreach(i => b.putShort(4 + i * 2, fieldOffsets(i).toShort))
+      b.putInt(vtLen, vtLen) // soffset: vtable sits vtLen bytes before the table
+      val refs = Seq.newBuilder[(Int, Int)]
+      placements.foreach {
+        case (U8(_, v), pos) => b.put(vtLen + pos, v.toByte)
+        case (U16(_, v), pos) => b.putShort(vtLen + pos, v.toShort)
+        case (U64(_, v), pos) => b.putLong(vtLen + pos, v)
+        case (Ref(_, t), pos) => refs += ((vtLen + pos, t))
+      }
+      chunks += Chunk(b.array(), 8, vtLen, refs.result(), refDelta = vtLen) // table start 8-aligned
+      chunks.length - 1
+    }
+
+    /** Finish one flatbuffer with `root` as the root table; returns bytes
+     * (u32 root offset + payload). */
+    def finish(root: Int): Array[Byte] = {
+      // layout: root-offset word, then chunks in REVERSE creation order
+      val order = chunks.indices.reverse
+      val pos = new Array[Int](chunks.length)
+      var cursor = 4
+      order.foreach { ci =>
+        val c = chunks(ci)
+        val pad = ((c.align - ((cursor + c.alignOffset) % c.align)) % c.align)
+        cursor += pad
+        pos(ci) = cursor
+        cursor += c.bytes.length
+      }
+      val out = ByteBuffer.allocate(cursor).order(ByteOrder.LITTLE_ENDIAN)
+      chunks.indices.foreach { ci =>
+        val c = chunks(ci)
+        var i = 0
+        while (i < c.bytes.length) { out.put(pos(ci) + i, c.bytes(i)); i += 1 }
+        c.refs.foreach { case (at, target) =>
+          val t = chunks(target)
+          out.putInt(pos(ci) + at, (pos(target) + t.refDelta) - (pos(ci) + at))
+        }
+      }
+      // root offset: u32 RELATIVE offset from position 0 to the root table
+      val rootChunk = chunks(root)
+      out.putInt(0, pos(root) + rootChunk.refDelta)
+      out.array()
+    }
+  }
+
+  /** Write a single-geometry-type FGB layer (no spatial index). Geometry per
+   * feature: flat xy parts (rings/paths); properties limited to the column
+   * types the reader handles. */
+  def write(layer: Layer, name: String = "layer"): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte]('f', 'g', 'b', 3, 'f', 'g', 'b', 0))
+
+    // header flatbuffer
+    val hb = new FbBuilder
+    val nameOff = hb.string(name)
+    val envOff = if (layer.envelope.nonEmpty) Some(hb.doubleVector(layer.envelope)) else None
+    val colOffs = layer.columns.map { c =>
+      val n = hb.string(c.name)
+      hb.table(Seq(hb.Ref(0, n), hb.U8(1, c.colType)))
+    }
+    val colsVec = if (colOffs.nonEmpty) Some(hb.tableVector(colOffs)) else None
+    val hdrFields = Seq(hb.Ref(0, nameOff)) ++
+      envOff.map(o => hb.Ref(1, o)) ++
+      Seq(hb.U8(2, layer.geometryType)) ++
+      colsVec.map(o => hb.Ref(7, o)) ++
+      Seq(hb.U64(8, layer.features.length.toLong), hb.U16(9, 0)) // no index
+    val hdr = hb.finish(hb.table(hdrFields))
+    val lenBuf = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(hdr.length)
+    out.write(lenBuf.array()); out.write(hdr)
+
+    // features
+    layer.features.foreach { f =>
+      val fb = new FbBuilder
+      val xy = f.parts.flatMap(_.toSeq).toArray
+      val ends = {
+        var acc = 0
+        f.parts.map { p => acc += p.length / 2; acc }.toArray
+      }
+      val xyOff = fb.doubleVector(xy)
+      val endsOff = if (f.parts.length > 1) Some(fb.uintVector(ends)) else None
+      val geom = fb.table(
+        endsOff.map(o => fb.Ref(0, o)).toSeq ++ Seq(fb.Ref(1, xyOff)))
+      val propBytes = encodeProps(f.props, layer.columns)
+      val featFields = Seq(fb.Ref(0, geom)) ++
+        (if (propBytes.nonEmpty) Seq(fb.Ref(1, fb.byteVector(propBytes))) else Nil)
+      val feat = fb.finish(fb.table(featFields))
+      val fl = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(feat.length)
+      out.write(fl.array()); out.write(feat)
+    }
+    out.toByteArray
+  }
+
+  private def encodeProps(props: Map[String, Any], columns: Seq[Column]): Array[Byte] = {
+    val b = new java.io.ByteArrayOutputStream()
+    val bb = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
+    columns.zipWithIndex.foreach { case (c, ci) =>
+      props.get(c.name).foreach { v =>
+        bb.clear(); bb.putShort(ci.toShort)
+        b.write(bb.array(), 0, 2)
+        c.colType match {
+          case 7 | 8 =>
+            bb.clear(); bb.putLong(v match { case l: Long => l; case i: Int => i.toLong case _ => 0L })
+            b.write(bb.array(), 0, 8)
+          case 10 =>
+            bb.clear(); bb.putDouble(v.asInstanceOf[Double])
+            b.write(bb.array(), 0, 8)
+          case 11 =>
+            val sb = v.toString.getBytes(StandardCharsets.UTF_8)
+            bb.clear(); bb.putInt(sb.length)
+            b.write(bb.array(), 0, 4)
+            b.write(sb)
+          case 2 =>
+            b.write(if (v.asInstanceOf[Boolean]) 1 else 0)
+          case _ => ()
+        }
+      }
+    }
+    b.toByteArray
+  }
+
   /** Minimal FlatBuffers table accessor. */
   private final class FB(val buf: ByteBuffer) {
     def root(start: Int): Int = start + buf.getInt(start)
