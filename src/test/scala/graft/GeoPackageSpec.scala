@@ -55,4 +55,23 @@ class GeoPackageSpec extends AnyFunSuite {
       assert(cols.nonEmpty && rows != null)
     }
   }
+
+  test("GeoPackage writer round-trips through the reader (real-sqlite-validated format)") {
+    // the same bytes pass `PRAGMA integrity_check` = ok in real SQLite
+    // (validated with the driver-side python sqlite3 module)
+    import graft.sources.GeoPackageWriter
+    val bytes = GeoPackageWriter.writePoints("cities",
+      Seq(("name", "TEXT"), ("pop", "INTEGER")),
+      Seq((-122.3, 47.6, Seq("seattle", 750000L)), (2.35, 48.85, Seq("paris", 2100000L))))
+    val tmp = java.nio.file.Files.createTempFile("graftw", ".gpkg")
+    java.nio.file.Files.write(tmp, bytes)
+    val db = GeoPackage.open(tmp.toString)
+    assert(GeoPackage.featureTables(db) == Seq("cities"))
+    val lyr = GeoPackage.readFeatures(db, "cities")
+    assert(lyr.srsId == 4326 && lyr.features.length == 2)
+    val f0 = lyr.features.head
+    assert(f0.fid == 1L && f0.props("name") == "seattle" && f0.props("pop") == 750000L)
+    val Seq(pt) = f0.parts
+    assert(pt(0) == -122.3 && pt(1) == 47.6)
+  }
 }
