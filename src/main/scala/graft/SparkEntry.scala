@@ -664,6 +664,12 @@ object SparkEntry {
         .groupBy("cell_id", "poly_key").agg(count(lit(1)).as("n_tiles"))
         .orderBy("cell_id", "poly_key")),
 
+    // decode -> luma grid -> blur + bilinear downsample per image (the raster
+    // toolbox on the binary payload; deterministic quantized outputs)
+    "q_img_raster" -> ((s, dir) =>
+      Multimodal.rasterStage(s, imagesDf(s, dir).limit(300))
+        .orderBy("image_id")),
+
     "q_img_features" -> ((s, dir) =>
       Multimodal.features(s, imagesDf(s, dir).limit(500)).toDF()
         .select(col("image_id"), col("w"), col("h"), col("fmt"), col("ahash"))

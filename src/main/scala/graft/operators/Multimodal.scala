@@ -109,6 +109,37 @@ object Multimodal {
     images.withColumn("thumb", resizeUdf(col("bytes")))
   }
 
+  /** Decoded image as a luma [[Raster.Grid]] — the bridge from the binary
+   * payload to the raster toolbox (blur / resample / crop / reproject /
+   * GeoTIFF export); georef places the image at its phash location. */
+  def toLumaGrid(bytes: Array[Byte], georef: Raster.Georef): Raster.Grid = {
+    val (w, h, px) = Images.decode(bytes)
+    val values = new Array[Double](w * h)
+    var i = 0
+    while (i < px.length) {
+      values(i) = (((px(i) >> 16) & 0xff) * 299 + ((px(i) >> 8) & 0xff) * 587 +
+        (px(i) & 0xff) * 114) / 1000.0
+      i += 1
+    }
+    Raster.Grid(w, h, values, georef)
+  }
+
+  /** Per-image raster stage: decode → luma grid → blur + downsample →
+   * summary stats (mapPartitions, shuffle-free; the classic map-heavy
+   * image-pipeline stage). Output: (image_id, w, h, mean_luma_q, blur_center_q). */
+  def rasterStage(spark: SparkSession, images: DataFrame,
+                  blurRadius: Int = 1, outW: Int = 8, outH: Int = 8): DataFrame = {
+    import spark.implicits._
+    images.select("image_id", "bytes").as[(String, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val g = toLumaGrid(bytes, Raster.Georef(0, 0, 1))
+        val small = Raster.resampleBilinear(Raster.boxBlur(g, blurRadius), outW, outH)
+        val mean = small.values.sum / small.values.length
+        (id, g.w, g.h, math.round(mean * 1000), math.round(small(outW / 2, outH / 2) * 1000))
+      })
+      .toDF("image_id", "w", "h", "mean_luma_q", "blur_center_q")
+  }
+
   /** PSNR of decode(bytes) vs a deterministic re-render — the per-row invariant
    * check (decoded-pixel allclose, PSNR >= 40 dB for lossy formats). */
   def psnrVsRender(spark: SparkSession, images: DataFrame): DataFrame = {

@@ -241,6 +241,17 @@ class OperatorSpec extends SparkSuite {
     assert(!plan.contains("bytes"), "tile assignment must not read image payloads")
   }
 
+  test("rasterStage: decode -> blur -> resample is deterministic and sane") {
+    val imgs = Images.generate(spark, 20).toDF()
+    val a = Multimodal.rasterStage(spark, imgs).orderBy("image_id").collect()
+    val b = Multimodal.rasterStage(spark, imgs.repartition(7)).orderBy("image_id").collect()
+    assert(a.sameElements(b)) // partition-invariant
+    a.foreach { r =>
+      val mean = r.getLong(3)
+      assert(mean > 0 && mean < 255000, s"mean_luma_q=$mean")
+    }
+  }
+
   test("multimodal features: deterministic ahash, sane means") {
     val imgs = Images.generate(spark, 20).toDF()
     val f1 = Multimodal.features(spark, imgs).collect().sortBy(_.image_id)
