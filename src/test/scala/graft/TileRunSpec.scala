@@ -41,4 +41,39 @@ class TileRunSpec extends SparkSuite {
     val b = spark.read.parquet(s"$refDir/tiles").count()
     assert(a == b && a == full.map(_.outputRows).sum)
   }
+
+  test("tile run executes O(1) Spark jobs regardless of group count") {
+    // the round-1 shape was 3 jobs PER GROUP (full-table rescans); the
+    // partitioned rewrite must stay constant: plan + input agg + write +
+    // output agg = 4 jobs however many cell groups exist
+    val layer = Synthetic.polygonLayer(16, seed = 5L)
+    val imgs = Images.generate(spark, 600).toDF().cache()
+    imgs.count()
+    val dir = Files.createTempDirectory("tilerun_jobs").toString
+
+    def countJobs(coarseRes: Int): (Int, Int) = {
+      val d = Files.createTempDirectory(s"tilerun_jobs_$coarseRes").toString
+      val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          counter.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        val manifests = TileRun.run(spark, imgs, layer, d, coarseRes = coarseRes, fineRes = 8)
+        Thread.sleep(500) // let the listener bus drain
+        (manifests.size, counter.get())
+      } finally {
+        spark.sparkContext.removeSparkListener(listener)
+      }
+    }
+    val (gFew, jFew) = countJobs(1)     // few coarse groups
+    val (gMany, jMany) = countJobs(3)   // many coarse groups
+    assert(gMany >= gFew * 2, s"want more groups at finer res: $gFew vs $gMany")
+    // round-1 shape was 3 jobs per group; the partitioned rewrite must not
+    // scale with group count (allow +-1 for AQE re-plans)
+    assert(math.abs(jMany - jFew) <= 1,
+      s"jobs must be group-count-invariant: $jFew jobs/$gFew groups vs $jMany jobs/$gMany groups")
+    assert(jMany <= 10, s"absolute bound: $jMany")
+  }
 }
