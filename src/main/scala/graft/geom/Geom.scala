@@ -187,6 +187,44 @@ object Geom {
     dx * dx + dy * dy
   }
 
+  /** Spherical signed ring area (m^2) for lon/lat rings — the reference's
+   * exact accumulation (`src/geom/mapshaper-polygon-geom.mjs:186-204`,
+   * getSphericalPathArea2: sum (x - xp)(2 + sin y + sin yp) / 2 * R^2). */
+  def sphericalRingArea(lons: Array[Double], lats: Array[Double], start: Int, n: Int,
+                        radius: Double = 6378137.0): Double = {
+    val d2r = math.Pi / 180.0
+    var sum = 0.0
+    var xp = lons(start) * d2r
+    var yp = math.sin(lats(start) * d2r)
+    var i = start + 1
+    while (i < start + n) {
+      val x = lons(i) * d2r
+      val y = math.sin(lats(i) * d2r)
+      sum += (x - xp) * (2.0 + y + yp)
+      xp = x; yp = y
+      i += 1
+    }
+    sum / 2.0 * radius * radius
+  }
+
+  /** Great-circle path length (m) along lon/lat vertices (haversine). */
+  def sphericalPathLength(lons: Array[Double], lats: Array[Double], start: Int, n: Int,
+                          radius: Double = 6371008.8): Double = {
+    val d2r = math.Pi / 180.0
+    var sum = 0.0
+    var i = start
+    while (i < start + n - 1) {
+      val dlat = (lats(i + 1) - lats(i)) * d2r
+      val dlon = (lons(i + 1) - lons(i)) * d2r
+      val a = math.sin(dlat / 2) * math.sin(dlat / 2) +
+        math.cos(lats(i) * d2r) * math.cos(lats(i + 1) * d2r) *
+          math.sin(dlon / 2) * math.sin(dlon / 2)
+      sum += 2.0 * radius * math.asin(math.min(1.0, math.sqrt(a)))
+      i += 1
+    }
+    sum
+  }
+
   /** Circumcenter of triangle (a,b,c); (NaN, NaN) when degenerate/collinear. */
   def circumcenter(ax: Double, ay: Double, bx: Double, by: Double,
                    cx: Double, cy: Double): (Double, Double) = {

@@ -142,4 +142,26 @@ class GeomSpec extends AnyFunSuite {
     val kk = Simplify.thresholds(xx, yy, Simplify.DouglasPeucker)
     assert(kk(2) > kk(1) && kk(2) > kk(3))
   }
+
+  test("spherical measures: hemisphere-band area and equatorial length") {
+    import graft.geom.Geom
+    // equatorial band ring: lat in [-30, 30], full longitude sweep — exact
+    // area = 2*pi*R^2 * (sin 30 - sin -30) = 2*pi*R^2 (zone area theorem).
+    val steps = 720
+    val lons = new Array[Double](steps * 2 + 3)
+    val lats = new Array[Double](steps * 2 + 3)
+    var k = 0
+    def push(lon: Double, lat: Double): Unit = { lons(k) = lon; lats(k) = lat; k += 1 }
+    (0 to steps).foreach(i => push(-180.0 + 360.0 * i / steps, 30.0))
+    (0 to steps).foreach(i => push(180.0 - 360.0 * i / steps, -30.0))
+    push(-180.0, 30.0)
+    val r = 6378137.0
+    val a = math.abs(Geom.sphericalRingArea(lons, lats, 0, k, r))
+    val want = 2.0 * math.Pi * r * r // sin(30) - sin(-30) = 1
+    assert(math.abs(a / want - 1.0) < 1e-6, s"$a vs $want")
+
+    // one degree of longitude along the equator = R * pi/180 meters
+    val dLen = Geom.sphericalPathLength(Array(0.0, 1.0), Array(0.0, 0.0), 0, 2)
+    assert(math.abs(dLen - 6371008.8 * math.Pi / 180.0) < 1e-3)
+  }
 }
