@@ -115,6 +115,35 @@ object Buffer {
     out
   }
 
+  /** Geodesic polyline buffer: densify the lon/lat path so consecutive
+   * vertices sit well inside each other's buffer circles, place a geodesic
+   * ring at every vertex, and merge through the planar mosaic (valid away
+   * from the poles/antimeridian; the reference's geodesic buffers likewise
+   * densify then offset — `src/buffer/mapshaper-geodesic-buffer.mjs`). */
+  def geodesicPathBuffer(lonLat: Array[Double], radiusMeters: Double,
+                         nSeg: Int = 24): Seq[Array[Double]] = {
+    val step = radiusMeters / 2.0
+    val dense = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
+    var i = 0
+    while (i + 3 < lonLat.length) {
+      val (lon1, lat1) = (lonLat(i), lonLat(i + 1))
+      val (lon2, lat2) = (lonLat(i + 2), lonLat(i + 3))
+      val segLen = graft.geom.Geom.sphericalPathLength(
+        Array(lon1, lon2), Array(lat1, lat2), 0, 2)
+      val pieces = math.max(1, math.ceil(segLen / step).toInt)
+      (0 until pieces).foreach { p =>
+        val t = p.toDouble / pieces
+        dense += ((lon1 + (lon2 - lon1) * t, lat1 + (lat2 - lat1) * t))
+      }
+      i += 2
+    }
+    dense += ((lonLat(lonLat.length - 2), lonLat(lonLat.length - 1)))
+    val rings = dense.map { case (lon, lat) =>
+      Seq(geodesicPointBufferRing(lon, lat, radiusMeters, nSeg)): Overlay.Shape
+    }
+    Overlay.dissolve2(rings.toSeq)
+  }
+
   /** Polylines → polygons: every bounded face of the line arrangement
    * (`-polygons`; mosaic semantics, no membership filter). */
   def polygonize(lines: Seq[Array[Double]]): Seq[Overlay.Face] =

@@ -75,6 +75,35 @@ class BufferClusterSpec extends AnyFunSuite {
     }
   }
 
+  test("geodesic path buffer covers the path and respects the radius envelope") {
+    // a 2-segment path at mid latitude, 100 km radius
+    val path = Array(10.0, 45.0, 11.0, 45.3, 12.0, 45.0)
+    val r = 100000.0
+    val rings = Buffer.geodesicPathBuffer(path, r, nSeg = 24)
+    assert(rings.nonEmpty)
+    def minDistToPath(lon: Double, lat: Double): Double =
+      (0 until 3).map { i =>
+        graft.geom.Geom.sphericalPathLength(
+          Array(lon, path(i * 2)), Array(lat, path(i * 2 + 1)), 0, 2)
+      }.min
+    // every output vertex lies within [0.8r, 1.2r] of SOME path vertex zone:
+    // boundary vertices sit near distance r from the nearest densified point
+    rings.foreach { ring =>
+      var i = 0
+      while (i + 1 < ring.length) {
+        val d = minDistToPath(ring(i), ring(i + 1))
+        assert(d < 1.25 * r, s"vertex ${ring(i)},${ring(i + 1)} at $d m")
+        i += 2
+      }
+    }
+    // the path's vertices are inside the buffer (distance test via PIP)
+    (0 until 3).foreach { i =>
+      val inside = rings.exists(rr =>
+        graft.geom.Overlay.evenOddContains(Seq(rr), path(i * 2), path(i * 2 + 1)))
+      assert(inside, s"path vertex $i not covered")
+    }
+  }
+
   test("polygon buffer dilation/erosion areas match closed forms") {
     val sq: graft.geom.Overlay.Shape =
       Seq(Array(0.0, 0.0, 6.0, 0.0, 6.0, 6.0, 0.0, 6.0, 0.0, 0.0))
