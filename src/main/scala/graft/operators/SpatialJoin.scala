@@ -48,7 +48,7 @@ object SpatialJoin {
       outCol: String = "poly_key"): DataFrame = {
     val matched = withMatches(spark, points, xCol, yCol, layer, "_matches")
     matched
-      .select(points.columns.map(col) :+ explode(col("_matches")).as(outCol): _*)
+      .select(points.columns.toIndexedSeq.map(col) :+ explode(col("_matches")).as(outCol): _*)
   }
 
   /** Left variant: adds an array column of matching polygon keys (empty = unmatched). */

@@ -85,7 +85,7 @@ object TileRun {
       .withColumn("x", phashLon(col("phash")))
       .withColumn("y", phashLat(col("phash")))
       .withColumn("g", cellId(col("x"), col("y"), coarseRes))
-      .filter(col("g").isin(todo: _*))
+      .filter(col("g").isin(todo.toIndexedSeq: _*))
 
     // lineage: input rows per group (one shuffle of (g, count) partials)
     val inRows = located.groupBy("g").agg(count(lit(1)).as("n"))
@@ -111,7 +111,7 @@ object TileRun {
     val outAgg: Map[Long, (Long, Long)] =
       if (!anyWritten) Map.empty
       else spark.read.parquet(s"$outDir/tiles")
-        .filter(col("g").isin(todo: _*))
+        .filter(col("g").isin(todo.toIndexedSeq: _*))
         .groupBy("g")
         .agg(count(lit(1)).as("n"),
           coalesce(expr("bit_xor(xxhash64(image_id, cell_id, poly_key))"), lit(0L)).as("xor"))
