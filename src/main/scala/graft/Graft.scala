@@ -1,0 +1,144 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.geom.{Crs, Overlay}
+import graft.index.PolygonLayer
+import graft.operators._
+
+/**
+ * The user-facing command surface: one entry point per mapshaper command,
+ * delegating to the Spark-native operators. A reference user maps their CLI
+ * pipeline onto these calls:
+ *
+ * {{{
+ * mapshaper in.shp                    Graft.readShapefile(path)
+ *   -filter 'POP > 1000'             .filter(col("POP") > 1000)          // plain Dataset API
+ *   -join src.csv keys=a,b           Graft.join(target, source, "a", "b")
+ *   -clip clip.shp                   Graft.clipLayer(spark, t, c)
+ *   -dissolve2 gap-fill-area=10      Graft.dissolve2(shapes, gapFillArea = 10)
+ *   -proj albers                     Graft.project(df, "lon", "lat", Graft.albersUsa)
+ *   -simplify 20%                    SimplifyOp.simplify(spark, rings, "ring", 0.2)
+ *   -o out.shp                       Graft.writeShapefile(shapes)
+ * }}}
+ *
+ * Command → implementation inventory: COVERAGE.md (line-by-line vs the
+ * reference's SURVEY §2 list).
+ */
+object Graft {
+
+  // ------------------------------------------------------------- sources -i
+  def readShapefilePolygons(path: String): PolygonLayer = sources.ShpReader.readPolygons(path)
+  def readShapefilePoints(path: String): Seq[(Long, Double, Double)] = sources.ShpReader.readPoints(path)
+  def readShapefilePolylines(path: String): Seq[(Long, Seq[Array[Double]])] = sources.ShpReader.readPolylines(path)
+  def readDbf(path: String): sources.DbfReader.Table = sources.DbfReader.read(path)
+  def readGeoJson(json: String): PolygonLayer = sources.GeoJsonIO.fromGeoJson(json)
+  def readTopoJson(json: String): PolygonLayer = sources.TopoJsonIO.fromTopoJson(json)
+  def readFlatGeobuf(path: String): sources.FlatGeobuf.Layer = sources.FlatGeobuf.read(path)
+  def readGeoPackage(path: String): sources.GeoPackage.SqliteDb = sources.GeoPackage.open(path)
+  def readGeoTiff(bytes: Array[Byte]): Raster.Grid = sources.GeoTiff.read(bytes)
+
+  // ---------------------------------------------------------------- sinks -o
+  def writeShapefile(shapes: Seq[Seq[Array[Double]]]): (Array[Byte], Array[Byte]) =
+    sources.Export.writePolygonShp(shapes)
+  def writeDbf(fields: Seq[(String, Char, Int, Int)], rows: Seq[Seq[Any]]): Array[Byte] =
+    sources.Export.writeDbf(fields, rows)
+  def writeTopoJson(layer: PolygonLayer): String = sources.TopoJsonIO.toTopoJson(layer)
+  def writeSvg(shapes: Seq[(Seq[Array[Double]], String)]): String = sources.Export.writeSvg(shapes)
+  def writeFlatGeobuf(layer: sources.FlatGeobuf.Layer): Array[Byte] = sources.FlatGeobuf.write(layer)
+  def writeGeoTiff(grid: Raster.Grid): Array[Byte] = sources.GeoTiff.write(grid)
+  def writeGeoParquet(spark: SparkSession, df: DataFrame, geometryCol: String, outDir: String,
+                      geometryTypes: Seq[String], bbox: (Double, Double, Double, Double)): Unit =
+    sources.GeoParquet.write(spark, df, geometryCol, outDir, geometryTypes, bbox)
+
+  // ------------------------------------------------------------------ joins
+  /** -join (attribute): keys=, fields=, prefix=, duplication, sum-fields, where= */
+  def join(target: DataFrame, source: DataFrame, targetKey: String, sourceKey: String,
+           fields: Seq[String] = Nil, prefix: String = "", duplication: Boolean = false,
+           sumFields: Seq[String] = Nil, where: Option[Column] = None): JoinOp.JoinResult =
+    JoinOp.join(target, source, targetKey, sourceKey, fields, prefix, duplication,
+      sumFields, None, where)
+
+  /** -join point→polygon (broadcast PIP). */
+  def pointPolygonJoin(spark: SparkSession, points: DataFrame, x: String, y: String,
+                       layer: PolygonLayer): DataFrame =
+    SpatialJoin.broadcastJoin(spark, points, x, y, layer)
+
+  /** -join polygon→polygon via mosaic overlap (distributed). */
+  def polygonOverlapJoin(spark: SparkSession, targets: DataFrame, sources0: DataFrame): DataFrame =
+    PolyJoin.overlapDistributed(spark, targets, sources0)
+
+  /** -join polyline→polygon via path midpoints. */
+  def lineJoin(spark: SparkSession, lines: DataFrame, id: String, line: String,
+               layer: PolygonLayer): DataFrame =
+    LineOps.joinToPolygons(spark, lines, id, line, layer)
+
+  /** kNN / radius joins. */
+  def knn(spark: SparkSession, points: DataFrame, id: String, x: String, y: String, k: Int): DataFrame =
+    Knn.knnJoin(spark, points, id, x, y, k)
+  def radiusJoin(spark: SparkSession, points: DataFrame, id: String, x: String, y: String,
+                 radius: Double): DataFrame =
+    Knn.distanceJoin(spark, points, id, x, y, radius)
+
+  // ---------------------------------------------------------------- overlay
+  def clip(subject: Seq[Overlay.Shape], clips: Seq[Overlay.Shape]): Seq[Array[Double]] =
+    Overlay.clip(subject, clips)
+  def erase(subject: Seq[Overlay.Shape], clips: Seq[Overlay.Shape]): Seq[Array[Double]] =
+    Overlay.erase(subject, clips)
+  def clipLayer(spark: SparkSession, targets: DataFrame, clips: DataFrame): DataFrame =
+    OverlayOp.clipLayerDistributed(spark, targets, clips)
+  def eraseLayer(spark: SparkSession, targets: DataFrame, clips: DataFrame): DataFrame =
+    OverlayOp.clipLayerDistributed(spark, targets, clips, erase = true)
+  def slice(spark: SparkSession, targets: DataFrame, sources0: DataFrame): DataFrame =
+    OverlayOp.slice(spark, targets, sources0)
+  def dissolve2(shapes: Seq[Overlay.Shape], gapFillArea: Double = 0.0): Seq[Array[Double]] =
+    if (gapFillArea > 0) Overlay.dissolve2GapFill(shapes, gapFillArea)
+    else Overlay.dissolve2(shapes)
+  def dissolve2Distributed(spark: SparkSession, shapes: DataFrame): DataFrame =
+    OverlayOp.dissolve2Distributed(spark, shapes, "id", "ring")
+  def union(a: Seq[Overlay.Shape], b: Seq[Overlay.Shape]): Seq[Array[Double]] = Overlay.union(a, b)
+  def clean(shapes: Seq[Overlay.Shape]): Seq[Seq[Array[Double]]] = Overlay.clean(shapes)
+  def clipLines(spark: SparkSession, lines: DataFrame, id: String, line: String,
+                shape: Overlay.Shape, erase: Boolean = false): DataFrame =
+    LineOps.clipLines(spark, lines, id, line, shape, erase)
+  def stitch(rings: Seq[Array[Double]]): Seq[Array[Double]] = Stitch.antimeridian(rings)
+
+  // ------------------------------------------------------------ projections
+  def webMercator: (Column => Column, Column => Column) = (Proj.lonToMercX, Proj.latToMercY)
+  def albersUsa: Crs.Proj = Crs.Albers(29.5, 45.5, 23.0, -96.0)
+  def lambertUsa: Crs.Proj = Crs.Lcc(33.0, 45.0, 39.0, -96.0)
+  def utm(zone: Int, south: Boolean = false): Crs.Proj = Crs.utm(zone, south)
+  def azimuthalEquidistant(lat0: Double, lon0: Double): Crs.Proj = Crs.Aeqd(lat0, lon0)
+  def rotation(a: Double, b: Double, c: Double): Crs.Proj = Crs.Rotation(a, b, c)
+  /** -proj: adds array<double>[x, y] via the codegen forward transform. */
+  def project(df: DataFrame, lonCol: String, latCol: String, proj: Crs.Proj,
+              out: String = "xy"): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    df.withColumn(out, Proj.forward(col(lonCol), col(latCol), proj))
+  }
+
+  // ------------------------------------------------------ simplify / paths
+  def filterDetail(xx: Array[Double], yy: Array[Double], distance: Double): (Array[Double], Array[Double]) =
+    geom.DetailFilter.filter(xx, yy, distance)
+
+  // ------------------------------------------------------- classify / color
+  def classifyQuantile(spark: SparkSession, df: DataFrame, valueCol: String, numBreaks: Int): Seq[Double] =
+    Classify.quantileBreaks(spark, df, valueCol, numBreaks)
+  def classifyHybrid(spark: SparkSession, df: DataFrame, valueCol: String, numBreaks: Int): Seq[Double] =
+    Classify.hybridBreaks(spark, df, valueCol, numBreaks)
+  def colorize(value: Column, breaks: Seq[Double], colors: Seq[String]): Column =
+    Classify.colorize(value, breaks, colors)
+
+  // ----------------------------------------------------------------- extras
+  def buffer(shape: Overlay.Shape, radius: Double): Seq[Array[Double]] =
+    Buffer.polygonBuffer(shape, radius)
+  def geodesicBuffer(lonLat: Array[Double], radiusMeters: Double): Seq[Array[Double]] =
+    Buffer.geodesicPathBuffer(lonLat, radiusMeters)
+  def alphaShapes(spark: SparkSession, points: DataFrame, x: String, y: String,
+                  alpha: Double): Seq[Array[Double]] =
+    AlphaShape.distributedRings(spark, points, x, y, alpha)
+  def cluster(spark: SparkSession, points: DataFrame, id: String, x: String, y: String,
+              k: Int): DataFrame =
+    Cluster.assignPoints(spark, points, id, x, y, k)
+  def info(spark: SparkSession, df: DataFrame): DataFrame = Info.describe(spark, df)
+}
