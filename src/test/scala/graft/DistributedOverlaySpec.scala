@@ -51,4 +51,19 @@ class DistributedOverlaySpec extends SparkSuite {
     assert(math.abs(dist.getDouble(0) - graft.geom.Overlay.layerArea(single)) < 1e-6,
       s"dist=${dist.getDouble(0)} single=${graft.geom.Overlay.layerArea(single)}")
   }
+
+  test("label propagation converges in O(log diameter) rounds (pointer jumping)") {
+    // a 64-square chain has contact-graph diameter 63: plain min-label
+    // propagation needs ~63 rounds; with path-halving maxIters=10 suffices
+    // (the loop now REQUIREs convergence, so this would throw otherwise)
+    val shapes = (0 until 64).map { i =>
+      (i.toLong, square(i * 8.0, 0.0, 10.0)) // 2-unit overlaps chain them
+    }.toDF("id", "ring")
+    val out = OverlayOp.dissolve2Distributed(spark, shapes, "id", "ring",
+        cellRes = 5, maxIters = 10)
+      .as[(Long, Long, Long, Double)].collect()
+    assert(out.length == 1 && out.head._2 == 64)
+    // chain area: 64 squares of 100 minus 63 overlaps of 2x10
+    assert(math.abs(out.head._4 - (64 * 100.0 - 63 * 20.0)) < 1e-6)
+  }
 }
