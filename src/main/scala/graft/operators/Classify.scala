@@ -88,21 +88,37 @@ object Classify {
     (1 until numRanges).map(i => minVal + i * interval)
   }
 
-  /** Quantile breaks: ascending[floor(i * n/numRanges)] — exact rank-select
-   * (one sort shuffle; the selected k rows are the only driver data). */
+  /** Quantile breaks: ascending[floor(i * n/numRanges)] — exact DISTRIBUTED
+   * rank-select. A bare `Window.orderBy` would sort everything through ONE
+   * task; instead the values are range-partitioned, ranked per partition in
+   * parallel, and globalized with driver-side prefix sums (k tiny rows out). */
   def quantileBreaks(spark: SparkSession, df: DataFrame, valueCol: String,
                      numBreaks: Int): Seq[Double] = {
     import spark.implicits._
+    val parts = math.max(2, spark.sparkContext.defaultParallelism)
     val vals = df.select(col(valueCol).cast("double").as("v")).filter(col("v").isNotNull)
-    val n = vals.count()
+      .repartitionByRange(parts, col("v"))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint(true) // ranked + counted below without recomputing
+    val counts = vals.groupBy("_pid").count()
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val n = counts.map(_._2).sum
+    val prefix = counts.scanLeft(0L)(_ + _._2).init
+    val prefixBc = spark.sparkContext.broadcast(
+      counts.map(_._1).zip(prefix).toMap)
     val numRanges = numBreaks + 1
     val targets = (1 until numRanges)
       .map(i => math.floor(i * (n.toDouble / numRanges)).toLong)
-    val w = Window.orderBy(col("v"))
-    vals.withColumn("rnk", row_number().over(w) - 1)
+    // ranks computed per range-partition IN PARALLEL; global rank = prefix + local
+    val w = Window.partitionBy(col("_pid")).orderBy(col("v"))
+    val prefixUdf = udf((pid: Int) => prefixBc.value.getOrElse(pid, 0L))
+    val out = vals
+      .withColumn("rnk", row_number().over(w) - 1 + prefixUdf(col("_pid")))
       .filter(col("rnk").isin(targets: _*))
       .orderBy("rnk")
       .select("v").as[Double].collect().toSeq
+    vals.unpersist()
+    out
   }
 
   /** Hybrid breaks: quantile outer, equal-interval inner over
