@@ -1688,7 +1688,7 @@ object SparkEntry {
          |FROM ov WHERE a > 0 ORDER BY t_key, s_key""".stripMargin,
 
     "q_split_expr" ->
-      """SELECT p_brand AS layer, count(*) AS n, sum(p_partkey) AS key_sum
+      """SELECT p_brand AS layer, count(*) AS n, CAST(sum(p_partkey) AS BIGINT) AS key_sum
         |FROM part GROUP BY p_brand ORDER BY layer""".stripMargin,
 
     "q_info" ->

@@ -83,8 +83,12 @@ object Ann {
     import spark.implicits._
     val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec")).cache()
 
-    // deterministic init: the nlist vectors with the smallest ids
-    var centroids: Array[Array[Float]] = v.orderBy("id").limit(nlist)
+    // deterministic init, skew-hardened: seed with the nlist vectors whose
+    // id HASHES are smallest (TakeOrderedAndProject — distributed top-k, no
+    // global sort). Hash order spreads seeds uniformly over the corpus even
+    // when low ids are clustered in embedding space; ties break on id.
+    var centroids: Array[Array[Float]] = v
+      .orderBy(xxhash64(col("id")), col("id")).limit(nlist)
       .select("vec").as[Seq[Float]].collect().map(_.toArray)
 
     def nearestList(centroidsBc: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]]) =
@@ -150,6 +154,12 @@ object Ann {
   /**
    * LSH-bucketed approximate top-k: candidates share a hyperplane bucket with
    * the query (multi-probe: bucket itself + all Hamming-1 neighbors).
+   *
+   * Shuffle shape (the part that matters at 10^12 rows): the (planes+1)-way
+   * probe explode and the bucket self-join carry (id, bucket) pairs ONLY —
+   * never the embedding. Vectors are hash-joined back once per side for the
+   * surviving candidate pairs (same id-only pattern as
+   * [[graft.operators.Dedup.embeddingPairs]]).
    */
   def lshTopK(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
               k: Int, planes: Int = 10): DataFrame = {
@@ -162,18 +172,20 @@ object Ann {
       while (p < planes) { out(p + 1) = sig ^ (1L << p); p += 1 }
       out
     }
-    val sigs = v.withColumn("_sig", sigUdf(col("vec")))
-    val probes = sigs.withColumn("_bucket", explode(probesUdf(col("_sig"))))
-      .select(col("id"), col("vec"), col("_bucket"))
-    val base = sigs.select(col("id").as("neighbor_id"), col("vec").as("nvec"),
-      col("_sig").as("_bucket"))
-    val cosUdf = udf((a: Seq[Float], b: Seq[Float]) => cosine(a.toArray, b.toArray))
+    val idSigs = v.withColumn("_sig", sigUdf(col("vec"))).select("id", "_sig")
+    val probes = idSigs.withColumn("_bucket", explode(probesUdf(col("_sig"))))
+      .select(col("id"), col("_bucket"))
+    val base = idSigs.select(col("id").as("neighbor_id"), col("_sig").as("_bucket"))
     val cand = probes.join(base, Seq("_bucket"))
       .filter(col("id") =!= col("neighbor_id"))
       .dropDuplicates("id", "neighbor_id")
+    val cosUdf = udf((a: Seq[Float], b: Seq[Float]) => cosine(a.toArray, b.toArray))
+    val scored = cand
+      .join(v, Seq("id"))
+      .join(v.select(col("id").as("neighbor_id"), col("vec").as("nvec")), Seq("neighbor_id"))
       .select(col("id"), col("neighbor_id"), cosUdf(col("vec"), col("nvec")).as("score"))
     val w = Window.partitionBy("id").orderBy(col("score").desc, col("neighbor_id"))
-    cand.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("id", "rank", "neighbor_id", "score")
   }

@@ -116,22 +116,34 @@ object Cluster {
                    xCol: String, yCol: String, k: Int,
                    maxInput: Int = 4096): DataFrame = {
     import spark.implicits._
-    var res = 12 // cell = 360/2^res; coarsened until the summary fits
     def cellAgg(r: Int): DataFrame = points
       .select(GraftCell.cellIdCol(col(xCol), col(yCol), r).as("cell"),
         col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
       .groupBy("cell")
       .agg(sum("x").as("sx"), sum("y").as("sy"), count(lit(1)).cast("double").as("w"))
-    var cells = cellAgg(res).cache()
-    while (cells.count() > maxInput && res > 0) {
-      cells.unpersist()
-      res -= 1
-      cells = cellAgg(res).cache()
-    }
-    val summary = cells
+    // ONE sizing job: approx distinct-cell count at every candidate
+    // resolution in a single aggregation (instead of up to 12 sequential
+    // count() jobs); pick the finest res whose estimate fits with a 10%
+    // margin for the sketch error, then verify exactly on the collect.
+    val resCandidates = 12 to 0 by -1
+    val est = points
+      .select(col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
+      .select(resCandidates.map(r =>
+        approx_count_distinct(GraftCell.cellIdCol(col("x"), col("y"), r), 0.02)
+          .as(s"r$r")): _*)
+      .head()
+    var res = resCandidates
+      .find(r => est.getLong(resCandidates.indexOf(r)) <= (maxInput * 0.9).toLong)
+      .getOrElse(0)
+    var summary = cellAgg(res)
       .select(col("cell"), (col("sx") / col("w")).as("x"), (col("sy") / col("w")).as("y"), col("w"))
       .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
-    cells.unpersist()
+    while (summary.length > maxInput && res > 0) { // sketch-error fallback
+      res -= 1
+      summary = cellAgg(res)
+        .select(col("cell"), (col("sx") / col("w")).as("x"), (col("sy") / col("w")).as("y"), col("w"))
+        .as[(Long, Double, Double, Double)].collect().sortBy(_._1)
+    }
     val asg = greedyWeighted(summary.toSeq, k)
     val bc = spark.sparkContext.broadcast(asg)
     val clusterOf = udf((cell: Long) => bc.value.getOrElse(cell, -1))

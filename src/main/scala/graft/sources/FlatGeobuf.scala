@@ -175,6 +175,11 @@ object FlatGeobuf {
    * feature: flat xy parts (rings/paths); properties limited to the column
    * types the reader handles. */
   def write(layer: Layer, name: String = "layer"): Array[Byte] = {
+    // flat-ring encoding (one ends vector, no sub-geometry `parts` tables)
+    // would misrepresent a >1-polygon MultiPolygon to spec-compliant readers;
+    // split such features into Polygon features before writing
+    require(layer.geometryType != 6,
+      "FlatGeobuf writer does not support MultiPolygon: explode into Polygon features first")
     val out = new java.io.ByteArrayOutputStream()
     out.write(Array[Byte]('f', 'g', 'b', 3, 'f', 'g', 'b', 0))
 
@@ -218,11 +223,19 @@ object FlatGeobuf {
     out.toByteArray
   }
 
+  /** Column types this writer can encode (Bool, Long/ULong, Double, String). */
+  private val SupportedColTypes = Set(2, 7, 8, 10, 11)
+
   private def encodeProps(props: Map[String, Any], columns: Seq[Column]): Array[Byte] = {
     val b = new java.io.ByteArrayOutputStream()
     val bb = ByteBuffer.allocate(16).order(ByteOrder.LITTLE_ENDIAN)
     columns.zipWithIndex.foreach { case (c, ci) =>
       props.get(c.name).foreach { v =>
+        // throw BEFORE emitting the column index: a dangling index with no
+        // value would corrupt the properties blob for all following columns
+        if (!SupportedColTypes.contains(c.colType))
+          throw new IllegalArgumentException(
+            s"unsupported FGB column type ${c.colType} for column '${c.name}'")
         bb.clear(); bb.putShort(ci.toShort)
         b.write(bb.array(), 0, 2)
         c.colType match {

@@ -267,7 +267,9 @@ object GeoPackage {
     parseWkb(blob, 8 + envBytes)
   }
 
-  /** ISO WKB (2D): Point/LineString/Polygon/Multi* → flat xy parts. */
+  /** ISO WKB: Point/LineString/Polygon/Multi* → flat xy parts. Z/M
+   * ordinates (types 1001/2001/3001 etc.) are parsed with the correct
+   * per-point stride and dropped — only x,y are kept. */
   def parseWkb(bytes: Array[Byte], off0: Int): (Int, Seq[Array[Double]]) = {
     val parts = mutable.ArrayBuffer.empty[Array[Double]]
     var topType = 0
@@ -277,30 +279,41 @@ object GeoPackage {
       val bb = ByteBuffer.wrap(bytes)
         .order(if (le) ByteOrder.LITTLE_ENDIAN else ByteOrder.BIG_ENDIAN)
       val gtypeRaw = bb.getInt(off + 1)
-      val gtype = gtypeRaw % 1000 // strip Z/M flags (1001 = PointZ etc.)
+      val gtype = gtypeRaw % 1000 // 1001 = PointZ, 2002 = LineStringM, 3003 = PolygonZM…
+      val dims = 2 + (gtypeRaw / 1000 match {
+        case 0 => 0; case 1 | 2 => 1; case 3 => 2
+        case f => throw new IllegalArgumentException(s"unsupported WKB dim flag $f")
+      })
       if (topType == 0) topType = gtype
+
+      // read n points of `dims` doubles starting at p; keep x,y only
+      def readPoints(p: Int, n: Int): Array[Double] = {
+        val flat = new Array[Double](n * 2)
+        var i = 0
+        while (i < n) {
+          flat(i * 2) = bb.getDouble(p + i * dims * 8)
+          flat(i * 2 + 1) = bb.getDouble(p + i * dims * 8 + 8)
+          i += 1
+        }
+        flat
+      }
+
       gtype match {
         case 1 =>
-          parts += Array(bb.getDouble(off + 5), bb.getDouble(off + 13))
-          off + 21
+          parts += readPoints(off + 5, 1)
+          off + 5 + dims * 8
         case 2 =>
           val n = bb.getInt(off + 5)
-          val flat = new Array[Double](n * 2)
-          var i = 0
-          while (i < n * 2) { flat(i) = bb.getDouble(off + 9 + i * 8); i += 1 }
-          parts += flat
-          off + 9 + n * 16
+          parts += readPoints(off + 9, n)
+          off + 9 + n * dims * 8
         case 3 =>
           val nRings = bb.getInt(off + 5)
           var p = off + 9
           var r = 0
           while (r < nRings) {
             val n = bb.getInt(p)
-            val flat = new Array[Double](n * 2)
-            var i = 0
-            while (i < n * 2) { flat(i) = bb.getDouble(p + 4 + i * 8); i += 1 }
-            parts += flat
-            p += 4 + n * 16
+            parts += readPoints(p + 4, n)
+            p += 4 + n * dims * 8
             r += 1
           }
           p
