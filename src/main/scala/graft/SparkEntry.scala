@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.cell.CellIndex
 import graft.functions.GraftFunctions._
 import graft.geom.Overlay
 import graft.index.PolygonLayer
@@ -110,6 +111,109 @@ object SparkEntry {
        |              (y | (y << 1)) & 6148914691236517205 AS y FROM i4)
        |SELECT (1729382256910270464 | (x << 1) | y) AS cell_id, count(*) AS n
        |FROM i5 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
+
+  /** Shared phash → (image_id, x, y) Morton-decode cascade (same bit ops as
+   * [[imgCellSql]], carrying image_id for per-image grouping). */
+  private lazy val imgXYSql: String = {
+    val LS = dl(Images.LocScale)
+    s"""img AS (SELECT image_id, phash FROM read_parquet('/root/repo/data/images_sf0.01.parquet/*.parquet')),
+       |s0 AS (SELECT image_id, phash >> 1 AS x, phash AS y FROM img),
+       |d1 AS (SELECT image_id, x & 6148914691236517205 AS x, y & 6148914691236517205 AS y FROM s0),
+       |d2 AS (SELECT image_id, (x | (x >> 1)) & 3689348814741910323 AS x,
+       |              (y | (y >> 1)) & 3689348814741910323 AS y FROM d1),
+       |d3 AS (SELECT image_id, (x | (x >> 2)) & 1085102592571150095 AS x,
+       |              (y | (y >> 2)) & 1085102592571150095 AS y FROM d2),
+       |d4 AS (SELECT image_id, (x | (x >> 4)) & 71777214294589695 AS x,
+       |              (y | (y >> 4)) & 71777214294589695 AS y FROM d3),
+       |d5 AS (SELECT image_id, (x | (x >> 8)) & 281470681808895 AS x,
+       |              (y | (y >> 8)) & 281470681808895 AS y FROM d4),
+       |d6 AS (SELECT image_id, (x | (x >> 16)) & 4294967295 AS x,
+       |              (y | (y >> 16)) & 4294967295 AS y FROM d5),
+       |xy AS (SELECT image_id, CAST(x AS DOUBLE) * $LS AS x, CAST(y AS DOUBLE) * $LS AS y FROM d6)""".stripMargin
+  }
+
+  /** The 64-shape image layer emitted as SQL VALUES edges (same precedent as
+   * [[oracleEdgesSql]]: both engines derive from this exact object). */
+  private lazy val imageEdgesSql: String =
+    s"""iedges AS (SELECT pk, ring,
+       |  CAST(ex1 AS DOUBLE) AS ex1, CAST(ey1 AS DOUBLE) AS ey1,
+       |  CAST(ex2 AS DOUBLE) AS ex2, CAST(ey2 AS DOUBLE) AS ey2
+       |  FROM (VALUES ${Synthetic.edgesSqlValues(imageLayer)})
+       |  t(pk, ring, ex1, ey1, ex2, ey2))""".stripMargin
+
+  /** Morton re-encode of (cx, cy) at a resolution — mirror of
+   * CellIndex.cellId (floor to cell coords, bias, interleave, res header). */
+  private def cellEncodeSql(inCte: String, res: Int): String = {
+    val cs = dl(CellIndex.cellSize(res))
+    val header = res.toLong << 58
+    s"""ic AS (SELECT *, CAST(floor(cx / $cs) AS BIGINT) + 268435456 AS ex,
+       |              CAST(floor(cy / $cs) AS BIGINT) + 268435456 AS ey FROM $inCte),
+       |i0 AS (SELECT * REPLACE (ex & 536870911 AS ex, ey & 536870911 AS ey) FROM ic),
+       |i1 AS (SELECT * REPLACE ((ex | (ex << 16)) & 281470681808895 AS ex,
+       |              (ey | (ey << 16)) & 281470681808895 AS ey) FROM i0),
+       |i2 AS (SELECT * REPLACE ((ex | (ex << 8)) & 71777214294589695 AS ex,
+       |              (ey | (ey << 8)) & 71777214294589695 AS ey) FROM i1),
+       |i3 AS (SELECT * REPLACE ((ex | (ex << 4)) & 1085102592571150095 AS ex,
+       |              (ey | (ey << 4)) & 1085102592571150095 AS ey) FROM i2),
+       |i4 AS (SELECT * REPLACE ((ex | (ex << 2)) & 3689348814741910323 AS ex,
+       |              (ey | (ey << 2)) & 3689348814741910323 AS ey) FROM i3),
+       |i5 AS (SELECT * REPLACE ((ex | (ex << 1)) & 6148914691236517205 AS ex,
+       |              (ey | (ey << 1)) & 6148914691236517205 AS ey) FROM i4),
+       |enc AS (SELECT *, ($header | (ex << 1) | ey) AS cell_id FROM i5)""".stripMargin
+  }
+
+  /** The q_clip_rect SQL: the FULL Sutherland–Hodgman kernel mirrored in
+   * SQL — four half-plane passes, each sequencing the ring with window
+   * functions (kept vertices + crossings interleaved in ring order, rings
+   * under 3 vertices dropped), then closed-shoelace area and vertex count
+   * with the same closing-duplicate rule as RectClip.clipRing. Intersection
+   * arithmetic matches the Scala kernel's op order exactly. */
+  private lazy val clipRectSql: String = {
+    // one half-plane pass: in -> v$k (ring, pk, i, x, y), renumbered
+    def pass(k: Int, in: String, keep: (String, String) => String,
+             ix: String, iy: String): String =
+      s"""e$k AS (SELECT ring, pk, i, x AS x1, y AS y1,
+         |    coalesce(lead(x) OVER (PARTITION BY ring ORDER BY i),
+         |             first_value(x) OVER (PARTITION BY ring ORDER BY i)) AS x2,
+         |    coalesce(lead(y) OVER (PARTITION BY ring ORDER BY i),
+         |             first_value(y) OVER (PARTITION BY ring ORDER BY i)) AS y2
+         |  FROM $in),
+         |r$k AS (
+         |  SELECT ring, pk, i*2 AS ord, x1 AS x, y1 AS y FROM e$k WHERE ${keep("x1", "y1")}
+         |  UNION ALL
+         |  SELECT ring, pk, i*2+1 AS ord, $ix AS x, $iy AS y FROM e$k
+         |  WHERE (${keep("x1", "y1")}) <> (${keep("x2", "y2")})),
+         |c$k AS (SELECT ring, count(*) AS c FROM r$k GROUP BY ring),
+         |v$k AS (SELECT rr.ring, rr.pk,
+         |    row_number() OVER (PARTITION BY rr.ring ORDER BY rr.ord) - 1 AS i, rr.x, rr.y
+         |  FROM r$k rr JOIN c$k cc USING (ring) WHERE cc.c >= 3)""".stripMargin
+    val passes = Seq(
+      pass(1, "v0", (x, _) => s"$x >= 25.0", "25.0", "y1 + ((25.0 - x1) / (x2 - x1)) * (y2 - y1)"),
+      pass(2, "v1", (x, _) => s"$x <= 75.0", "75.0", "y1 + ((75.0 - x1) / (x2 - x1)) * (y2 - y1)"),
+      pass(3, "v2", (_, y) => s"$y >= 25.0", "x1 + ((25.0 - y1) / (y2 - y1)) * (x2 - x1)", "25.0"),
+      pass(4, "v3", (_, y) => s"$y <= 75.0", "x1 + ((75.0 - y1) / (y2 - y1)) * (x2 - x1)", "75.0")
+    ).mkString(",\n")
+    s"""WITH v0 AS (SELECT pk, ring, i, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
+       |  FROM (VALUES ${Synthetic.ringVertsSqlValues(Synthetic.oracleLayer)}) t(pk, ring, i, x, y)),
+       |$passes,
+       |e5 AS (SELECT ring, pk, i, x AS x1, y AS y1,
+       |    coalesce(lead(x) OVER (PARTITION BY ring ORDER BY i),
+       |             first_value(x) OVER (PARTITION BY ring ORDER BY i)) AS x2,
+       |    coalesce(lead(y) OVER (PARTITION BY ring ORDER BY i),
+       |             first_value(y) OVER (PARTITION BY ring ORDER BY i)) AS y2
+       |  FROM v4),
+       |fin AS (SELECT ring, count(*) AS c,
+       |    SUM(x1 * y2 - x2 * y1) / 2.0 AS area,
+       |    CASE WHEN arg_min(x1, i) = arg_max(x1, i) AND arg_min(y1, i) = arg_max(y1, i)
+       |         THEN 0 ELSE 1 END AS extra
+       |  FROM e5 GROUP BY ring)
+       |SELECT b.pk AS poly_key, CAST(b.ring AS BIGINT) AS ring_id,
+       |  CAST(coalesce(f.c + f.extra, 0) AS BIGINT) AS n_clipped_vertices,
+       |  coalesce(CAST(floor(f.area * 1000000.0) AS BIGINT), 0) AS area_int
+       |FROM (SELECT DISTINCT CAST(pk AS BIGINT) AS pk, ring FROM v0) b
+       |LEFT JOIN fin f USING (ring)
+       |ORDER BY ring_id""".stripMargin
   }
 
   /** The q_proj_crs SQL: same formulas (Snyder), same operation order, with
@@ -556,7 +660,9 @@ object SparkEntry {
         .select(col("id"), col("rank").cast("long").as("rnk"), col("neighbor_id"))
         .orderBy("id", "rnk")),
 
-    // ---------------- rows-only (no SQL-expressible oracle) ----------------
+    // minhash/simhash band pairs stay rows-only (64-bit wrap-multiply hashes
+    // per shingle are impractical to mirror in DuckDB); their exact-Jaccard
+    // companion q_jaccard_pairs carries the oracle for the semantics
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(s, t(s, dir, "documents"), "doc_id", "text", threshold = 0.3)
         .orderBy("a_id", "b_id")),
@@ -1898,6 +2004,157 @@ object SparkEntry {
         |    row_number() OVER (PARTITION BY id ORDER BY score DESC, neighbor_id) AS rnk
         |  FROM pairs)
         |SELECT id, CAST(rnk AS BIGINT) AS rnk, neighbor_id FROM ranked
-        |WHERE rnk <= 3 ORDER BY id, rnk""".stripMargin
+        |WHERE rnk <= 3 ORDER BY id, rnk""".stripMargin,
+
+    "q_clip_rect" -> clipRectSql,
+
+    // phash decode + ray-cast PIP against the 64-shape image layer, mirrored
+    // end to end (same cascade as q_img_cell, same PIP kernel as q_pip_join)
+    "q_img_pip" ->
+      s"""WITH $imgXYSql,
+         |$imageEdgesSql,
+         |hits AS (SELECT p.image_id, e.pk,
+         |    SUM(CASE WHEN ((e.ex1 > p.x) <> (e.ex2 > p.x))
+         |          AND e.ey1 + (p.x - e.ex1) * (e.ey2 - e.ey1) / (e.ex2 - e.ex1) > p.y
+         |        THEN 1 ELSE 0 END) AS crossings
+         |  FROM xy p CROSS JOIN iedges e GROUP BY p.image_id, e.pk)
+         |SELECT CAST(pk AS BIGINT) AS poly_key, count(*) AS n_images
+         |FROM hits WHERE crossings % 2 = 1 GROUP BY 1 ORDER BY poly_key""".stripMargin,
+
+    // the headline tile pipeline mirrored end to end: phash decode, 4x4 tile
+    // centers (identical FP op order), Morton re-encode at res 9, first-match
+    // PIP per tile center (min pk | -1), count per (cell, poly)
+    "q_img_tiles" ->
+      s"""WITH $imgXYSql,
+         |$imageEdgesSql,
+         |tiles AS (SELECT image_id, t.t,
+         |    (x - ${dl(Tiling.FootprintSide / 2)}) + (CAST(t.t % 4 AS DOUBLE) + 0.5) * ${dl(Tiling.FootprintSide / 4)} AS cx,
+         |    (y - ${dl(Tiling.FootprintSide / 2)}) + (CAST(CAST(trunc(CAST(t.t AS DOUBLE) / 4.0) AS INTEGER) AS DOUBLE) + 0.5) * ${dl(Tiling.FootprintSide / 4)} AS cy
+         |  FROM xy CROSS JOIN range(0, 16) t(t)),
+         |${cellEncodeSql("tiles", 9)},
+         |thits AS (SELECT p.image_id, p.t, p.cell_id, e.pk,
+         |    SUM(CASE WHEN ((e.ex1 > p.cx) <> (e.ex2 > p.cx))
+         |          AND e.ey1 + (p.cx - e.ex1) * (e.ey2 - e.ey1) / (e.ex2 - e.ex1) > p.cy
+         |        THEN 1 ELSE 0 END) AS crossings
+         |  FROM enc p CROSS JOIN iedges e GROUP BY p.image_id, p.t, p.cell_id, e.pk),
+         |tkey AS (SELECT image_id, t, cell_id,
+         |    coalesce(min(CASE WHEN crossings % 2 = 1 THEN pk END), -1) AS poly_key
+         |  FROM thits GROUP BY image_id, t, cell_id)
+         |SELECT cell_id, CAST(poly_key AS BIGINT) AS poly_key, count(*) AS n_tiles
+         |FROM tkey GROUP BY 1, 2 ORDER BY cell_id, poly_key""".stripMargin,
+
+    // full LSH mirror of Ann.lshTopK: hyperplane signatures recomputed from
+    // the same ±1 grid (list_sum is sequential -> dot products bit-match the
+    // Scala fold), Hamming-1 multi-probe bucket join, exact cosine rank.
+    // Output carries ranks only, so list_cosine_similarity ulps are inert
+    // (same argument as the passing q_ann_topk oracle).
+    "q_ann_lsh" ->
+      s"""WITH grid AS (SELECT p, sgn
+         |  FROM (VALUES ${Ann.planesSqlValues(10, 64)}) t(p, sgn)),
+         |sigs AS (SELECT e.vec_id AS id,
+         |    CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65),
+         |      i -> CAST(e.embedding[i] AS DOUBLE) * g.sgn[i])) >= 0
+         |      THEN 1 << g.p ELSE 0 END) AS BIGINT) AS sig
+         |  FROM embeddings e CROSS JOIN grid g GROUP BY e.vec_id),
+         |probes AS (SELECT id,
+         |    CASE WHEN i.i = 0 THEN sig
+         |    ELSE xor(sig, CAST(1 AS BIGINT) << CAST(i.i - 1 AS INTEGER)) END AS bucket
+         |  FROM sigs CROSS JOIN range(0, 11) i(i)),
+         |cand AS (SELECT DISTINCT p.id, b.id AS neighbor_id
+         |  FROM probes p JOIN sigs b ON p.bucket = b.sig AND p.id <> b.id),
+         |scored AS (SELECT c.id, c.neighbor_id,
+         |    list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+         |      CAST(eb.embedding AS DOUBLE[])) AS score
+         |  FROM cand c
+         |  JOIN embeddings ea ON ea.vec_id = c.id
+         |  JOIN embeddings eb ON eb.vec_id = c.neighbor_id),
+         |ranked AS (SELECT id, neighbor_id,
+         |    row_number() OVER (PARTITION BY id ORDER BY score DESC, neighbor_id) AS rnk
+         |  FROM scored)
+         |SELECT id, CAST(rnk AS BIGINT) AS rnk, neighbor_id FROM ranked
+         |WHERE rnk <= 3 ORDER BY id, rnk""".stripMargin,
+
+    // vertex-count mirrors of PathOps.smooth/densify over the same fixture
+    // layer emitted as literal edges: closed-ring Chaikin doubles interior
+    // vertices (n -> 2(n-1)+1 per pass, two passes -> 4(n-1)+1); densify
+    // inserts ceil(d)-1 vertices per edge longer than the interval (sqrt is
+    // correctly rounded IEEE on both engines — d is bit-identical)
+    "q_smooth" ->
+      s"""WITH edges AS (SELECT ring,
+         |  CAST(ex1 AS DOUBLE) AS x1, CAST(ey1 AS DOUBLE) AS y1,
+         |  CAST(ex2 AS DOUBLE) AS x2, CAST(ey2 AS DOUBLE) AS y2
+         |  FROM (VALUES ${Synthetic.edgesSqlValues(Synthetic.polygonLayer(32, seed = 11L, holeEvery = 0))})
+         |  t(pk, ring, ex1, ey1, ex2, ey2)),
+         |d AS (SELECT ring, sqrt((x1 - x2)*(x1 - x2) + (y1 - y2)*(y1 - y2)) AS dist FROM edges),
+         |agg AS (SELECT ring, count(*) AS ne,
+         |  SUM(CASE WHEN dist > 1.0 THEN CAST(ceil(dist / 1.0) AS BIGINT) - 1 ELSE 0 END) AS ins
+         |  FROM d GROUP BY ring)
+         |SELECT CAST(ring AS BIGINT) AS ring_id, CAST(ne + 1 AS BIGINT) AS n_vertices,
+         |  CAST(4 * ne + 1 AS BIGINT) AS n_smoothed,
+         |  CAST(ne + 1 + ins AS BIGINT) AS n_densified
+         |FROM agg ORDER BY ring_id""".stripMargin,
+
+    // full 256-step circle∩cell quadrature mirror of Grids.pointToGrid
+    // (same arithmetic order per term; floor(×1000) guards the sum-order ulps)
+    "q_point_to_grid" ->
+      s"""WITH $ptsSql,
+         |cand AS (
+         |  SELECT p.id, p.x, p.y,
+         |    (CAST(floor((p.x - 0.0) / 5.0) AS BIGINT) + dx.v) * 100000
+         |      + (CAST(floor((p.y - 0.0) / 5.0) AS BIGINT) + dy.v) AS cell
+         |  FROM pts p CROSS JOIN (VALUES (-1),(0),(1)) dx(v) CROSS JOIN (VALUES (-1),(0),(1)) dy(v)),
+         |dec AS (SELECT id, x, y, cell,
+         |  CAST(trunc(CAST(cell AS DOUBLE) / 100000.0) AS BIGINT) AS cx,
+         |  cell - CAST(trunc(CAST(cell AS DOUBLE) / 100000.0) AS BIGINT) * 100000 AS cy FROM cand),
+         |geo AS (SELECT id, x, y, cell,
+         |  0.0 + CAST(cx AS DOUBLE) * 5.0 AS xmin, 0.0 + CAST(cy AS DOUBLE) * 5.0 AS ymin FROM dec),
+         |lim AS (SELECT *, greatest(xmin, x - 3.0) AS lo, least(xmin + 5.0, x + 3.0) AS hi FROM geo),
+         |quad AS (SELECT *, (hi - lo) / 256.0 AS dxs FROM lim WHERE lo < hi),
+         |xs AS (SELECT quad.*, lo + (CAST(i.i AS DOUBLE) + 0.5) * dxs AS xq
+         |       FROM quad CROSS JOIN range(0, 256) i(i)),
+         |hs AS (SELECT *, sqrt(greatest(0.0, 3.0*3.0 - (xq - x)*(xq - x))) AS h FROM xs),
+         |yy AS (SELECT *, greatest(ymin, y - h) AS y1, least(ymin + 5.0, y + h) AS y2 FROM hs),
+         |w AS (SELECT id, cell, SUM(CASE WHEN y2 > y1 THEN (y2 - y1) * dxs ELSE 0.0 END) / (5.0*5.0) AS wv
+         |      FROM yy GROUP BY id, cell)
+         |SELECT cell, count(*) AS n_points, CAST(floor(SUM(wv) * 1000.0) AS BIGINT) AS weight_int
+         |FROM w WHERE wv > 0.05 GROUP BY cell ORDER BY cell""".stripMargin,
+
+    // stopword-hit argmax mirror of TextAnalysis.langIdUdf: count stopword
+    // hits per language, winner = lexicographically-smallest argmax (de < en
+    // < es < fr), all-zero -> 'und'. Pure integer logic — hash-exact.
+    "q_lang_id" ->
+      """WITH w AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(coalesce(text, '')), '\W+'), x -> x <> '') AS words
+        |  FROM documents),
+        |s AS (SELECT doc_id,
+        |  len(list_filter(words, x -> list_contains(['the','and','of','to','in','is','that','for','with','was','it','a'], x))) AS s_en,
+        |  len(list_filter(words, x -> list_contains(['der','die','und','das','ist','von','mit','ein','nicht','den','zu'], x))) AS s_de,
+        |  len(list_filter(words, x -> list_contains(['le','la','et','les','des','est','un','une','du','que','dans','pour'], x))) AS s_fr,
+        |  len(list_filter(words, x -> list_contains(['el','la','de','que','y','los','en','un','una','es','del','por'], x))) AS s_es
+        |  FROM w),
+        |m AS (SELECT doc_id, greatest(s_en, s_de, s_fr, s_es) AS mx, s_en, s_de, s_fr, s_es FROM s)
+        |SELECT doc_id, CASE WHEN mx = 0 THEN 'und'
+        |  WHEN s_de = mx THEN 'de' WHEN s_en = mx THEN 'en'
+        |  WHEN s_es = mx THEN 'es' WHEN s_fr = mx THEN 'fr' END AS lang_pred
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    // FNV-1a 64-bit rolling fingerprint mirror of TextAnalysis.fingerprintUdf:
+    // wrap-around multiply emulated in HUGEINT (multiplier ~2^40, product
+    // < 2^104 fits 128-bit), list_reduce over UTF-16 char codes.
+    "q_fingerprint" ->
+      """WITH n AS (SELECT doc_id, text,
+        |  trim(regexp_replace(lower(coalesce(text, '')), '\s+', ' ', 'g')) AS norm FROM documents),
+        |c AS (SELECT doc_id, text,
+        |  CASE WHEN norm = '' THEN [CAST(1469598103934665603 AS UBIGINT)]
+        |  ELSE list_prepend(CAST(1469598103934665603 AS UBIGINT),
+        |    list_transform(string_split(norm, ''), ch -> CAST(unicode(ch) AS UBIGINT))) END AS l
+        |  FROM n),
+        |f AS (SELECT doc_id, text, list_reduce(l, (acc, x) ->
+        |  CAST(CAST(xor(acc, x) AS HUGEINT) * 1099511628211 % 18446744073709551616 AS UBIGINT)) AS u
+        |  FROM c)
+        |SELECT doc_id, CASE WHEN text IS NULL THEN CAST(0 AS BIGINT)
+        |  WHEN u >= 9223372036854775808 THEN CAST(CAST(u AS HUGEINT) - 18446744073709551616 AS BIGINT)
+        |  ELSE CAST(u AS BIGINT) END AS fp
+        |FROM f ORDER BY doc_id""".stripMargin
   )
 }

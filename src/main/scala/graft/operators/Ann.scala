@@ -40,6 +40,16 @@ object Ann {
     sig
   }
 
+  /** SQL VALUES literal of the ±1 hyperplane grid — lets a DuckDB oracle
+   * recompute [[signature]] from the very same plane constants (same
+   * precedent as the oracle layer's edge VALUES). */
+  def planesSqlValues(planes: Int, dims: Int): String =
+    (0 until planes).map { p =>
+      val arr = (0 until dims)
+        .map(d => if (plane(p, d) > 0) "1.0" else "-1.0").mkString("[", ", ", "]")
+      s"($p, $arr)"
+    }.mkString(", ")
+
   /** Cosine similarity; deterministic left-to-right accumulation. */
   def cosine(a: Array[Float], b: Array[Float]): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0

@@ -122,4 +122,17 @@ object Synthetic {
       s"($k, $r, ${d(x1)}, ${d(y1)}, ${d(x2)}, ${d(y2)})"
     }.mkString(", ")
   }
+
+  /** SQL VALUES literal of the OPEN ring vertex lists (closing duplicate
+   * dropped): (shapeKey, ring, idx, x, y) — for oracle mirrors that need
+   * ordered vertices (e.g. the Sutherland–Hodgman clip mirror). */
+  def ringVertsSqlValues(layer: PolygonLayer): String = {
+    def d(v: Double): String = "%.16e".format(v)
+    val rows = for {
+      r <- 0 until layer.numRings
+      st = layer.ringStart(r)
+      i <- st until (layer.ringStart(r + 1) - 1)
+    } yield s"(${layer.shapeKeys(layer.ringShape(r))}, $r, ${i - st}, ${d(layer.xx(i))}, ${d(layer.yy(i))})"
+    rows.mkString(", ")
+  }
 }
