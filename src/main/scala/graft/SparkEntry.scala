@@ -216,6 +216,84 @@ object SparkEntry {
        |ORDER BY ring_id""".stripMargin
   }
 
+  /** The q_proj_world SQL: the round-3 world projections (Robinson table
+   * spline, Mollweide fixed-10-Newton, sinusoidal, Equal Earth polynomial,
+   * polar stereographic) mirrored with the same op order and interpolated
+   * constants; Robinson's Hermite coefficients are emitted from the very
+   * arrays the Scala evaluator reads. */
+  private lazy val projWorldSql: String = {
+    val D2R = dl(Crs.D2R); val AL = dl(Crs.A)
+    val KRX = dl(0.8487 * Crs.A); val KRY = dl(1.3523 * Crs.A)
+    val KMX = dl(2.0 * math.sqrt(2.0) / math.Pi * Crs.A); val KMY = dl(math.sqrt(2.0) * Crs.A)
+    val eq = Crs.EqualEarth()
+    val M = dl(math.sqrt(3.0) / 2.0)
+    val A1 = dl(eq.A1); val A2 = dl(eq.A2); val A3 = dl(eq.A3); val A4 = dl(eq.A4)
+    val SIN0 = dl(math.sin(90.0 * Crs.D2R)); val COS0 = dl(math.cos(90.0 * Crs.D2R))
+    val K2A = dl(2.0 * Crs.A)
+    val coefRows = (0 until 18).map { i =>
+      val xc = Crs.Robinson.CoefX(i); val yc = Crs.Robinson.CoefY(i)
+      s"($i, ${dl(xc(0))}, ${dl(xc(1))}, ${dl(xc(2))}, ${dl(xc(3))}, " +
+        s"${dl(yc(0))}, ${dl(yc(1))}, ${dl(yc(2))}, ${dl(yc(3))})"
+    }.mkString(", ")
+    val newton = (1 to 10).map { k =>
+      s"""m$k AS (SELECT id, lon, tgt,
+         |  CASE WHEN abs(2.0 + 2.0 * cos(2.0 * th)) > 1e-14
+         |    THEN th - (2.0 * th + sin(2.0 * th) - tgt) / (2.0 + 2.0 * cos(2.0 * th))
+         |    ELSE th END AS th FROM m${k - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $ptsSql,
+       |ll AS (SELECT id, x * 3.6 - 180.0 AS lon, y * 1.7 - 85.0 AS lat FROM pts),
+       |base AS (SELECT id, lon, lat, lat * $D2R AS phi FROM ll),
+       |rcoef AS (SELECT * FROM (VALUES $coefRows)
+       |  t(cidx, xc0, xc1, xc2, xc3, yc0, yc1, yc2, yc3)),
+       |rob0 AS (SELECT id, lon, lat, least(90.0, abs(lat)) AS al FROM base),
+       |rob1 AS (SELECT id, lon, lat, al,
+       |  least(17, CAST(trunc(al / 5.0) AS INTEGER)) AS idx FROM rob0),
+       |rob2 AS (SELECT r.id, r.lon, r.lat,
+       |    (r.al - CAST(r.idx AS DOUBLE) * 5.0) / 5.0 AS t,
+       |    c.xc0, c.xc1, c.xc2, c.xc3, c.yc0, c.yc1, c.yc2, c.yc3
+       |  FROM rob1 r JOIN rcoef c ON c.cidx = r.idx),
+       |rob AS (SELECT id,
+       |    $KRX * (xc0 + t * (xc1 + t * (xc2 + t * xc3))) * (lon - 0.0) * $D2R AS robin_x,
+       |    $KRY * (yc0 + t * (yc1 + t * (yc2 + t * yc3))) *
+       |      (CASE WHEN lat < 0 THEN -1.0 ELSE 1.0 END) AS robin_y
+       |  FROM rob2),
+       |m0 AS (SELECT id, lon, pi() * sin(phi) AS tgt, phi AS th FROM base),
+       |$newton,
+       |mo AS (SELECT id, $KMX * (lon - 0.0) * $D2R * cos(th) AS moll_x,
+       |    $KMY * sin(th) AS moll_y FROM m10),
+       |e0 AS (SELECT id, lon, asin($M * sin(phi)) AS th FROM base),
+       |e1 AS (SELECT id, lon, th, th * th AS t2 FROM e0),
+       |e2 AS (SELECT id, lon, th, t2, t2 * t2 * t2 AS t6 FROM e1),
+       |ee AS (SELECT id,
+       |    (lon - 0.0) * $D2R * cos(th) /
+       |      ($M * ($A1 + 3.0 * $A2 * t2 + t6 * (7.0 * $A3 + 9.0 * $A4 * t2))) * $AL AS eqe_x,
+       |    th * ($A1 + $A2 * t2 + t6 * ($A3 + $A4 * t2)) * $AL AS eqe_y
+       |  FROM e2),
+       |si AS (SELECT id, (lon - 0.0) * $D2R * cos(phi) * $AL AS sinu_x,
+       |    phi * $AL AS sinu_y FROM base),
+       |st0 AS (SELECT id, sin(phi) AS sin_p, cos(phi) AS cos_p,
+       |    (lon - 0.0) * $D2R AS dlr FROM base),
+       |st AS (SELECT id,
+       |    $K2A / (1.0 + $SIN0 * sin_p + $COS0 * cos_p * cos(dlr)) * cos_p * sin(dlr) AS stere_x,
+       |    $K2A / (1.0 + $SIN0 * sin_p + $COS0 * cos_p * cos(dlr)) *
+       |      ($COS0 * sin_p - $SIN0 * cos_p * cos(dlr)) AS stere_y
+       |  FROM st0)
+       |SELECT rob.id,
+       |  CAST(floor(robin_x * 100.0) AS BIGINT) AS robin_x,
+       |  CAST(floor(robin_y * 100.0) AS BIGINT) AS robin_y,
+       |  CAST(floor(moll_x * 100.0) AS BIGINT) AS moll_x,
+       |  CAST(floor(moll_y * 100.0) AS BIGINT) AS moll_y,
+       |  CAST(floor(sinu_x * 100.0) AS BIGINT) AS sinu_x,
+       |  CAST(floor(sinu_y * 100.0) AS BIGINT) AS sinu_y,
+       |  CAST(floor(eqe_x * 100.0) AS BIGINT) AS eqe_x,
+       |  CAST(floor(eqe_y * 100.0) AS BIGINT) AS eqe_y,
+       |  CAST(floor(stere_x * 100.0) AS BIGINT) AS stere_x,
+       |  CAST(floor(stere_y * 100.0) AS BIGINT) AS stere_y
+       |FROM rob JOIN mo USING (id) JOIN ee USING (id) JOIN si USING (id) JOIN st USING (id)
+       |ORDER BY rob.id""".stripMargin
+  }
+
   /** The q_proj_crs SQL: same formulas (Snyder), same operation order, with
    * all projection constants interpolated from the very [[Crs]] objects the
    * Spark side uses — byte-identical double literals on both engines. */
@@ -1249,6 +1327,32 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // world projections behind the `+proj=` string front-end (Robinson,
+    // Mollweide, sinusoidal, Equal Earth, polar stereographic) — parser and
+    // forwards both verified by the cm-exact DuckDB mirror
+    "q_proj_world" -> ((s, dir) => {
+      val pts = points(s, dir)
+        .withColumn("lon", col("x") * 3.6 - 180.0)
+        .withColumn("lat", col("y") * 1.7 - 85.0)
+      val fr = Proj.forward(col("lon"), col("lat"), Crs.fromProj4("robinson"))
+      val fm = Proj.forward(col("lon"), col("lat"), Crs.fromProj4("+proj=moll"))
+      val fs = Proj.forward(col("lon"), col("lat"), Crs.fromProj4("+proj=sinu"))
+      val fe = Proj.forward(col("lon"), col("lat"), Crs.fromProj4("+proj=eqearth"))
+      val ft = Proj.forward(col("lon"), col("lat"), Crs.fromProj4("+proj=stere +lat_0=90 +lon_0=0"))
+      pts.select(col("id"),
+          floor(fr(0) * 100.0).cast("long").as("robin_x"),
+          floor(fr(1) * 100.0).cast("long").as("robin_y"),
+          floor(fm(0) * 100.0).cast("long").as("moll_x"),
+          floor(fm(1) * 100.0).cast("long").as("moll_y"),
+          floor(fs(0) * 100.0).cast("long").as("sinu_x"),
+          floor(fs(1) * 100.0).cast("long").as("sinu_y"),
+          floor(fe(0) * 100.0).cast("long").as("eqe_x"),
+          floor(fe(1) * 100.0).cast("long").as("eqe_y"),
+          floor(ft(0) * 100.0).cast("long").as("stere_x"),
+          floor(ft(1) * 100.0).cast("long").as("stere_y"))
+        .orderBy("id")
+    }),
+
     // -point-to-grid: circle-influence weights into cells (rows-only; the
     // overlap kernel is unit-tested against closed-form values)
     "q_point_to_grid" -> ((s, dir) =>
@@ -2007,6 +2111,8 @@ object SparkEntry {
         |WHERE rnk <= 3 ORDER BY id, rnk""".stripMargin,
 
     "q_clip_rect" -> clipRectSql,
+
+    "q_proj_world" -> projWorldSql,
 
     // phash decode + ray-cast PIP against the 64-shape image layer, mirrored
     // end to end (same cascade as q_img_cell, same PIP kernel as q_pip_join)

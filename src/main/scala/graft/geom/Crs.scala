@@ -274,6 +274,313 @@ object Crs {
     }
   }
 
+  // --------------------------------------------- world projections (sphere)
+
+  /** Plate carrée / +proj=longlat: identity in degrees. */
+  case object Longlat extends Proj {
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = (lonDeg, latDeg)
+    def inverse(x: Double, y: Double): (Double, Double) = (x, y)
+  }
+
+  /** Spherical Mercator (+proj=merc / webmercator tiles use the same math). */
+  final case class Mercator(lon0Deg: Double = 0.0, radius: Double = A) extends Proj {
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) =
+      ((lonDeg - lon0Deg) * D2R * radius,
+        math.log(math.tan(math.Pi / 4.0 + latDeg * D2R / 2.0)) * radius)
+    def inverse(x: Double, y: Double): (Double, Double) =
+      (lon0Deg + x / radius * R2D,
+        (math.atan(math.exp(y / radius)) * 2.0 - math.Pi / 2.0) * R2D)
+  }
+
+  /** Sinusoidal (Sanson–Flamsteed), spherical: x = Rλcosφ, y = Rφ. */
+  final case class Sinusoidal(lon0Deg: Double = 0.0, radius: Double = A) extends Proj {
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = latDeg * D2R
+      ((lonDeg - lon0Deg) * D2R * math.cos(phi) * radius, phi * radius)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val phi = y / radius
+      (lon0Deg + x / (radius * math.cos(phi)) * R2D, phi * R2D)
+    }
+  }
+
+  /** Mollweide, spherical (Snyder 31-1..31-8): 2θ + sin2θ = π sinφ solved by
+   * a FIXED 10-iteration Newton (bit-stable, SQL-mirrorable). */
+  final case class Mollweide(lon0Deg: Double = 0.0, radius: Double = A) extends Proj {
+    private val Sqrt2 = math.sqrt(2.0)
+
+    /** θ such that 2θ + sin 2θ = π sin φ (fixed iteration count). */
+    def theta(phi: Double): Double = {
+      val target = math.Pi * math.sin(phi)
+      var th = phi
+      var i = 0
+      while (i < 10) {
+        val denom = 2.0 + 2.0 * math.cos(2.0 * th)
+        if (math.abs(denom) > 1e-14)
+          th = th - (2.0 * th + math.sin(2.0 * th) - target) / denom
+        i += 1
+      }
+      th
+    }
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val th = theta(latDeg * D2R)
+      (2.0 * Sqrt2 / math.Pi * radius * (lonDeg - lon0Deg) * D2R * math.cos(th),
+        Sqrt2 * radius * math.sin(th))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val th = math.asin(math.max(-1.0, math.min(1.0, y / (Sqrt2 * radius))))
+      val phi = math.asin(math.max(-1.0, math.min(1.0,
+        (2.0 * th + math.sin(2.0 * th)) / math.Pi)))
+      val lon = lon0Deg + x * math.Pi / (2.0 * Sqrt2 * radius * math.cos(th)) * R2D
+      (lon, phi * R2D)
+    }
+  }
+
+  /** Equal Earth (Šavrič, Patterson & Jenny 2018), spherical: the published
+   * polynomial with a fixed 12-iteration Newton inverse. */
+  final case class EqualEarth(lon0Deg: Double = 0.0, radius: Double = A) extends Proj {
+    final val A1 = 1.340264
+    final val A2 = -0.081106
+    final val A3 = 0.000893
+    final val A4 = 0.003796
+    private val M = math.sqrt(3.0) / 2.0
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = latDeg * D2R
+      val th = math.asin(M * math.sin(phi))
+      val t2 = th * th
+      val t6 = t2 * t2 * t2
+      val x = (lonDeg - lon0Deg) * D2R * math.cos(th) /
+        (M * (A1 + 3.0 * A2 * t2 + t6 * (7.0 * A3 + 9.0 * A4 * t2))) * radius
+      val y = th * (A1 + A2 * t2 + t6 * (A3 + A4 * t2)) * radius
+      (x, y)
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val yr = y / radius
+      var th = yr
+      var i = 0
+      while (i < 12) {
+        val t2 = th * th
+        val t6 = t2 * t2 * t2
+        val f = th * (A1 + A2 * t2 + t6 * (A3 + A4 * t2)) - yr
+        val fp = A1 + 3.0 * A2 * t2 + t6 * (7.0 * A3 + 9.0 * A4 * t2)
+        th = th - f / fp
+        i += 1
+      }
+      val t2 = th * th
+      val t6 = t2 * t2 * t2
+      val lon = lon0Deg + x / radius * M *
+        (A1 + 3.0 * A2 * t2 + t6 * (7.0 * A3 + 9.0 * A4 * t2)) / math.cos(th) * R2D
+      val phi = math.asin(math.max(-1.0, math.min(1.0, math.sin(th) / M))) * R2D
+      (lon, phi)
+    }
+  }
+
+  /** Oblique stereographic, spherical form (Snyder 21-2..21-4, k0 = 1). */
+  final case class Stereographic(lat0Deg: Double, lon0Deg: Double, radius: Double = A)
+      extends Proj {
+    private val phi0 = lat0Deg * D2R
+    private val sin0 = math.sin(phi0)
+    private val cos0 = math.cos(phi0)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = latDeg * D2R
+      val dl = (lonDeg - lon0Deg) * D2R
+      val sinP = math.sin(phi); val cosP = math.cos(phi)
+      val cosDl = math.cos(dl)
+      val k = 2.0 * radius / (1.0 + sin0 * sinP + cos0 * cosP * cosDl)
+      (k * cosP * math.sin(dl), k * (cos0 * sinP - sin0 * cosP * cosDl))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val rho = math.sqrt(x * x + y * y)
+      if (rho == 0.0) return (lon0Deg, lat0Deg)
+      val c = 2.0 * math.atan(rho / (2.0 * radius))
+      val sinC = math.sin(c); val cosC = math.cos(c)
+      val phi = math.asin(cosC * sin0 + y * sinC * cos0 / rho)
+      var lon = lon0Deg + math.atan2(x * sinC, rho * cos0 * cosC - y * sin0 * sinC) * R2D
+      if (lon > 180.0) lon -= 360.0 else if (lon < -180.0) lon += 360.0
+      (lon, phi * R2D)
+    }
+  }
+
+  /**
+   * Robinson, from the published 5°-knot lookup table (Robinson 1974; the
+   * same table PROJ's +proj=robin interpolates). Interpolation here is
+   * clamped Catmull–Rom, with per-interval cubic coefficients precomputed
+   * once — forward evaluation is a single polynomial, so the DuckDB oracle
+   * can interpolate the SAME coefficients as literals.
+   */
+  final case class Robinson(lon0Deg: Double = 0.0, radius: Double = A) extends Proj {
+    import Robinson._
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val absLat = math.min(90.0, math.abs(latDeg))
+      val idx = math.min(17, (absLat / 5.0).toInt)
+      val t = (absLat - idx * 5.0) / 5.0
+      val xs = evalCubic(CoefX, idx, t)
+      val ys = evalCubic(CoefY, idx, t)
+      (0.8487 * radius * xs * (lonDeg - lon0Deg) * D2R,
+        1.3523 * radius * ys * (if (latDeg < 0) -1.0 else 1.0))
+    }
+
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val yAbs = math.abs(y) / (1.3523 * radius)
+      // bisection on the monotone Y spline (fixed 40 steps — deterministic)
+      var lo = 0.0; var hi = 90.0
+      var i = 0
+      while (i < 40) {
+        val mid = (lo + hi) / 2.0
+        val idx = math.min(17, (mid / 5.0).toInt)
+        if (evalCubic(CoefY, idx, (mid - idx * 5.0) / 5.0) < yAbs) lo = mid else hi = mid
+        i += 1
+      }
+      val absLat = (lo + hi) / 2.0
+      val idx = math.min(17, (absLat / 5.0).toInt)
+      val xs = evalCubic(CoefX, idx, (absLat - idx * 5.0) / 5.0)
+      val lon = lon0Deg + x / (0.8487 * radius * xs) * R2D
+      (lon, if (y < 0) -absLat else absLat)
+    }
+  }
+
+  object Robinson {
+    /** Robinson's published table: parallel-length scale X and parallel
+     * distance Y at 5° steps, 0..90. */
+    val TableX: Array[Double] = Array(
+      1.0000, 0.9986, 0.9954, 0.9900, 0.9822, 0.9730, 0.9600, 0.9427, 0.9216,
+      0.8962, 0.8679, 0.8350, 0.7986, 0.7597, 0.7186, 0.6732, 0.6213, 0.5722, 0.5322)
+    val TableY: Array[Double] = Array(
+      0.0000, 0.0620, 0.1240, 0.1860, 0.2480, 0.3100, 0.3720, 0.4340, 0.4958,
+      0.5571, 0.6176, 0.6769, 0.7346, 0.7903, 0.8435, 0.8936, 0.9394, 0.9761, 1.0000)
+
+    /** Per-interval Hermite coefficients (c0 + c1 t + c2 t² + c3 t³ on t∈[0,1])
+     * from Catmull–Rom tangents (one-sided at the ends). */
+    private def hermite(v: Array[Double]): Array[Array[Double]] = {
+      val n = v.length
+      val m = Array.tabulate(n) { i =>
+        if (i == 0) v(1) - v(0)
+        else if (i == n - 1) v(n - 1) - v(n - 2)
+        else (v(i + 1) - v(i - 1)) / 2.0
+      }
+      Array.tabulate(n - 1) { i =>
+        val d = v(i + 1) - v(i)
+        Array(v(i), m(i), 3.0 * d - 2.0 * m(i) - m(i + 1), -2.0 * d + m(i) + m(i + 1))
+      }
+    }
+
+    val CoefX: Array[Array[Double]] = hermite(TableX)
+    val CoefY: Array[Array[Double]] = hermite(TableY)
+
+    @inline def evalCubic(c: Array[Array[Double]], idx: Int, t: Double): Double = {
+      val k = c(idx)
+      k(0) + t * (k(1) + t * (k(2) + t * k(3)))
+    }
+  }
+
+  // ------------------------------------------------------ proj-string parser
+
+  /**
+   * `+proj=` string / named-projection front-end over the typed [[Proj]] API
+   * — the reference accepts both PROJ.4 strings and aliases
+   * (`src/crs/mapshaper-projections.mjs:14-60`). Unsupported projections
+   * throw with the offending name.
+   */
+  def fromProj4(spec: String): Proj = {
+    val aliases = Map(
+      "robinson" -> "+proj=robin", "mollweide" -> "+proj=moll",
+      "sinusoidal" -> "+proj=sinu", "equalearth" -> "+proj=eqearth",
+      "webmercator" -> "+proj=merc", "mercator" -> "+proj=merc",
+      "wgs84" -> "+proj=longlat", "latlong" -> "+proj=longlat")
+    val s0 = spec.trim
+    val s = if (s0.startsWith("+")) s0 else aliases.getOrElse(s0.toLowerCase,
+      throw new IllegalArgumentException(s"unknown projection name: $s0"))
+    val kv: Map[String, String] = s.split("\\s+").filter(_.startsWith("+")).map { p =>
+      p.stripPrefix("+").split("=", 2) match {
+        case Array(k, v) => k -> v
+        case Array(k) => k -> ""
+      }
+    }.toMap
+    def d(k: String, dflt: Double): Double = kv.get(k).map(_.toDouble).getOrElse(dflt)
+    kv.getOrElse("proj", throw new IllegalArgumentException(s"missing +proj in: $spec")) match {
+      case "aea" => Albers(d("lat_1", 29.5), d("lat_2", 45.5), d("lat_0", 0), d("lon_0", 0))
+      case "lcc" => Lcc(d("lat_1", 33.0), d("lat_2", 45.0), d("lat_0", 0), d("lon_0", 0))
+      case "tmerc" => Tmerc(d("lat_0", 0), d("lon_0", 0), d("k_0", d("k", 1.0)),
+        d("x_0", 0), d("y_0", 0))
+      case "utm" => utm(kv.getOrElse("zone",
+        throw new IllegalArgumentException("+proj=utm requires +zone")).toInt,
+        kv.contains("south"))
+      case "aeqd" => Aeqd(d("lat_0", 0), d("lon_0", 0))
+      case "merc" => Mercator(d("lon_0", 0))
+      case "robin" => Robinson(d("lon_0", 0))
+      case "moll" => Mollweide(d("lon_0", 0))
+      case "sinu" => Sinusoidal(d("lon_0", 0))
+      case "stere" => Stereographic(d("lat_0", 90.0), d("lon_0", 0))
+      case "eqearth" => EqualEarth(d("lon_0", 0))
+      case "longlat" | "latlong" | "lonlat" => Longlat
+      case other => throw new IllegalArgumentException(s"unsupported +proj=$other")
+    }
+  }
+
+  // ------------------------------------------ densified path reprojection
+
+  /** Squared distance from point p to segment (a, b). */
+  private def pointSegDistSq(px: Double, py: Double, ax: Double, ay: Double,
+                             bx: Double, by: Double): Double = {
+    val dx = bx - ax; val dy = by - ay
+    val len2 = dx * dx + dy * dy
+    val t = if (len2 == 0.0) 0.0
+      else math.max(0.0, math.min(1.0, ((px - ax) * dx + (py - ay) * dy) / len2))
+    val cx = ax + t * dx; val cy = ay + t * dy
+    (px - cx) * (px - cx) + (py - cy) * (py - cy)
+  }
+
+  /**
+   * Project a lon/lat path with on-the-fly densification — the reference's
+   * projectAndDensifyArcs semantics (`src/crs/mapshaper-densify.mjs:103-185`):
+   * a projected segment is recursively bisected at the unprojected midpoint
+   * while the projected midpoint deviates from the projected chord by more
+   * than interval/2; segments shorter than 0.01° (unprojected) or 5×interval
+   * (projected) are never split. Deterministic; runs per-path inside a Spark
+   * map with no shuffle.
+   */
+  def projectPathDensified(flat: Array[Double], proj: Proj, interval: Double): Array[Double] = {
+    val out = Array.newBuilder[Double]
+    val minIntervalSq = interval * interval * 25.0
+    val maxDevSq = interval * interval * 0.25
+
+    def densify(lng0: Double, lat0: Double, x0: Double, y0: Double,
+                lng2: Double, lat2: Double, x2: Double, y2: Double): Unit = {
+      val lng1 = (lng0 + lng2) / 2.0
+      val lat1 = (lat0 + lat2) / 2.0
+      val p = proj.forward(lng1, lat1)
+      val distSq = pointSegDistSq(p._1, p._2, x0, y0, x2, y2)
+      if (distSq > maxDevSq &&
+          Geom.distance(lng0, lat0, lng2, lat2) > 0.01) {
+        densify(lng0, lat0, x0, y0, lng1, lat1, p._1, p._2)
+        out += p._1; out += p._2
+        densify(lng1, lat1, p._1, p._2, lng2, lat2, x2, y2)
+      }
+    }
+
+    if (flat.length < 2) return flat
+    var prev = proj.forward(flat(0), flat(1))
+    out += prev._1; out += prev._2
+    var i = 2
+    while (i + 1 < flat.length) {
+      val lng = flat(i); val lat = flat(i + 1)
+      val p = proj.forward(lng, lat)
+      if (Geom.distanceSq(p._1, p._2, prev._1, prev._2) > minIntervalSq)
+        densify(flat(i - 2), flat(i - 1), prev._1, prev._2, lng, lat, p._1, p._2)
+      out += p._1; out += p._2
+      prev = p
+      i += 2
+    }
+    out.result()
+  }
+
   // ------------------------------------------------- azimuthal equidistant
 
   /** Azimuthal equidistant, spherical form (Snyder 25-1..25-15) on the

@@ -187,6 +187,52 @@ object Geom {
     dx * dx + dy * dy
   }
 
+  // ------------------------------------------------- 3D (spherical) metrics
+  // lon/lat paths are simplified on the unit-Earth sphere: vertices are
+  // converted to XYZ and the same Visvalingam/DP kernels run with these
+  // metrics (reference: mapshaper-basic-geom.mjs triangleArea3D/cosine3D).
+
+  @inline def distance3D(ax: Double, ay: Double, az: Double,
+                         bx: Double, by: Double, bz: Double): Double = {
+    val dx = ax - bx; val dy = ay - by; val dz = az - bz
+    math.sqrt(dx * dx + dy * dy + dz * dz)
+  }
+
+  @inline private def detSq(ax: Double, ay: Double, bx: Double, by: Double,
+                            cx: Double, cy: Double): Double = {
+    val det = ax * by - ax * cy + bx * cy - bx * ay + cx * ay - cx * by
+    det * det
+  }
+
+  /** Triangle area in 3D (norm of the cross product halved, via the three
+   * coordinate-plane projections). */
+  def triangleArea3D(ax: Double, ay: Double, az: Double, bx: Double, by: Double, bz: Double,
+                     cx: Double, cy: Double, cz: Double): Double =
+    0.5 * math.sqrt(detSq(ax, ay, bx, by, cx, cy) +
+      detSq(ax, az, bx, bz, cx, cz) + detSq(ay, az, by, bz, cy, cz))
+
+  /** Cosine of the angle at b in 3D, clamped to [-1, 1]. */
+  def cosine3D(ax: Double, ay: Double, az: Double, bx: Double, by: Double, bz: Double,
+               cx: Double, cy: Double, cz: Double): Double = {
+    val den = distance3D(ax, ay, az, bx, by, bz) * distance3D(bx, by, bz, cx, cy, cz)
+    if (den <= 0) 0.0
+    else {
+      val cos = ((ax - bx) * (cx - bx) + (ay - by) * (cy - by) + (az - bz) * (cz - bz)) / den
+      if (cos > 1) 1.0 else if (cos < -1) -1.0 else cos
+    }
+  }
+
+  /** lon/lat (degrees) → XYZ on the R-sphere (reference lngLatToXYZ). */
+  def lngLatToXYZ(lonDeg: Double, latDeg: Double, out: Array[Double]): Unit = {
+    val R = 6378137.0
+    val lng = lonDeg * math.Pi / 180.0
+    val lat = latDeg * math.Pi / 180.0
+    val cosLat = math.cos(lat)
+    out(0) = math.cos(lng) * cosLat * R
+    out(1) = math.sin(lng) * cosLat * R
+    out(2) = math.sin(lat) * R
+  }
+
   /** Spherical signed ring area (m^2) for lon/lat rings — the reference's
    * exact accumulation (`src/geom/mapshaper-polygon-geom.mjs:186-204`,
    * getSphericalPathArea2: sum (x - xp)(2 + sin y + sin yp) / 2 * R^2). */

@@ -57,8 +57,13 @@ object Simplify {
   }
 
   /** Core Visvalingam pass (mirrors `calcVisvalingam`). */
-  def visvalingam(xx: Array[Double], yy: Array[Double], metric: Metric): Array[Double] = {
-    val n = xx.length
+  def visvalingam(xx: Array[Double], yy: Array[Double], metric: Metric): Array[Double] =
+    visvalingamIdx(xx.length,
+      (b, c, d) => metric(xx(b), yy(b), xx(c), yy(c), xx(d), yy(d)))
+
+  /** Shared min-heap Visvalingam loop over vertex INDICES — the 2D and 3D
+   * (spherical) variants differ only in the metric closure. */
+  private def visvalingamIdx(n: Int, metricAt: (Int, Int, Int) => Double): Array[Double] = {
     val kk = new Array[Double](n)
     if (n == 0) return kk
     val prev = new Array[Int](n)
@@ -68,7 +73,7 @@ object Simplify {
       val b = c - 1
       val d = c + 1
       kk(c) = if (b < 0 || d >= n) Double.PositiveInfinity
-              else metric(xx(b), yy(b), xx(c), yy(c), xx(d), yy(d))
+              else metricAt(b, c, d)
       prev(c) = b
       next(c) = d
       c += 1
@@ -85,11 +90,126 @@ object Simplify {
         else maxVal = v
         val b = prev(i)
         val d = next(i)
-        if (b > 0) heap.update(b, metric(xx(prev(b)), yy(prev(b)), xx(b), yy(b), xx(d), yy(d)))
-        if (d < n - 1) heap.update(d, metric(xx(b), yy(b), xx(d), yy(d), xx(next(d)), yy(next(d))))
+        if (b > 0) heap.update(b, metricAt(prev(b), b, d))
+        if (d < n - 1) heap.update(d, metricAt(b, d, next(d)))
         next(b max 0) = d
         if (d < n) prev(d) = b
       }
+    }
+    kk
+  }
+
+  // ------------------------------------------------ spherical (3D) variant
+
+  type Metric3 = (Double, Double, Double, Double, Double, Double,
+    Double, Double, Double) => Double
+
+  val standardMetric3D: Metric3 = Geom.triangleArea3D
+
+  def weightedMetric3D(k: Double): Metric3 =
+    (ax, ay, az, bx, by, bz, cx, cy, cz) => {
+      val area = Geom.triangleArea3D(ax, ay, az, bx, by, bz, cx, cy, cz)
+      val cos = Geom.cosine3D(ax, ay, az, bx, by, bz, cx, cy, cz)
+      (1.0 - cos * k) * area
+    }
+
+  def visvalingam3D(xx: Array[Double], yy: Array[Double], zz: Array[Double],
+                    metric: Metric3): Array[Double] =
+    visvalingamIdx(xx.length, (b, c, d) =>
+      metric(xx(b), yy(b), zz(b), xx(c), yy(c), zz(c), xx(d), yy(d), zz(d)))
+
+  /** DP thresholds in 3D: point-to-chord distance on the sphere's chord. */
+  def douglasPeucker3D(xx: Array[Double], yy: Array[Double], zz: Array[Double]): Array[Double] = {
+    val n = xx.length
+    val kk = new Array[Double](n)
+    if (n < 3) { var i = 0; while (i < n) { kk(i) = Double.PositiveInfinity; i += 1 }; return kk }
+    kk(0) = Double.PositiveInfinity
+    kk(n - 1) = Double.PositiveInfinity
+
+    def perp3(p: Int, a: Int, b: Int): Double = {
+      val ux = xx(b) - xx(a); val uy = yy(b) - yy(a); val uz = zz(b) - zz(a)
+      val vx = xx(p) - xx(a); val vy = yy(p) - yy(a); val vz = zz(p) - zz(a)
+      val len2 = ux * ux + uy * uy + uz * uz
+      if (len2 == 0) Geom.distance3D(xx(p), yy(p), zz(p), xx(a), yy(a), zz(a))
+      else {
+        val cx = uy * vz - uz * vy
+        val cy = uz * vx - ux * vz
+        val cz = ux * vy - uy * vx
+        math.sqrt((cx * cx + cy * cy + cz * cz) / len2)
+      }
+    }
+
+    def seg(lo: Int, hi: Int, enclosing: Double): Unit = {
+      if (hi - lo < 2) return
+      var maxD = -1.0
+      var maxI = -1
+      var i = lo + 1
+      while (i < hi) {
+        val d = perp3(i, lo, hi)
+        if (d > maxD) { maxD = d; maxI = i }
+        i += 1
+      }
+      val t = math.min(maxD, enclosing)
+      kk(maxI) = t
+      seg(lo, maxI, t)
+      seg(maxI, hi, t)
+    }
+    seg(0, n - 1, Double.PositiveInfinity)
+    kk
+  }
+
+  /**
+   * Spherical thresholds for an unprojected lon/lat path — the reference's
+   * default for geographic data (`mapshaper-simplify.mjs:91-120`): vertices
+   * go to XYZ on the WGS84-radius sphere and the SAME kernels run with 3D
+   * metrics, so thresholds are in meters and behave correctly at poles and
+   * near the antimeridian (where planar lon/lat geometry is distorted).
+   */
+  def sphericalThresholds(lon: Array[Double], lat: Array[Double], method: Method): Array[Double] = {
+    val n = lon.length
+    val xx = new Array[Double](n)
+    val yy = new Array[Double](n)
+    val zz = new Array[Double](n)
+    val p = new Array[Double](3)
+    var i = 0
+    while (i < n) {
+      Geom.lngLatToXYZ(lon(i), lat(i), p)
+      xx(i) = p(0); yy(i) = p(1); zz(i) = p(2)
+      i += 1
+    }
+    method match {
+      case Visvalingam         => scaled(visvalingam3D(xx, yy, zz, standardMetric3D))
+      case WeightedVisvalingam => scaled(visvalingam3D(xx, yy, zz, weightedMetric3D(0.7)))
+      case DouglasPeucker      => douglasPeucker3D(xx, yy, zz)
+    }
+  }
+
+  /**
+   * World-edge protection (`mapshaper-simplify.mjs:168-177`): vertices on the
+   * ±180 / ±90 frame (with 1e-12 rounding slack) get the path's max finite
+   * threshold so they are never removed before interior detail — prevents
+   * Antarctica-style outlines from detaching from the antimeridian.
+   */
+  def protectWorldEdges(lon: Array[Double], lat: Array[Double], kk: Array[Double]): Array[Double] = {
+    val xmax = 180.0 - 1e-12; val ymax = 90.0 - 1e-12
+    var lockZ = 0.0
+    var locked = false
+    var i = 0
+    while (i < kk.length) {
+      if (lon(i) >= xmax || lon(i) <= -xmax || lat(i) >= ymax || lat(i) <= -ymax) {
+        if (!locked) {
+          var m = 0.0
+          var j = 0
+          while (j < kk.length) {
+            if (kk(j) > m && kk(j) < Double.PositiveInfinity) m = kk(j)
+            j += 1
+          }
+          lockZ = m
+          locked = true
+        }
+        if (kk(i) != Double.PositiveInfinity) kk(i) = lockZ
+      }
+      i += 1
     }
     kk
   }

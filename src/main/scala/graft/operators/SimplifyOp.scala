@@ -90,6 +90,75 @@ object SimplifyOp {
       .drop("thresholds")
   }
 
+  /** Spherical per-vertex thresholds (meters) for lon/lat rings, with
+   * world-edge protection — the reference's DEFAULT for unprojected data
+   * (`mapshaper-simplify.mjs:91-120`): vertices go to XYZ on the WGS84
+   * sphere and the same kernels run with 3D metrics, so near-pole and
+   * antimeridian geometry simplifies by true ground distance. */
+  def withSphericalThresholds(rings: DataFrame, ringCol: String,
+                              method: Simplify.Method): DataFrame = {
+    val thrUdf = udf { (flat: Seq[Double]) =>
+      val n = flat.length / 2
+      val lon = Array.tabulate(n)(i => flat(i * 2))
+      val lat = Array.tabulate(n)(i => flat(i * 2 + 1))
+      Simplify.protectWorldEdges(lon, lat,
+        Simplify.sphericalThresholds(lon, lat, method))
+    }
+    rings.withColumn("thresholds", thrUdf(col(ringCol)))
+  }
+
+  /**
+   * Spherical `-simplify` with `keep-shapes` ring protection: retain ~`pct`
+   * of interior vertices globally (interval is a distributed quantile over
+   * interior thresholds, in meters); with keepShapes, a closed ring that
+   * would collapse below 4 vertices keeps its top-threshold interior
+   * vertices instead of vanishing (the reference's keep-shapes repair).
+   */
+  def simplifySpherical(spark: SparkSession, rings: DataFrame, ringCol: String, pct: Double,
+                        method: Simplify.Method = Simplify.WeightedVisvalingam,
+                        keepShapes: Boolean = true): DataFrame = {
+    val withThr = withSphericalThresholds(rings, ringCol, method).cache()
+    val interior = withThr
+      .select(explode(col("thresholds")).as("z"))
+      .filter(!col("z").isNaN && col("z") =!= Double.PositiveInfinity)
+    val interval =
+      if (pct >= 1.0) 0.0
+      else interior.stat.approxQuantile("z", Array(1.0 - pct), 1e-4).headOption.getOrElse(0.0)
+    val filterUdf = udf { (flat: Seq[Double], thr: Seq[Double]) =>
+      val n = thr.length
+      val keep = new Array[Boolean](n)
+      var kept = 0
+      var i = 0
+      while (i < n) {
+        if (thr(i) >= interval) { keep(i) = true; kept += 1 }
+        i += 1
+      }
+      val closed = n >= 2 && flat(0) == flat(flat.length - 2) && flat(1) == flat(flat.length - 1)
+      if (keepShapes && closed && kept < 4 && n >= 4) {
+        // restore the highest-threshold interior vertices (ties -> lower idx)
+        val order = (1 until n - 1).sortBy(j => (-thr(j), j))
+        var k = 0
+        while (kept < 4 && k < order.length) {
+          if (!keep(order(k))) { keep(order(k)) = true; kept += 1 }
+          k += 1
+        }
+      }
+      val out = Array.newBuilder[Double]
+      i = 0
+      while (i < n) {
+        if (keep(i)) { out += flat(i * 2); out += flat(i * 2 + 1) }
+        i += 1
+      }
+      out.result()
+    }
+    withThr
+      .withColumn("simplified", filterUdf(col(ringCol), col("thresholds")))
+      .withColumn("n_before", (size(col(ringCol)) / 2).cast("long"))
+      .withColumn("n_after", (size(col("simplified")) / 2).cast("long"))
+      .withColumn("interval", lit(interval))
+      .drop("thresholds")
+  }
+
   /** `-filter-islands` / `-filter-slivers`: drop rings below an area floor. */
   def filterSlivers(rings: DataFrame, ringCol: String, minArea: Double): DataFrame = {
     val areaUdf = udf { (flat: Seq[Double]) =>

@@ -1,0 +1,169 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.geom.Crs
+
+/**
+ * The round-3 world projections (Robinson, Mollweide, sinusoidal, equal
+ * earth, stereographic), the `+proj=` string front-end, and densified path
+ * reprojection — verified through defining mathematical properties
+ * (equal-area Jacobians, conformal scale equality, table knots, published
+ * frame dimensions), so a transcription error in any formula fails a test.
+ */
+class WorldProjSpec extends AnyFunSuite {
+
+  private val R = Crs.A
+  private val pts = for {
+    lon <- Seq(-170.0, -96.3, 0.7, 45.0, 139.7)
+    lat <- Seq(-60.0, -33.9, 0.2, 39.456, 78.0)
+  } yield (lon, lat)
+
+  private def roundTrip(p: Crs.Proj, tol: Double = 1e-8): Unit =
+    pts.foreach { case (lon, lat) =>
+      val (x, y) = p.forward(lon, lat)
+      val (lon2, lat2) = p.inverse(x, y)
+      assert(math.abs(lon2 - lon) < tol && math.abs(lat2 - lat) < tol,
+        s"($lon,$lat) -> ($x,$y) -> ($lon2,$lat2)")
+    }
+
+  /** Numeric area Jacobian ∂(x,y)/∂(λ,φ) in rad². */
+  private def jacobian(p: Crs.Proj, lon: Double, lat: Double): Double = {
+    val d = 1e-5
+    val (x1, y1) = p.forward(lon - d / 2, lat)
+    val (x2, y2) = p.forward(lon + d / 2, lat)
+    val (x3, y3) = p.forward(lon, lat - d / 2)
+    val (x4, y4) = p.forward(lon, lat + d / 2)
+    val dr = d * Crs.D2R
+    ((x2 - x1) / dr) * ((y4 - y3) / dr) - ((x4 - x3) / dr) * ((y2 - y1) / dr)
+  }
+
+  private def assertEqualArea(p: Crs.Proj): Unit =
+    pts.foreach { case (lon, lat) =>
+      val j = jacobian(p, lon, lat)
+      val want = R * R * math.cos(lat * Crs.D2R)
+      assert(math.abs(j - want) / want < 1e-3, s"J($lon,$lat) = $j, want $want")
+    }
+
+  test("Robinson passes through every published table knot; frame dims") {
+    val p = Crs.Robinson()
+    (0 to 18).foreach { k =>
+      val lat = k * 5.0
+      val (x, y) = p.forward(100.0, lat)
+      assert(math.abs(x - 0.8487 * R * Crs.Robinson.TableX(k) * 100.0 * Crs.D2R) < 1e-6)
+      assert(math.abs(y - 1.3523 * R * Crs.Robinson.TableY(k)) < 1e-6)
+    }
+    // published frame: half-width at equator 0.8487·R·π, pole height 1.3523·R
+    assert(math.abs(p.forward(180.0, 0.0)._1 - 0.8487 * R * math.Pi) < 1e-6)
+    assert(math.abs(p.forward(0.0, 90.0)._2 - 1.3523 * R) < 1e-6)
+    assert(p.forward(0.0, -90.0)._2 == -p.forward(0.0, 90.0)._2)
+    // y strictly monotone in lat, x linear in lon
+    val ys = (-90 to 90).map(l => p.forward(0.0, l.toDouble)._2)
+    assert(ys.zip(ys.tail).forall { case (a, b) => a < b })
+    val x1 = p.forward(10.0, 47.3)._1
+    assert(math.abs(p.forward(20.0, 47.3)._1 - 2.0 * x1) < 1e-6)
+    roundTrip(p, tol = 1e-7)
+  }
+
+  test("Mollweide: equal-area, frame dims, round-trip") {
+    val p = Crs.Mollweide()
+    assertEqualArea(p)
+    assert(math.abs(p.forward(180.0, 0.0)._1 - 2.0 * math.sqrt(2.0) * R) < 1e-6)
+    assert(math.abs(p.forward(0.0, 90.0)._2 - math.sqrt(2.0) * R) < 1e-3)
+    roundTrip(p)
+  }
+
+  test("sinusoidal: equal-area, exact closed form, round-trip") {
+    val p = Crs.Sinusoidal()
+    assertEqualArea(p)
+    pts.foreach { case (lon, lat) =>
+      val (x, y) = p.forward(lon, lat)
+      assert(x == lon * Crs.D2R * math.cos(lat * Crs.D2R) * R)
+      assert(y == lat * Crs.D2R * R)
+    }
+    roundTrip(p)
+  }
+
+  test("Equal Earth: equal-area and round-trip") {
+    val p = Crs.EqualEarth()
+    assertEqualArea(p)
+    roundTrip(p)
+  }
+
+  test("stereographic: conformal (h == k) and round-trip") {
+    val p = Crs.Stereographic(40.0, -100.0)
+    val d = 1e-6
+    pts.foreach { case (lon, lat) =>
+      val (x1, y1) = p.forward(lon - d / 2, lat)
+      val (x2, y2) = p.forward(lon + d / 2, lat)
+      val (x3, y3) = p.forward(lon, lat - d / 2)
+      val (x4, y4) = p.forward(lon, lat + d / 2)
+      val k = math.hypot(x2 - x1, y2 - y1) / (d * Crs.D2R * math.cos(lat * Crs.D2R))
+      val h = math.hypot(x4 - x3, y4 - y3) / (d * Crs.D2R)
+      assert(math.abs(h / k - 1.0) < 1e-4, s"h=$h k=$k at ($lon,$lat)")
+    }
+    roundTrip(p)
+  }
+
+  test("Mercator matches the column-math WebMercator constants") {
+    val p = Crs.Mercator()
+    val (x, y) = p.forward(12.5, 41.9)
+    assert(math.abs(x - 12.5 * Crs.D2R * R) < 1e-9)
+    assert(math.abs(y - math.log(math.tan(math.Pi / 4 + 41.9 * Crs.D2R / 2)) * R) < 1e-9)
+    roundTrip(p)
+  }
+
+  test("+proj= parser builds the same projections as the typed API") {
+    val a = Crs.fromProj4("+proj=aea +lat_1=29.5 +lat_2=45.5 +lat_0=23 +lon_0=-96")
+    assert(a == Crs.Albers(29.5, 45.5, 23.0, -96.0))
+    assert(Crs.fromProj4("+proj=utm +zone=33") == Crs.utm(33))
+    assert(Crs.fromProj4("+proj=utm +zone=19 +south") == Crs.utm(19, south = true))
+    assert(Crs.fromProj4("robinson") == Crs.Robinson())
+    assert(Crs.fromProj4("+proj=moll +lon_0=10") == Crs.Mollweide(10.0))
+    assert(Crs.fromProj4("wgs84") == Crs.Longlat)
+    assert(Crs.fromProj4("+proj=stere +lat_0=90 +lon_0=0") == Crs.Stereographic(90.0, 0.0))
+    assertThrows[IllegalArgumentException](Crs.fromProj4("+proj=nosuch"))
+    assertThrows[IllegalArgumentException](Crs.fromProj4("not-a-projection"))
+    // parsed and typed projections produce identical doubles
+    val (x1, y1) = a.forward(-75.0, 35.0)
+    val (x2, y2) = Crs.Albers(29.5, 45.5, 23.0, -96.0).forward(-75.0, 35.0)
+    assert(x1 == x2 && y1 == y2)
+  }
+
+  test("densified reprojection bounds chord deviation; straight paths untouched") {
+    val p = Crs.Mollweide()
+    // a long diagonal: genuinely curved in Mollweide (meridians are ellipses)
+    val path = Array(-60.0, 20.0, 60.0, 70.0)
+    val interval = 10000.0 // 10 km in projected units
+    val out = Crs.projectPathDensified(path, p, interval)
+    assert(out.length > path.length, "expected inserted vertices")
+    // endpoints preserved exactly
+    val (ax, ay) = p.forward(-60.0, 20.0); val (bx, by) = p.forward(60.0, 70.0)
+    assert(out(0) == ax && out(1) == ay)
+    assert(out(out.length - 2) == bx && out(out.length - 1) == by)
+    // the recursion invariant: for every final segment, the projected
+    // unprojected-midpoint deviates from the chord by at most interval/2
+    var i = 0
+    while (i + 3 < out.length) {
+      val (lon0, lat0) = p.inverse(out(i), out(i + 1))
+      val (lon2, lat2) = p.inverse(out(i + 2), out(i + 3))
+      val (mx, my) = p.forward((lon0 + lon2) / 2.0, (lat0 + lat2) / 2.0)
+      val dx = out(i + 2) - out(i); val dy = out(i + 3) - out(i + 1)
+      val len2 = dx * dx + dy * dy
+      val t = math.max(0.0, math.min(1.0, ((mx - out(i)) * dx + (my - out(i + 1)) * dy) / len2))
+      val dev = math.hypot(mx - (out(i) + t * dx), my - (out(i + 1) + t * dy))
+      assert(dev <= interval * 0.51, s"deviation $dev at segment $i")
+      i += 2
+    }
+    // equator in sinusoidal projects to a straight line: nothing inserted
+    val straight = Crs.projectPathDensified(Array(-60.0, 0.0, 60.0, 0.0),
+      Crs.Sinusoidal(), interval)
+    assert(straight.length == 4)
+    // parallels are straight in Robinson: nothing inserted there either
+    assert(Crs.projectPathDensified(Array(-60.0, 55.0, 60.0, 55.0), Crs.Robinson(),
+      interval).length == 4)
+    // determinism
+    val again = Crs.projectPathDensified(path, p, interval)
+    assert(out.sameElements(again))
+  }
+}
