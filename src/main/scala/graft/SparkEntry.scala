@@ -36,6 +36,14 @@ object SparkEntry {
       derivedX(col("c_custkey")).as("x"),
       derivedY(col("c_custkey")).as("y"))
 
+  /** Shoelace area of a flat closed ring column (loop order = Geom kernel). */
+  private lazy val ringAreaUdf = udf { (ring: Seq[Double]) =>
+    val n = ring.length / 2
+    val xs = Array.tabulate(n)(i => ring(i * 2))
+    val ys = Array.tabulate(n)(i => ring(i * 2 + 1))
+    graft.geom.Geom.signedRingArea(xs, ys, 0, n)
+  }
+
   private val ptsSql: String =
     s"""pts AS (SELECT c_custkey AS id,
        |  ${derivedXSql("c_custkey")} AS x,
@@ -292,6 +300,64 @@ object SparkEntry {
        |  CAST(floor(stere_y * 100.0) AS BIGINT) AS stere_y
        |FROM rob JOIN mo USING (id) JOIN ee USING (id) JOIN si USING (id) JOIN st USING (id)
        |ORDER BY rob.id""".stripMargin
+  }
+
+  /** The q_grid_rhombus / q_grid_triangle SQL: the pointy-top hex lattice
+   * (floor/ceil ranges, centers) and the 6 ring-vertex offsets mirrored with
+   * interpolated constants; the vertex-mean center and shoelace areas are
+   * written as explicit left-associative chains so the FP op order matches
+   * the Scala kernels exactly. */
+  private def gridMirrorSql(rhombus: Boolean): String = {
+    val size = 4.0
+    val SQC = dl(math.sqrt(3.0) * size) // q pitch (= size * sqrt(3), same product)
+    val KC2 = dl(size * 1.5)
+    val offs = (0 until 6).map { i =>
+      val a = math.Pi / 6.0 + math.Pi / 3.0 * i
+      (dl(size * math.cos(a)), dl(size * math.sin(a)))
+    }
+    val vcols = offs.zipWithIndex.map { case ((ox, oy), i) =>
+      s"cx + $ox AS v${i}x, cy + $oy AS v${i}y"
+    }.mkString(",\n       |    ")
+    // k-expansion: which 3 (rhombus) / 2 (triangle) hex vertices + the mean
+    val cells =
+      if (rhombus)
+        Seq((0, Seq(0, 1, 2)), (1, Seq(2, 3, 4)), (2, Seq(4, 5, 0)))
+      else (0 until 6).map(k => (k, Seq(k, (k + 1) % 6)))
+    val aliases =
+      if (rhombus) Seq("ax", "ay", "bx", "by", "c2x", "c2y") else Seq("ax", "ay", "bx", "by")
+    val cellRows = cells.map { case (k, vs) =>
+      val coords = vs.flatMap(v => Seq(s"v${v}x", s"v${v}y")).zip(aliases)
+        .map { case (c, al) => s"$c AS $al" }.mkString(", ")
+      s"SELECT q, r, $k AS k, mx, my, $coords FROM hexm"
+    }.mkString("\n  UNION ALL\n  ")
+    val areaExpr =
+      if (rhombus) // closed ring [m, a, b, c, m]: 4 shoelace terms in loop order
+        "((mx * ay - ax * my) + (ax * by - bx * ay) + (bx * c2y - c2x * by) + (c2x * my - mx * c2y)) / 2.0"
+      else "((mx * ay - ax * my) + (ax * by - bx * ay) + (bx * my - mx * by)) / 2.0"
+    s"""WITH rr AS (SELECT unnest(range(-1, 6)) AS r),
+       |qq AS (SELECT r,
+       |    unnest(range(CAST(floor(0.0 / $SQC - CAST(r AS DOUBLE) / 2.0) AS BIGINT) - 1,
+       |                 CAST(ceil(30.0 / $SQC - CAST(r AS DOUBLE) / 2.0) AS BIGINT) + 2)) AS q
+       |  FROM rr),
+       |hex AS (SELECT q, r,
+       |    $SQC * (CAST(q AS DOUBLE) + CAST(r AS DOUBLE) / 2.0) AS cx,
+       |    $KC2 * CAST(r AS DOUBLE) AS cy
+       |  FROM qq),
+       |hexv AS (SELECT q, r,
+       |    $vcols
+       |  FROM hex),
+       |hexm AS (SELECT *,
+       |    (v0x + v1x + v2x + v3x + v4x + v5x) / 6.0 AS mx,
+       |    (v0y + v1y + v2y + v3y + v4y + v5y) / 6.0 AS my
+       |  FROM hexv),
+       |cells AS (
+       |  $cellRows)
+       |SELECT q, r, CAST(k AS BIGINT) AS k,
+       |  CAST(floor($areaExpr * 1000000.0) AS BIGINT) AS area_int,
+       |  CAST(floor(ax * 1000000.0) AS BIGINT) AS v1x_int,
+       |  CAST(floor(ay * 1000000.0) AS BIGINT) AS v1y_int
+       |FROM cells
+       |ORDER BY q, r, k""".stripMargin
   }
 
   /** The q_proj_crs SQL: same formulas (Snyder), same operation order, with
@@ -1353,6 +1419,33 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // -grid type=rhombus / type=triangle: hex lattice subdivision; vertex
+    // positions and shoelace areas verified by an exact-FP DuckDB mirror
+    "q_grid_rhombus" -> ((s, dir) =>
+      Grids.rhombusGrid(s, 0.0, 0.0, 30.0, 20.0, 4.0)
+        .select(col("q"), col("r"), col("k").cast("long").as("k"),
+          floor(ringAreaUdf(col("ring")) * 1000000.0).cast("long").as("area_int"),
+          floor(element_at(col("ring"), 3) * 1000000.0).cast("long").as("v1x_int"),
+          floor(element_at(col("ring"), 4) * 1000000.0).cast("long").as("v1y_int"))
+        .orderBy("q", "r", "k")),
+
+    "q_grid_triangle" -> ((s, dir) =>
+      Grids.triangleGrid(s, 0.0, 0.0, 30.0, 20.0, 4.0)
+        .select(col("q"), col("r"), col("k").cast("long").as("k"),
+          floor(ringAreaUdf(col("ring")) * 1000000.0).cast("long").as("area_int"),
+          floor(element_at(col("ring"), 3) * 1000000.0).cast("long").as("v1x_int"),
+          floor(element_at(col("ring"), 4) * 1000000.0).cast("long").as("v1y_int"))
+        .orderBy("q", "r", "k")),
+
+    // -subdivide expression=: reference count-median bisection while the
+    // predicate holds; the leaf-size multiset is closed-form (balanced
+    // halving) and mirrored by a recursive CTE
+    "q_subdivide" -> ((s, dir) =>
+      Subdivide.byExpression(s, points(s, dir), "x", "y", st => st.count > 100)
+        .groupBy("leaf_id").agg(count(lit(1)).as("leaf_size"))
+        .groupBy("leaf_size").agg(count(lit(1)).as("n_leaves"))
+        .orderBy("leaf_size")),
+
     // -point-to-grid: circle-influence weights into cells (rows-only; the
     // overlap kernel is unit-tested against closed-form values)
     "q_point_to_grid" -> ((s, dir) =>
@@ -2113,6 +2206,25 @@ object SparkEntry {
     "q_clip_rect" -> clipRectSql,
 
     "q_proj_world" -> projWorldSql,
+
+    "q_grid_rhombus" -> gridMirrorSql(rhombus = true),
+
+    "q_grid_triangle" -> gridMirrorSql(rhombus = false),
+
+    // balanced halving: the leaf-size multiset of the count-median subdivide
+    // is a pure function of n and the predicate — recursive CTE mirror
+    "q_subdivide" ->
+      """WITH RECURSIVE t(sz, lf) AS (
+        |  SELECT CAST(count(*) AS BIGINT), count(*) <= 100 FROM customer
+        |  UNION ALL
+        |  SELECT CASE WHEN u.side = 0 THEN (t.sz + 1) // 2
+        |              ELSE t.sz - (t.sz + 1) // 2 END,
+        |         (CASE WHEN u.side = 0 THEN (t.sz + 1) // 2
+        |               ELSE t.sz - (t.sz + 1) // 2 END) <= 100
+        |  FROM t, (VALUES (0), (1)) u(side) WHERE NOT t.lf
+        |)
+        |SELECT sz AS leaf_size, count(*) AS n_leaves FROM t WHERE lf
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // phash decode + ray-cast PIP against the 64-shape image layer, mirrored
     // end to end (same cascade as q_img_cell, same PIP kernel as q_pip_join)

@@ -153,6 +153,53 @@ object Grids {
     rows.toDF("q", "r", "cx", "cy", "ring")
   }
 
+  /** Ring center = open-vertex mean (reference getPolygonRingCenter —
+   * ulp-identical to the lattice center only in exact arithmetic, so the
+   * mean is what both engines must compute). */
+  private def ringCenterMean(ring: Seq[Double]): (Double, Double) = {
+    val n = ring.length / 2 - 1 // ignore closing point
+    var x = 0.0; var y = 0.0
+    var i = 0
+    while (i < n) { x += ring(i * 2); y += ring(i * 2 + 1); i += 1 }
+    (x / n, y / n)
+  }
+
+  /** `-grid type=rhombus`: each hex cell split into 3 rhombi
+   * (reference subdivideHexagon, `mapshaper-polygon-grid.mjs:343-357`):
+   * rhombus k = [center, v(2k), v(2k+1), v((2k+2) mod 6), center].
+   * Output: (q, r, k, ring). */
+  def rhombusGrid(spark: SparkSession, x0: Double, y0: Double, x1: Double, y1: Double,
+                  size: Double, flatTop: Boolean = false): DataFrame = {
+    val cellUdf = udf { (ring: Seq[Double], k: Int) =>
+      val (mx, my) = ringCenterMean(ring)
+      val i = 2 * k
+      val j = (i + 2) % 6
+      Array(mx, my, ring(i * 2), ring(i * 2 + 1), ring((i + 1) * 2), ring((i + 1) * 2 + 1),
+        ring(j * 2), ring(j * 2 + 1), mx, my)
+    }
+    hexGrid(spark, x0, y0, x1, y1, size, flatTop)
+      .select(col("q"), col("r"), col("ring").as("_hex"),
+        explode(array(lit(0), lit(1), lit(2))).as("k"))
+      .select(col("q"), col("r"), col("k"), cellUdf(col("_hex"), col("k")).as("ring"))
+  }
+
+  /** `-grid type=triangle`: each hex cell split into 6 triangles
+   * (reference triangulateHexagon, `mapshaper-polygon-grid.mjs:359-370`):
+   * triangle k = [center, v(k), v((k+1) mod 6), center].
+   * Output: (q, r, k, ring). */
+  def triangleGrid(spark: SparkSession, x0: Double, y0: Double, x1: Double, y1: Double,
+                   size: Double, flatTop: Boolean = false): DataFrame = {
+    val cellUdf = udf { (ring: Seq[Double], k: Int) =>
+      val (mx, my) = ringCenterMean(ring)
+      val j = (k + 1) % 6
+      Array(mx, my, ring(k * 2), ring(k * 2 + 1), ring(j * 2), ring(j * 2 + 1), mx, my)
+    }
+    hexGrid(spark, x0, y0, x1, y1, size, flatTop)
+      .select(col("q"), col("r"), col("ring").as("_hex"),
+        explode(array(lit(0), lit(1), lit(2), lit(3), lit(4), lit(5))).as("k"))
+      .select(col("q"), col("r"), col("k"), cellUdf(col("_hex"), col("k")).as("ring"))
+  }
+
   /**
    * `-dots`: deterministic dot-density fill — n seeded points uniformly
    * inside a shape via rejection sampling over its bbox (reference:

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -14,6 +15,73 @@ import org.apache.spark.sql.functions._
 object Subdivide {
 
   final case class Leaf(id: Long, xmin: Double, ymin: Double, xmax: Double, ymax: Double, count: Long)
+
+  /** Per-leaf aggregates the [[byExpression]] predicate sees — the Spark
+   * stand-in for the reference's calc-expression over a sub-layer. */
+  final case class LeafStats(leaf: Long, count: Long,
+                             xmin: Double, ymin: Double, xmax: Double, ymax: Double) {
+    def width: Double = xmax - xmin
+    def height: Double = ymax - ymin
+  }
+
+  /**
+   * Reference `-subdivide` semantics (`mapshaper-subdivide.mjs:15-90`):
+   * recursively split while the expression over the CURRENT sub-layer holds;
+   * each split orders rows by position along the longer extent axis and sends
+   * the first ceil(n/2) to the low child (count-median, not midpoint — both
+   * children always hold n/2 ± 1 rows). Leaf ids use the same 2k/2k+1 scheme
+   * as [[byCount]].
+   *
+   * Scale shape: one distributed aggregation (per-leaf stats, bounded rows
+   * collected) plus one window shuffle per DEPTH level — depth is
+   * O(log n / leaf), and each round's lineage is truncated with
+   * localCheckpoint. The midpoint [[byCount]] stays the cheaper path when
+   * median balance is not required.
+   */
+  def byExpression(spark: SparkSession, points: DataFrame, xCol: String, yCol: String,
+                   predicate: LeafStats => Boolean, maxDepth: Int = 32): DataFrame = {
+    import spark.implicits._
+    var pts = points
+      .withColumn("_x", col(xCol).cast("double"))
+      .withColumn("_y", col(yCol).cast("double"))
+      .withColumn("leaf_id", lit(1L))
+      .localCheckpoint()
+    var depth = 0
+    var continue = true
+    while (continue && depth < maxDepth) {
+      val stats = pts.groupBy("leaf_id")
+        .agg(count(lit(1)).as("n"), min("_x"), min("_y"), max("_x"), max("_y"))
+        .as[(Long, Long, Double, Double, Double, Double)].collect()
+        .map { case (l, n, x0, y0, x1, y1) => LeafStats(l, n, x0, y0, x1, y1) }
+      val toSplit = stats.filter(s => s.count > 1 && predicate(s))
+      if (toSplit.isEmpty) continue = false
+      else {
+        // reference: useX = bounds.width() > bounds.height(); first
+        // ceil(n/2) sorted rows -> low child
+        val useX = toSplit.map(s => s.leaf -> (s.width > s.height)).toMap
+        val half = toSplit.map(s => s.leaf -> ((s.count + 1) / 2)).toMap
+        val bcUseX = spark.sparkContext.broadcast(useX)
+        val bcHalf = spark.sparkContext.broadcast(half)
+        val ctrUdf = udf((l: Long, x: Double, y: Double) =>
+          if (bcUseX.value.getOrElse(l, true)) x else y)
+        val childUdf = udf { (l: Long, rk: Int) =>
+          bcHalf.value.get(l) match {
+            case None => l
+            case Some(h) => if (rk <= h) l * 2 else l * 2 + 1
+          }
+        }
+        val w = Window.partitionBy("leaf_id").orderBy("_ctr", "_x", "_y")
+        pts = pts
+          .withColumn("_ctr", ctrUdf(col("leaf_id"), col("_x"), col("_y")))
+          .withColumn("_rk", row_number().over(w))
+          .withColumn("leaf_id", childUdf(col("leaf_id"), col("_rk")))
+          .drop("_ctr", "_rk")
+          .localCheckpoint()
+        depth += 1
+      }
+    }
+    pts.drop("_x", "_y")
+  }
 
   /**
    * Assign each point a leaf id such that every leaf holds ≤ maxPerLeaf

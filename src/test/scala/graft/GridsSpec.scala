@@ -75,4 +75,37 @@ class GridsSpec extends SparkSuite {
     val bent = Points.interpolate(Array(0.0, 0.0, 3.0, 4.0, 3.0, 9.0), 2.5) // lengths 5 + 5
     assert(bent.length / 2 == 4) // start + 3 interval marks before the end
   }
+
+  private def ringArea(ring: Seq[Double]): Double = {
+    val n = ring.length / 2
+    val xs = Array.tabulate(n)(i => ring(i * 2))
+    val ys = Array.tabulate(n)(i => ring(i * 2 + 1))
+    graft.geom.Geom.signedRingArea(xs, ys, 0, n)
+  }
+
+  test("rhombus grid: 3 equal-area cells per hex, areas sum to the hexagon") {
+    val size = 4.0
+    val hexArea = 3.0 * math.sqrt(3.0) / 2.0 * size * size
+    val cells = Grids.rhombusGrid(spark, 0, 0, 30, 20, size).collect()
+    val byHex = cells.groupBy(r => (r.getLong(0), r.getLong(1)))
+    byHex.foreach { case (qr, rows) =>
+      assert(rows.length == 3, s"hex $qr has ${rows.length} rhombi")
+      val areas = rows.map(r => ringArea(r.getSeq[Double](3)))
+      areas.foreach(a => assert(math.abs(a - hexArea / 3.0) < 1e-9, s"area $a"))
+    }
+    // each rhombus ring is closed with 5 points
+    cells.foreach(r => assert(r.getSeq[Double](3).length == 10))
+  }
+
+  test("triangle grid: 6 equal-area cells per hex, areas sum to the hexagon") {
+    val size = 4.0
+    val hexArea = 3.0 * math.sqrt(3.0) / 2.0 * size * size
+    val cells = Grids.triangleGrid(spark, 0, 0, 30, 20, size).collect()
+    val byHex = cells.groupBy(r => (r.getLong(0), r.getLong(1)))
+    byHex.foreach { case (qr, rows) =>
+      assert(rows.length == 6, s"hex $qr has ${rows.length} triangles")
+      val total = rows.map(r => ringArea(r.getSeq[Double](3))).sum
+      assert(math.abs(total - hexArea) < 1e-9, s"sum $total vs $hexArea")
+    }
+  }
 }
