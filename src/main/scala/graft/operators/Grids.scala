@@ -233,6 +233,121 @@ object Grids {
     java.util.Arrays.copyOf(out, k * 2)
   }
 
+  /**
+   * `-dots evenness=` (reference `mapshaper-dot-density.mjs:40-230`):
+   * evenness 0 falls back to pure rejection sampling ([[dotFill]]); evenness
+   * in (0, 1] seeds one spaced point per grid cell (shuffled cell order) and
+   * then dart-throws with a minimum-distance threshold that relaxes ×0.9
+   * after every ceil(cells^0.8) failed probes — the reference's structure
+   * with a deterministic SplitMix64 stream instead of Math.random, so output
+   * is reproducible and partition-stable. Grid sizing, the 0.7 spacing
+   * constant, and the relaxation schedule follow the reference.
+   */
+  def dotFillEven(rings: Seq[Array[Double]], n: Int, evenness: Double, seed: Long): Array[Double] = {
+    if (evenness <= 0.0) return dotFill(rings, n, seed)
+    val ev = math.min(evenness, 1.0)
+    val rng = new graft.tables.SplitMix64(seed)
+    var x0 = Double.MaxValue; var y0 = Double.MaxValue
+    var x1 = Double.MinValue; var y1 = Double.MinValue
+    rings.foreach { r =>
+      var i = 0
+      while (i < r.length) {
+        x0 = math.min(x0, r(i)); x1 = math.max(x1, r(i))
+        y0 = math.min(y0, r(i + 1)); y1 = math.max(y1, r(i + 1))
+        i += 2
+      }
+    }
+    val w = x1 - x0; val h = y1 - y0
+    if (!(w > 0 && h > 0) || n <= 0) return Array.emptyDoubleArray
+    // reference sizing: approxQueries ~ n * bboxArea / shapeArea; shape area
+    // via the even-odd ring sum
+    val shpArea = math.abs(rings.map { r =>
+      val m = r.length / 2
+      val xs = Array.tabulate(m)(i => r(i * 2))
+      val ys = Array.tabulate(m)(i => r(i * 2 + 1))
+      graft.geom.Geom.signedRingArea(xs, ys, 0, m)
+    }.sum)
+    if (shpArea <= 0) return Array.emptyDoubleArray
+    val approxQueries = math.max(1L, math.round(n * (w * h) / shpArea))
+    val k = 0.5 * (ev - 1.0) + 1.0
+    val approxCells = approxQueries * 0.9 * k
+    val cols = math.max(1, math.round(math.sqrt(approxCells * w / h)).toInt)
+    val rows = math.max(1, math.ceil(cols * h / w).toInt)
+    val cellSize = w / cols
+    val cells = cols * rows
+    var dotSpacing = cellSize * 0.7 * ev
+
+    // occupancy grid: placed points per cell
+    val grid = Array.fill(cells)(List.empty[(Double, Double)])
+    @inline def cellOf(px: Double, py: Double): Int = {
+      val c = math.min(cols - 1, math.max(0, ((px - x0) / cellSize).toInt))
+      val r = math.min(rows - 1, math.max(0, ((py - y0) / cellSize).toInt))
+      r * cols + c
+    }
+    def usable(px: Double, py: Double): Boolean = {
+      val c = math.min(cols - 1, math.max(0, ((px - x0) / cellSize).toInt))
+      val r = math.min(rows - 1, math.max(0, ((py - y0) / cellSize).toInt))
+      val d2 = dotSpacing * dotSpacing
+      var ok = true
+      var rr = math.max(0, r - 1)
+      while (ok && rr <= math.min(rows - 1, r + 1)) {
+        var cc = math.max(0, c - 1)
+        while (ok && cc <= math.min(cols - 1, c + 1)) {
+          var lst = grid(rr * cols + cc)
+          while (ok && lst.nonEmpty) {
+            val (qx, qy) = lst.head
+            if (graft.geom.Geom.distanceSq(px, py, qx, qy) < d2) ok = false
+            lst = lst.tail
+          }
+          cc += 1
+        }
+        rr += 1
+      }
+      ok
+    }
+
+    // deterministic Fisher-Yates cell shuffle (first-fill order)
+    val order = Array.tabulate(cells)(identity)
+    var i = cells - 1
+    while (i > 0) {
+      val j = ((rng.nextLong() >>> 1) % (i + 1)).toInt
+      val t = order(i); order(i) = order(j); order(j) = t
+      i -= 1
+    }
+
+    val inside = (px: Double, py: Double) => graft.geom.Overlay.evenOddContains(rings, px, py)
+    val out = Array.newBuilder[Double]
+    var placed = 0
+    var fillCursor = 0
+    val probesBeforeRelaxation = math.ceil(math.pow(cells.toDouble, 0.8)).toLong
+    var probes = 0L
+    val maxProbes = cells.toLong * 10 * math.max(1, n)
+
+    while (placed < n && probes < maxProbes) {
+      var px = 0.0; var py = 0.0; var got = false
+      if (fillCursor < cells) { // first-fill: one spaced try per shuffled cell
+        val id = order(fillCursor); fillCursor += 1
+        val cc = id % cols; val rr = id / cols
+        px = x0 + (cc + rng.nextDouble()) * cellSize
+        py = y0 + (rr + rng.nextDouble()) * cellSize
+        got = py <= y1 && usable(px, py) && inside(px, py)
+      } else { // dart-throwing with relaxation
+        px = x0 + rng.nextDouble() * w
+        py = y0 + rng.nextDouble() * h
+        got = usable(px, py) && inside(px, py)
+        if (!got && probes % probesBeforeRelaxation == probesBeforeRelaxation - 1)
+          dotSpacing *= 0.9
+      }
+      probes += 1
+      if (got) {
+        grid(cellOf(px, py)) ::= ((px, py))
+        out += px; out += py
+        placed += 1
+      }
+    }
+    out.result()
+  }
+
   /** Area of circle((cx,cy), r) ∩ axis-aligned rect — via fine numeric
    * integration over x (deterministic, adequate for weighting). */
   def circleRectOverlap(cx: Double, cy: Double, r: Double,

@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.sources.{DbfReader, Export, GeoParquet, ShpReader}
+import graft.sources.{DbfReader, Export, GeoParquet, ShpReader, SvgIO}
 
 class ExportSpec extends SparkSuite {
 
@@ -75,6 +75,55 @@ class ExportSpec extends SparkSuite {
     assert(svg.contains("viewBox=\"0 0 10.00 10.00\""))
     // y flip: the outer rect's (0,0) renders at svg y = 10
     assert(svg.contains("M0.00 10.00"))
+  }
+
+  test("svg IMPORT round-trips writeSvg output back to data space") {
+    val outer = rect(0, 0, 10, 10)
+    val inner = rect(2, 2, 4, 4)
+    val svg = Export.writeSvg(Seq(
+      (Seq(outer), """fill="red""""),
+      (Seq(inner), """fill="blue"""")), precision = 4)
+    val feats = SvgIO.read(svg)
+    assert(feats.length == 2 && feats.forall(_.kind == "path"))
+    assert(feats.head.attrs("fill") == "red" && feats(1).attrs("fill") == "blue")
+    // map back: viewBox origin (0,0), ymax = 10
+    val back = feats.map(f => SvgIO.svgToData(f.parts, 0.0, 10.0))
+    def close(a: Array[Double], b: Array[Double]): Boolean =
+      a.length == b.length && a.zip(b).forall { case (u, v) => math.abs(u - v) < 1e-3 }
+    assert(close(back.head.head, outer), back.head.head.toSeq.toString)
+    assert(close(back(1).head, inner))
+  }
+
+  test("svg import: relative commands, H/V, curves, shape elements") {
+    // relative path: m 1 1 l 2 0 0 2 z -> triangle-ish closed subpath
+    val p = SvgIO.parsePathData("m 1 1 l 2 0 0 2 z")
+    assert(p.length == 1)
+    assert(p.head.toSeq == Seq(1.0, 1.0, 3.0, 1.0, 3.0, 3.0, 1.0, 1.0))
+    // H/V absolute
+    val hv = SvgIO.parsePathData("M0 0 H5 V5 H0 Z")
+    assert(hv.head.toSeq == Seq(0.0, 0.0, 5.0, 0.0, 5.0, 5.0, 0.0, 5.0, 0.0, 0.0))
+    // cubic flattening: endpoint exact, fixed step count
+    val c = SvgIO.parsePathData("M0 0 C 0 10 10 10 10 0")
+    assert(c.head.length == 2 + SvgIO.CurveSteps * 2)
+    assert(c.head(c.head.length - 2) == 10.0 && c.head.last == 0.0)
+    // two subpaths
+    val two = SvgIO.parsePathData("M0 0 L1 0 1 1 Z M5 5 L6 5")
+    assert(two.length == 2 && two(1).toSeq == Seq(5.0, 5.0, 6.0, 5.0))
+    // shape elements
+    val doc = """<svg><rect x="1" y="2" width="3" height="4" fill="red"/>
+      |<circle cx="0" cy="0" r="2"/>
+      |<polygon points="0,0 4,0 4,4"/>
+      |<polyline points="0 0 1 1 2 0"/>
+      |<line x1="0" y1="0" x2="9" y2="9"/></svg>""".stripMargin
+    val fs = SvgIO.read(doc)
+    assert(fs.map(_.kind) == Seq("rect", "circle", "polygon", "polyline", "line"))
+    assert(fs.head.parts.head.toSeq == Seq(1.0, 2.0, 4.0, 2.0, 4.0, 6.0, 1.0, 6.0, 1.0, 2.0))
+    assert(fs(1).parts.head.length == 66) // 32-gon closed
+    assert(fs(2).parts.head.takeRight(2).toSeq == Seq(0.0, 0.0)) // auto-closed
+    assert(fs(3).parts.head.length == 6)
+    // unsupported arc command throws with the letter
+    val err = intercept[IllegalArgumentException](SvgIO.parsePathData("M0 0 A 5 5 0 0 1 10 10"))
+    assert(err.getMessage.contains("'A'"))
   }
 
   test("zip and gzip containers round-trip (shp+dbf bundle)") {

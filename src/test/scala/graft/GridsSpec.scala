@@ -97,6 +97,33 @@ class GridsSpec extends SparkSuite {
     cells.foreach(r => assert(r.getSeq[Double](3).length == 10))
   }
 
+  test("dots evenness: spaced fill beats random fill on nearest-neighbor distance") {
+    val square = Seq(Array(0.0, 0.0, 100.0, 0.0, 100.0, 100.0, 0.0, 100.0, 0.0, 0.0))
+    val n = 200
+    def minNN(flat: Array[Double]): Double = {
+      var best = Double.MaxValue
+      for (i <- 0 until flat.length / 2; j <- 0 until flat.length / 2 if i != j) {
+        val d = graft.geom.Geom.distance(flat(i * 2), flat(i * 2 + 1), flat(j * 2), flat(j * 2 + 1))
+        if (d < best) best = d
+      }
+      best
+    }
+    val even = Grids.dotFillEven(square, n, evenness = 1.0, seed = 5L)
+    val random = Grids.dotFillEven(square, n, evenness = 0.0, seed = 5L)
+    assert(even.length == n * 2 && random.length == n * 2)
+    assert(minNN(even) > 3.0 * minNN(random),
+      s"even=${minNN(even)} random=${minNN(random)}")
+    // deterministic and inside the shape
+    assert(even.sameElements(Grids.dotFillEven(square, n, 1.0, 5L)))
+    (0 until n).foreach { i =>
+      assert(even(i * 2) >= 0 && even(i * 2) <= 100 && even(i * 2 + 1) >= 0 && even(i * 2 + 1) <= 100)
+    }
+    // partial evenness sits between the two regimes
+    val half = Grids.dotFillEven(square, n, evenness = 0.5, seed = 5L)
+    assert(half.length == n * 2)
+    assert(minNN(half) >= minNN(random))
+  }
+
   test("triangle grid: 6 equal-area cells per hex, areas sum to the hexagon") {
     val size = 4.0
     val hexArea = 3.0 * math.sqrt(3.0) / 2.0 * size * size
