@@ -166,6 +166,10 @@ object Bench {
     // the sandbox host has drifting co-tenant load (raw-thread probes vary
     // >2x across the day): interleave the levels and take the min per level
     // so the ratio is computed from comparable load windows
+    // two N-vs-4N pairs: 2->8 is the primary (continuity with earlier
+    // rounds); 1->4 corroborates that the PLAN scales when the known
+    // single-JVM thread ceiling (~16 effective cores, see BENCH.md) is not
+    // in play — real 4x clusters run separate JVMs and don't hit it
     val (loCores, hiCores) = (2, 8)
     val rounds = (1 to 3).map { _ =>
       (measureAt(loCores, imagesPath), measureAt(hiCores, imagesPath))
@@ -174,6 +178,8 @@ object Bench {
     val tHi = rounds.map(_._2).min
     val nLogical = nImages * Rep
     val eff = (tLo / tHi) / (hiCores.toDouble / loCores)
+    val (t1, t4) = (measureAt(1, imagesPath), measureAt(4, imagesPath))
+    val eff14 = (t1 / t4) / 4.0
 
     // ---------- full-width throughput (child JVM) + per-operator timings ------
     val tFull = measureAt(cpus, imagesPath)
@@ -216,7 +222,7 @@ object Bench {
     val qJson = qTimes.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     val total = tFull + qTimes.map(_._2).sum
     println(
-      s"""{"metric":"spatial_join_tile_assign","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir","n_images":$nLogical,"headline_sec":${f"$tFull%.3f"},"headline_with_scan_sec":${f"$tWithScan%.3f"},"images_per_sec":${f"$ipsFull%.0f"},"scaling":{"cores_lo":$loCores,"sec_lo":${f"$tLo%.3f"},"ips_lo":${f"${nLogical / tLo}%.0f"},"cores_hi":$hiCores,"sec_hi":${f"$tHi%.3f"},"ips_hi":${f"${nLogical / tHi}%.0f"},"efficiency":${f"$eff%.3f"},"cores_full":$cpus,"ips_full":${f"$ipsFull%.0f"}}}""")
+      s"""{"metric":"spatial_join_tile_assign","value":${f"$total%.3f"},"unit":"sec","queries":$qJson,"sf":"$sfDir","n_images":$nLogical,"headline_sec":${f"$tFull%.3f"},"headline_with_scan_sec":${f"$tWithScan%.3f"},"images_per_sec":${f"$ipsFull%.0f"},"scaling":{"cores_lo":$loCores,"sec_lo":${f"$tLo%.3f"},"ips_lo":${f"${nLogical / tLo}%.0f"},"cores_hi":$hiCores,"sec_hi":${f"$tHi%.3f"},"ips_hi":${f"${nLogical / tHi}%.0f"},"efficiency":${f"$eff%.3f"},"sec_1":${f"$t1%.3f"},"sec_4":${f"$t4%.3f"},"efficiency_1_4":${f"$eff14%.3f"},"cores_full":$cpus,"ips_full":${f"$ipsFull%.0f"}}}""")
     s.stop()
   }
 }

@@ -110,16 +110,28 @@ object Graft {
   def utm(zone: Int, south: Boolean = false): Crs.Proj = Crs.utm(zone, south)
   def azimuthalEquidistant(lat0: Double, lon0: Double): Crs.Proj = Crs.Aeqd(lat0, lon0)
   def rotation(a: Double, b: Double, c: Double): Crs.Proj = Crs.Rotation(a, b, c)
+  /** -proj <name-or-+proj-string>: PROJ.4-style front-end (robinson, moll,
+   * sinu, eqearth, stere, merc, aea, lcc, utm, aeqd, longlat + aliases). */
+  def projection(spec: String): Crs.Proj = Crs.fromProj4(spec)
   /** -proj: adds array<double>[x, y] via the codegen forward transform. */
   def project(df: DataFrame, lonCol: String, latCol: String, proj: Crs.Proj,
               out: String = "xy"): DataFrame = {
     import org.apache.spark.sql.functions.col
     df.withColumn(out, Proj.forward(col(lonCol), col(latCol), proj))
   }
+  /** -proj densify: project a lon/lat path, bisecting where the projected
+   * midpoint deviates from the chord by more than interval/2. */
+  def projectPath(flat: Array[Double], proj: Crs.Proj, interval: Double): Array[Double] =
+    Crs.projectPathDensified(flat, proj, interval)
 
   // ------------------------------------------------------ simplify / paths
   def filterDetail(xx: Array[Double], yy: Array[Double], distance: Double): (Array[Double], Array[Double]) =
     geom.DetailFilter.filter(xx, yy, distance)
+  /** -simplify (spherical default for lon/lat data, keep-shapes): retain
+   * ~pct of interior vertices by ground-meter thresholds. */
+  def simplifySpherical(spark: SparkSession, rings: DataFrame, ringCol: String,
+                        pct: Double, keepShapes: Boolean = true): DataFrame =
+    SimplifyOp.simplifySpherical(spark, rings, ringCol, pct, keepShapes = keepShapes)
 
   // ------------------------------------------------------- classify / color
   def classifyQuantile(spark: SparkSession, df: DataFrame, valueCol: String, numBreaks: Int): Seq[Double] =
@@ -141,4 +153,18 @@ object Graft {
               k: Int): DataFrame =
     Cluster.assignPoints(spark, points, id, x, y, k)
   def info(spark: SparkSession, df: DataFrame): DataFrame = Info.describe(spark, df)
+  /** -grid type=rhombus|triangle over a bbox. */
+  def rhombusGrid(spark: SparkSession, x0: Double, y0: Double, x1: Double, y1: Double,
+                  size: Double): DataFrame = Grids.rhombusGrid(spark, x0, y0, x1, y1, size)
+  def triangleGrid(spark: SparkSession, x0: Double, y0: Double, x1: Double, y1: Double,
+                   size: Double): DataFrame = Grids.triangleGrid(spark, x0, y0, x1, y1, size)
+  /** -subdivide expression=: count-median bisection while the predicate holds. */
+  def subdivide(spark: SparkSession, points: DataFrame, x: String, y: String,
+                predicate: Subdivide.LeafStats => Boolean): DataFrame =
+    Subdivide.byExpression(spark, points, x, y, predicate)
+  /** -dots evenness=: spaced deterministic dot fill inside a shape. */
+  def dots(rings: Seq[Array[Double]], n: Int, evenness: Double, seed: Long): Array[Double] =
+    Grids.dotFillEven(rings, n, evenness, seed)
+  /** SVG import (paths + shape elements). */
+  def readSvg(svg: String): Seq[sources.SvgIO.Feature] = sources.SvgIO.read(svg)
 }
