@@ -302,6 +302,131 @@ object SparkEntry {
        |ORDER BY rob.id""".stripMargin
   }
 
+  // ------------------------------------------- minhash/simhash SQL mirrors
+
+  /** 64-bit wrap arithmetic helpers for DuckDB: Scala's Long multiply/add
+   * wrap mod 2^64; DuckDB BIGINT overflow throws, so the mirrors run in
+   * HUGEINT with an explicit 32-bit-limb decomposition for 64×64 products. */
+  private object WrapSql {
+    final val M64 = "18446744073709551616"
+    final val M32 = 4294967296L
+    final val Golden = java.lang.Long.parseUnsignedLong("9e3779b97f4a7c15", 16)
+    final val C1 = java.lang.Long.parseUnsignedLong("bf58476d1ce4e5b9", 16)
+    final val C2 = java.lang.Long.parseUnsignedLong("94d049bb133111eb", 16)
+    def u(v: Long): String = java.lang.Long.toUnsignedString(v)
+
+    /** (z * c) mod 2^64 via limbs: z*c_lo + ((z_lo? no — z*c_hi mod 2^32)<<32. */
+    def wrapMul(z: String, c: Long, out: String): String = {
+      val clo = java.lang.Long.remainderUnsigned(c, M32)
+      s"CAST(((CAST($z AS HUGEINT) % $M32) * CAST('${u(c)}' AS HUGEINT) " +
+        s"+ (((CAST($z AS HUGEINT) // $M32) * $clo) % $M32) * $M32) " +
+        s"% $M64 AS UBIGINT) AS $out"
+    }
+
+    /** The SplitMix64 finalizer as a 6-CTE chain over `{p}in(_zin)` → `{p}out(.., out)`. */
+    def splitmix(p: String, zin: String, out: String): String =
+      s"""${p}a AS (SELECT *, CAST((CAST($zin AS HUGEINT) + CAST('${u(Golden)}' AS HUGEINT)) % $M64 AS UBIGINT) AS _z0 FROM ${p}in),
+         |${p}b AS (SELECT *, xor(_z0, _z0 >> 30) AS _z1 FROM ${p}a),
+         |${p}c AS (SELECT *, ${wrapMul("_z1", C1, "_z2")} FROM ${p}b),
+         |${p}d AS (SELECT *, xor(_z2, _z2 >> 27) AS _z3 FROM ${p}c),
+         |${p}e AS (SELECT *, ${wrapMul("_z3", C2, "_z4")} FROM ${p}d),
+         |${p}out AS (SELECT * EXCLUDE (_z0, _z1, _z2, _z3, _z4), xor(_z4, _z4 >> 31) AS $out FROM ${p}e)""".stripMargin
+
+    /** Shared CTE chain: documents → words → java word hashCodes → 3-word
+     * shingle hashes through the SplitMix64 finalizer (mirror of
+     * Dedup.shingleHashes, incl. the <3-word joined-string fallback). */
+    lazy val shinglesCte: String = {
+      val h64 = {
+        var expr = "CAST(1125899906842597 AS HUGEINT)"
+        for (off <- Seq("i", "i+1", "i+2")) {
+          val w = s"((CAST(whs[$off] AS HUGEINT) % $M64 + $M64) % $M64)"
+          expr = s"(($expr * 31 + $w) % $M64)"
+        }
+        s"CAST($expr AS UBIGINT)"
+      }
+      val jreduce = "list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+        "list_transform(string_split(array_to_string(words, ' '), ''), " +
+        s"ch -> CAST(unicode(ch) AS BIGINT))), (acc, c) -> (31 * acc + c) % $M32)"
+      s"""docs AS (SELECT doc_id AS id, coalesce(text, '') AS text FROM documents),
+         |w AS (SELECT id, list_filter(string_split_regex(lower(text), '\\W+'), x -> x <> '') AS words FROM docs),
+         |wh AS (SELECT id, len(words) AS nw,
+         |    list_transform(
+         |      list_transform(words, wd -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |        list_transform(string_split(wd, ''), ch -> CAST(unicode(ch) AS BIGINT))),
+         |        (acc, c) -> (31 * acc + c) % $M32)),
+         |      m -> CASE WHEN m >= ${M32 / 2} THEN m - $M32 ELSE m END) AS whs
+         |  FROM w),
+         |sh0 AS (
+         |  SELECT id, $h64 AS h64
+         |  FROM wh, unnest(range(1, nw - 1)) t(i) WHERE nw >= 3
+         |  UNION ALL
+         |  SELECT id,
+         |    CAST((CASE WHEN jm >= ${M32 / 2} THEN CAST(jm AS HUGEINT) - $M32 ELSE CAST(jm AS HUGEINT) END
+         |          % $M64 + $M64) % $M64 AS UBIGINT) AS h64
+         |  FROM (SELECT id, nw, $jreduce AS jm
+         |        FROM wh JOIN w USING (id) WHERE nw < 3 AND nw > 0) short),
+         |smin AS (SELECT id, h64 AS _zin FROM sh0),
+         |${splitmix("sm", "_zin", "sh")},
+         |shingles AS (SELECT id, sh FROM smout)""".stripMargin
+    }
+  }
+
+  /** q_minhash_pairs SQL: the FULL MinHash+LSH pipeline mirrored — java
+   * String.hashCode per word, 64-bit polynomial shingle hash, SplitMix64
+   * finalizer (limb multiply), 64 XOR-permutations with signed minima,
+   * 16×4 band folds, bucket self-join, exact distinct-shingle Jaccard. */
+  private lazy val minhashSql: String = {
+    import WrapSql._
+    val gk = (0 until 64).map { k =>
+      s"($k, CAST('${u(k * Golden)}' AS UBIGINT))"
+    }.mkString(", ")
+    var bexpr = "CAST(b AS HUGEINT)"
+    for (ri <- 0 until 4)
+      bexpr = s"(($bexpr * 1000003 + max(CASE WHEN ri = $ri THEN sigu END)) % $M64)"
+    s"""WITH $shinglesCte,
+       |dsh AS (SELECT id, list_distinct(list(sh)) AS s FROM shingles GROUP BY id),
+       |gk(k, g) AS (VALUES $gk),
+       |pkin AS (SELECT s.id, g.k, xor(s.sh, g.g) AS _zin FROM shingles s CROSS JOIN gk g),
+       |${splitmix("pk", "_zin", "ph")},
+       |sigs AS (SELECT id, k,
+       |    min(CASE WHEN ph >= 9223372036854775808 THEN CAST(CAST(ph AS HUGEINT) - $M64 AS BIGINT) ELSE CAST(ph AS BIGINT) END) AS sig
+       |  FROM pkout GROUP BY id, k),
+       |allsig AS (SELECT d.id, g.k, coalesce(s.sig, 9223372036854775807) AS sig
+       |  FROM docs d CROSS JOIN gk g LEFT JOIN sigs s ON s.id = d.id AND s.k = g.k),
+       |bandrows AS (SELECT id, k // 4 AS b, k % 4 AS ri,
+       |    (CAST(sig AS HUGEINT) % $M64 + $M64) % $M64 AS sigu
+       |  FROM allsig),
+       |bands AS (SELECT id, b, CAST($bexpr AS UBIGINT) AS bucket FROM bandrows GROUP BY id, b),
+       |cand AS (SELECT DISTINCT a.id AS a_id, b2.id AS b_id
+       |  FROM bands a JOIN bands b2 ON a.bucket = b2.bucket AND a.b = b2.b AND a.id < b2.id),
+       |jac AS (SELECT c.a_id, c.b_id,
+       |    CASE WHEN coalesce(len(da.s), 0) = 0 AND coalesce(len(db.s), 0) = 0 THEN 1.0
+       |    ELSE CAST(len(list_intersect(da.s, db.s)) AS DOUBLE) /
+       |      (coalesce(len(da.s), 0) + coalesce(len(db.s), 0) - len(list_intersect(da.s, db.s))) END AS jaccard
+       |  FROM cand c LEFT JOIN dsh da ON da.id = c.a_id LEFT JOIN dsh db ON db.id = c.b_id)
+       |SELECT a_id, b_id, jaccard FROM jac WHERE jaccard >= 0.3
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
+  /** q_simhash_pairs SQL: per-bit shingle majorities → 64-bit simhash,
+   * 16-bit band buckets, Hamming ≤ 8 via bit_count(xor). */
+  private lazy val simhashSql: String = {
+    import WrapSql._
+    s"""WITH $shinglesCte,
+       |bits AS (SELECT s.id, b.b, SUM(CAST((s.sh >> CAST(b.b AS INTEGER)) & 1 AS BIGINT)) AS cnt, count(*) AS n
+       |  FROM shingles s CROSS JOIN (SELECT unnest(range(0, 64)) AS b) b GROUP BY s.id, b.b),
+       |sh64 AS (SELECT id, SUM(CASE WHEN 2 * cnt - n > 0 THEN CAST(1 AS UBIGINT) << CAST(b AS INTEGER) ELSE CAST(0 AS UBIGINT) END) AS h
+       |  FROM bits GROUP BY id),
+       |allsh AS (SELECT d.id, CAST(coalesce(s.h, 0) AS UBIGINT) AS h FROM docs d LEFT JOIN sh64 s ON s.id = d.id),
+       |banded AS (SELECT id, h, (CAST(b AS UBIGINT) << 16) | ((h >> CAST(16 * b AS INTEGER)) & 65535) AS bucket
+       |  FROM allsh, unnest(range(0, 4)) t(b)),
+       |cand AS (SELECT DISTINCT a.id AS a_id, b2.id AS b_id, a.h AS a_h, b2.h AS b_h
+       |  FROM banded a JOIN banded b2 ON a.bucket = b2.bucket AND a.id < b2.id)
+       |SELECT a_id, b_id, CAST(bit_count(xor(a_h, b_h)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(a_h, b_h)) <= 8
+       |ORDER BY a_id, b_id""".stripMargin
+  }
+
   /** The q_grid_rhombus / q_grid_triangle SQL: the pointy-top hex lattice
    * (floor/ceil ranges, centers) and the 6 ring-vertex offsets mirrored with
    * interpolated constants; the vertex-mean center and shoelace areas are
@@ -804,15 +929,15 @@ object SparkEntry {
         .select(col("id"), col("rank").cast("long").as("rnk"), col("neighbor_id"))
         .orderBy("id", "rnk")),
 
-    // minhash/simhash band pairs stay rows-only (64-bit wrap-multiply hashes
-    // per shingle are impractical to mirror in DuckDB); their exact-Jaccard
-    // companion q_jaccard_pairs carries the oracle for the semantics
+    // minhash/simhash: the full pipelines are mirrored in DuckDB (64-bit
+    // wrap arithmetic via HUGEINT limb decomposition — see WrapSql)
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(s, t(s, dir, "documents"), "doc_id", "text", threshold = 0.3)
         .orderBy("a_id", "b_id")),
 
     "q_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(s, t(s, dir, "documents"), "doc_id", "text", maxHamming = 8)
+        .withColumn("hamming", col("hamming").cast("long"))
         .orderBy("a_id", "b_id")),
 
     "q_lang_id" -> ((s, dir) =>
@@ -2206,6 +2331,10 @@ object SparkEntry {
     "q_clip_rect" -> clipRectSql,
 
     "q_proj_world" -> projWorldSql,
+
+    "q_minhash_pairs" -> minhashSql,
+
+    "q_simhash_pairs" -> simhashSql,
 
     "q_grid_rhombus" -> gridMirrorSql(rhombus = true),
 
