@@ -1240,12 +1240,16 @@ object SparkEntry {
 
     // Shapefile source + real-world layer: Natural Earth countries from the
     // reference's own fixture, PIP-joined against lon/lat-mapped points
+    // point mapping avoids the exact ±180/±85 world frame: Antarctica's
+    // antimeridian edge differs in the last ulp between the .shp and its
+    // GeoJSON twin (a known NE data quirk the reference also guards against),
+    // so a point EXACTLY on x=-180 is not decidable consistently
     "q_ne_countries" -> ((s, dir) => {
       val ne = graft.sources.ShpReader.readPolygons(
         "/root/reference/test/data/ne/ne_110m_admin_0_scale_rank.shp")
       val pts = points(s, dir)
-        .withColumn("lon", col("x") * 3.6 - 180.0)
-        .withColumn("lat", col("y") * 1.7 - 85.0)
+        .withColumn("lon", col("x") * 3.59 - 179.5)
+        .withColumn("lat", col("y") * 1.69 - 84.5)
       SpatialJoin.broadcastJoin(s, pts, "lon", "lat", ne)
         .groupBy("poly_key").agg(count(lit(1)).as("n_points"))
         .orderBy("poly_key")
@@ -2331,6 +2335,40 @@ object SparkEntry {
     "q_clip_rect" -> clipRectSql,
 
     "q_proj_world" -> projWorldSql,
+
+    // PIP against the reference's OWN GeoJSON twin of the NE shapefile —
+    // an independent data path for the same layer (full-precision twin;
+    // ShpTopoSpec separately asserts shp↔twin parity)
+    "q_ne_countries" ->
+      s"""WITH root AS (SELECT j FROM read_json_objects('/root/reference/test/data/ne/ne_110m_admin_0_scale_rank.json', format='unstructured') t(j)),
+         |f AS (SELECT unnest(range(0, CAST(json_array_length(json_extract(j, '$$.features')) AS BIGINT))) AS fid, j FROM root),
+         |g AS (SELECT fid, json_extract(j, '$$.features[' || fid || '].geometry') AS geom FROM f),
+         |gm AS (SELECT fid,
+         |    CASE WHEN json_extract_string(geom, '$$.type') = 'Polygon' THEN 1
+         |         ELSE CAST(json_array_length(json_extract(geom, '$$.coordinates')) AS BIGINT) END AS npoly,
+         |    json_extract_string(geom, '$$.type') AS gt, geom FROM g),
+         |polys AS (SELECT fid, gt, geom, unnest(range(0, npoly)) AS pj FROM gm),
+         |rings0 AS (SELECT fid,
+         |    CASE WHEN gt = 'Polygon' THEN json_extract(geom, '$$.coordinates')
+         |         ELSE json_extract(geom, '$$.coordinates[' || pj || ']') END AS poly FROM polys),
+         |rings AS (SELECT fid, unnest(range(0, CAST(json_array_length(poly) AS BIGINT))) AS rj, poly FROM rings0),
+         |ringarr AS (SELECT fid, json_extract(poly, '$$[' || rj || ']') AS ring FROM rings),
+         |eidx AS (SELECT fid, ring, unnest(range(0, CAST(json_array_length(ring) AS BIGINT) - 1)) AS i FROM ringarr),
+         |edges AS (SELECT fid,
+         |    CAST(json_extract(ring, '$$[' || i || '][0]') AS DOUBLE) AS ex1,
+         |    CAST(json_extract(ring, '$$[' || i || '][1]') AS DOUBLE) AS ey1,
+         |    CAST(json_extract(ring, '$$[' || (i + 1) || '][0]') AS DOUBLE) AS ex2,
+         |    CAST(json_extract(ring, '$$[' || (i + 1) || '][1]') AS DOUBLE) AS ey2
+         |  FROM eidx),
+         |$ptsSql,
+         |pll AS (SELECT id, x * 3.59 - 179.5 AS x, y * 1.69 - 84.5 AS y FROM pts),
+         |hits AS (SELECT p.id, e.fid,
+         |    SUM(CASE WHEN ((e.ex1 > p.x) <> (e.ex2 > p.x))
+         |          AND e.ey1 + (p.x - e.ex1) * (e.ey2 - e.ey1) / (e.ex2 - e.ex1) > p.y
+         |        THEN 1 ELSE 0 END) AS crossings
+         |  FROM pll p CROSS JOIN edges e GROUP BY p.id, e.fid)
+         |SELECT CAST(fid AS BIGINT) AS poly_key, count(*) AS n_points
+         |FROM hits WHERE crossings % 2 = 1 GROUP BY 1 ORDER BY poly_key""".stripMargin,
 
     "q_minhash_pairs" -> minhashSql,
 
