@@ -112,4 +112,43 @@ class PlanSpec extends SparkSuite {
     val plan = joined.queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"broadcast PIP join must be shuffle-free:\n${plan.take(1500)}")
   }
+
+  /** Every shuffle's output attribute names in the executed plan. */
+  private def exchangeOutputs(df: org.apache.spark.sql.DataFrame): Seq[Seq[String]] =
+    df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec =>
+        e.output.map(_.name).toSeq
+    }
+
+  test("lshTopK probe shuffle is id-only: no exchange carries vectors with buckets") {
+    import spark.implicits._
+    val rng = new graft.tables.SplitMix64(3)
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextDouble().toFloat).toSeq)).toDF("vec_id", "embedding")
+    val df = graft.operators.Ann.lshTopK(spark, vecs, "vec_id", "embedding", k = 3)
+    val bad = exchangeOutputs(df).filter(out =>
+      out.exists(_.contains("_bucket")) && out.exists(n => n == "vec" || n == "nvec" || n == "embedding"))
+    assert(bad.isEmpty, s"vector bytes rode a bucket shuffle: $bad")
+  }
+
+  test("minhash band shuffle is id-only: no exchange carries text with buckets") {
+    import spark.implicits._
+    val docs = (0 until 100).map(i => (i.toLong, s"some words here $i repeated tokens " * 5))
+      .toDF("doc_id", "text")
+    val df = graft.operators.Dedup.minhashPairs(spark, docs, "doc_id", "text", threshold = 0.3)
+    val bad = exchangeOutputs(df).filter(out =>
+      out.exists(_.contains("_bucket")) && out.exists(_.contains("text")))
+    assert(bad.isEmpty, s"document text rode a band shuffle: $bad")
+  }
+
+  test("embeddingPairs probe shuffle is id-only") {
+    import spark.implicits._
+    val rng = new graft.tables.SplitMix64(9)
+    val vecs = (0 until 200).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextDouble().toFloat).toSeq)).toDF("vec_id", "embedding")
+    val df = graft.operators.Dedup.embeddingPairs(spark, vecs, "vec_id", "embedding", 0.9)
+    val bad = exchangeOutputs(df).filter(out =>
+      out.exists(_.contains("_bucket")) && out.exists(n => n == "v" || n == "embedding"))
+    assert(bad.isEmpty, s"vector bytes rode a bucket shuffle: $bad")
+  }
 }
