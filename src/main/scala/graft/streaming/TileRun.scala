@@ -72,7 +72,8 @@ object TileRun {
       outDir: String,
       coarseRes: Int = 3,
       fineRes: Int = 8,
-      failAfter: Int = Int.MaxValue): Seq[GroupManifest] = {
+      failAfter: Int = Int.MaxValue,
+      inputManifest: Option[graft.tables.TableManifest.Manifest] = None): Seq[GroupManifest] = {
     import spark.implicits._
     Files.createDirectories(Paths.get(s"$outDir/manifest"))
     val groups = planGroups(spark, images, coarseRes)
@@ -81,7 +82,21 @@ object TileRun {
     if (todo.isEmpty) return Seq.empty
     val t0 = System.nanoTime()
 
-    val located = images
+    // resume-time file pruning: with a derived-stats manifest (per-file
+    // min/max of the coarse group), a resume that has only a few groups left
+    // opens only the input files whose group range can still contain them —
+    // at 10^12 rows this turns "resume rescans the table" into "resume
+    // rescans the crashed shard" for spatially-clustered layouts. The g
+    // filter below stays as the exactness guarantee (pruning is a superset).
+    val input = inputManifest match {
+      case Some(m) =>
+        val cand = graft.tables.TableManifest
+          .pruneFilesForValues(m, "g", todo.toIndexedSeq)
+        if (cand.isEmpty) images.limit(0)
+        else spark.read.parquet(cand.map(_.path): _*)
+      case None => images
+    }
+    val located = input
       .withColumn("x", phashLon(col("phash")))
       .withColumn("y", phashLat(col("phash")))
       .withColumn("g", cellId(col("x"), col("y"), coarseRes))

@@ -71,6 +71,32 @@ object TableManifest {
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
+  /** Per-file min/max of an arbitrary DERIVED expression — one distributed
+   * pass grouped by input_file_name, for stats parquet footers cannot carry
+   * (e.g. the coarse Morton cell group computed from `phash`). This is the
+   * Iceberg partition-stats analog for computed partition keys. */
+  def buildDerived(spark: SparkSession, dir: String, name: String,
+                   derived: org.apache.spark.sql.Column): Manifest = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = spark.read.parquet(dir)
+      .select(input_file_name().as("_f"), derived.cast("long").as("_v"))
+      .groupBy("_f").agg(count(lit(1)).as("n"), min("_v").as("mn"), max("_v").as("mx"))
+      .as[(String, Long, Long, Long)].collect()
+    Manifest(dir, rows.sortBy(_._1).map { case (f, n, mn, mx) =>
+      FileEntry(f, n, Map(name -> ((mn, mx))))
+    }.toIndexedSeq)
+  }
+
+  /** Files whose [min, max] for `col` may contain ANY of the wanted values. */
+  def pruneFilesForValues(m: Manifest, col: String, wanted: Seq[Long]): Seq[FileEntry] =
+    m.files.filter { f =>
+      f.stats.get(col) match {
+        case Some((mn, mx)) => wanted.exists(v => v >= mn && v <= mx)
+        case None => true // no stats: cannot skip
+      }
+    }
+
   /** Files whose [min, max] for `col` intersects [lo, hi]. */
   def pruneFiles(m: Manifest, col: String, lo: Long, hi: Long): Seq[FileEntry] =
     m.files.filter { f =>

@@ -76,4 +76,53 @@ class TileRunSpec extends SparkSuite {
       s"jobs must be group-count-invariant: $jFew jobs/$gFew groups vs $jMany jobs/$gMany groups")
     assert(jMany <= 10, s"absolute bound: $jMany")
   }
+
+  test("manifest-pruned resume opens only the crashed shard's input files") {
+    import org.apache.spark.sql.functions._
+    val layer = Synthetic.polygonLayer(16, seed = 5L)
+    // spatially-clustered input layout: order by the coarse group before
+    // writing, so each parquet file covers a narrow group range (the layout
+    // a production ingest would produce)
+    val imgs0 = Images.generate(spark, 400).toDF()
+      .withColumn("_g", graft.functions.GraftFunctions.cellId(
+        graft.functions.GraftFunctions.phashLon(col("phash")),
+        graft.functions.GraftFunctions.phashLat(col("phash")), 2))
+      .orderBy("_g").drop("_g")
+    val inDir = Files.createTempDirectory("tilerun_in").toString + "/images"
+    imgs0.repartitionByRange(8, graft.functions.GraftFunctions.cellId(
+      graft.functions.GraftFunctions.phashLon(col("phash")),
+      graft.functions.GraftFunctions.phashLat(col("phash")), 2))
+      .write.parquet(inDir)
+    val imgs = spark.read.parquet(inDir)
+
+    // derived-stats manifest: per-file min/max of the coarse group
+    val mf = graft.tables.TableManifest.buildDerived(spark, inDir, "g",
+      graft.functions.GraftFunctions.cellId(
+        graft.functions.GraftFunctions.phashLon(col("phash")),
+        graft.functions.GraftFunctions.phashLat(col("phash")), 2))
+    val nFiles = mf.files.size
+    assert(nFiles >= 4, s"want a multi-file layout, got $nFiles")
+
+    // crash after 2 groups, then resume WITH the manifest
+    val dir = Files.createTempDirectory("tilerun_pruned").toString
+    val part1 = TileRun.run(spark, imgs, layer, dir, coarseRes = 2, fineRes = 8, failAfter = 2)
+    val done = TileRun.completedGroups(dir)
+    val todo = TileRun.planGroups(spark, imgs, 2).filterNot(done.contains)
+    val cand = graft.tables.TableManifest.pruneFilesForValues(mf, "g", todo.toIndexedSeq)
+    val part2 = TileRun.run(spark, imgs, layer, dir, coarseRes = 2, fineRes = 8,
+      inputManifest = Some(mf))
+
+    // pruning must actually skip files when only PART of the groups remain,
+    // while the result matches an unpruned reference run exactly
+    val refDir = Files.createTempDirectory("tilerun_pruned_ref").toString
+    val full = TileRun.run(spark, imgs, layer, refDir, coarseRes = 2, fineRes = 8)
+    val refByGroup = full.map(m => m.group -> ((m.inputRows, m.outputRows, m.checksum))).toMap
+    (part1 ++ part2).foreach { m =>
+      assert(refByGroup(m.group) == ((m.inputRows, m.outputRows, m.checksum)), s"group ${m.group}")
+    }
+    assert(part1.size + part2.size == full.size)
+    // the clustered layout lets the resume skip at least the files that only
+    // contain completed groups (strictly fewer than all files)
+    assert(cand.size < nFiles, s"pruning skipped nothing: $nFiles files, ${cand.size} candidates")
+  }
 }
