@@ -480,6 +480,89 @@ object Crs {
     }
   }
 
+  // --------------------------------------------------- AlbersUSA composite
+
+  /**
+   * AlbersUSA mixed projection — the reference's most-used custom projection
+   * (`src/crs/mapshaper-custom-projections.mjs:29-75`,
+   * `mapshaper-mixed-projection.mjs`): a CONUS Albers plus Alaska / Hawaii
+   * (and optional Puerto Rico / Virgin Islands) inset frames. A point routes
+   * to the FIRST frame whose lat/lon bbox contains it; inset output is scaled
+   * about the frame origin's projected position and translated so the origin
+   * lands on its placement point. Points outside every frame project to
+   * (∞, ∞), matching the reference.
+   */
+  final case class AlbersUsa(includePR: Boolean = false, includeVI: Boolean = false)
+      extends Proj {
+    import AlbersUsa._
+    private val frames: Seq[Frame] =
+      Seq(Main, AK, HI) ++ (if (includePR) Seq(PR) else Nil) ++ (if (includeVI) Seq(VI) else Nil)
+
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) =
+      frames.find(_.contains(lonDeg, latDeg)) match {
+        case Some(f) => f.apply(lonDeg, latDeg)
+        case None => (Double.PositiveInfinity, Double.PositiveInfinity)
+      }
+
+    /** Inverse tries the INSET frames before the main one: the insets are
+     * placed over empty-ocean corners of the main frame's output region, so
+     * a point decoding into an inset's lat/lon bbox belongs to that inset
+     * (the same disambiguation d3's albersUsa.invert applies via viewport
+     * rects; the reference's mixed projection has no inverse at all). */
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      var i = frames.length - 1
+      while (i >= 0) {
+        val f = frames(i)
+        val (lon, lat) = f.invert(x, y)
+        if (f.contains(lon, lat)) return (lon, lat)
+        i -= 1
+      }
+      (Double.NaN, Double.NaN)
+    }
+  }
+
+  object AlbersUsa {
+    /** One frame: projection + routing bbox + affine placement (scale about
+     * the projected origin, then translate origin → placement). */
+    final case class Frame(proj: Proj, bbox: (Double, Double, Double, Double),
+                           originLL: Option[(Double, Double)],
+                           placement: Option[(Double, Double)],
+                           scale: Double) {
+      private val (ox, oy) = originLL match {
+        case Some((lon, lat)) => proj.forward(lon, lat)
+        case None => (0.0, 0.0)
+      }
+      private val (dx, dy) = placement match {
+        case Some((px, py)) => (px - ox, py - oy)
+        case None => (0.0, 0.0)
+      }
+      def contains(lon: Double, lat: Double): Boolean =
+        lon >= bbox._1 && lat >= bbox._2 && lon <= bbox._3 && lat <= bbox._4
+      def apply(lon: Double, lat: Double): (Double, Double) = {
+        val (x, y) = proj.forward(lon, lat)
+        (scale * (x - ox) + ox + dx, scale * (y - oy) + oy + dy)
+      }
+      def invert(x: Double, y: Double): (Double, Double) =
+        proj.inverse((x - dx - ox) / scale + ox, (y - dy - oy) / scale + oy)
+    }
+
+    // frame parameters from the reference (custom-projections.mjs:30-65)
+    val Main: Frame = Frame(Albers(29.5, 45.5, 37.5, -96.0),
+      (-129, 23, -62, 52), None, None, 1.0)
+    val AK: Frame = Frame(Albers(55.0, 70.0, 65.0, -148.0),
+      (-172.26, 50.89, -127.00, 73.21), Some((-152.0, 63.0)),
+      Some((-1882782.0, -969242.0)), 0.37)
+    val HI: Frame = Frame(Albers(19.0, 24.0, 20.9, -156.5),
+      (-160.50, 18.72, -154.57, 22.58), Some((-157.0, 21.0)),
+      Some((-1050326.0, -1055362.0)), 1.0)
+    val PR: Frame = Frame(Albers(18.0, 18.43, 17.83, -66.43),
+      (-68.092, 17.824, -65.151, 18.787), Some((-66.431, 18.228)),
+      Some((1993101.0, -1254517.0)), 1.0)
+    val VI: Frame = Frame(Albers(18.0, 18.43, 17.83, -66.43),
+      (-65.104, 17.665, -64.454, 18.505), Some((-66.431, 18.228)),
+      Some((1993101.0, -1254517.0)), 1.0)
+  }
+
   // ------------------------------------------------------ proj-string parser
 
   /**
@@ -495,6 +578,12 @@ object Crs {
       "webmercator" -> "+proj=merc", "mercator" -> "+proj=merc",
       "wgs84" -> "+proj=longlat", "latlong" -> "+proj=longlat")
     val s0 = spec.trim
+    // custom composite: "albersusa" with optional "+PR" / "+VI" flags
+    // (the reference's parseCustomProjection surface)
+    if (s0.toLowerCase.startsWith("albersusa")) {
+      val flags = s0.split("\\s+").drop(1).map(_.stripPrefix("+").toUpperCase).toSet
+      return AlbersUsa(includePR = flags.contains("PR"), includeVI = flags.contains("VI"))
+    }
     val s = if (s0.startsWith("+")) s0 else aliases.getOrElse(s0.toLowerCase,
       throw new IllegalArgumentException(s"unknown projection name: $s0"))
     val kv: Map[String, String] = s.split("\\s+").filter(_.startsWith("+")).map { p =>

@@ -130,6 +130,48 @@ class WorldProjSpec extends AnyFunSuite {
     assert(x1 == x2 && y1 == y2)
   }
 
+  test("AlbersUSA composite: frame routing, inset scale/placement, inverses") {
+    val p = Crs.AlbersUsa()
+    val conus = Crs.Albers(29.5, 45.5, 37.5, -96.0)
+    // CONUS points project through the main Albers verbatim
+    val (dx, dy) = p.forward(-104.9, 39.7) // Denver
+    assert((dx, dy) == conus.forward(-104.9, 39.7))
+    // Alaska inset: distances shrink by exactly the 0.37 frame scale
+    val a1 = p.forward(-149.9, 61.2) // Anchorage
+    val a2 = p.forward(-147.7, 64.8) // Fairbanks
+    val ak = Crs.Albers(55.0, 70.0, 65.0, -148.0)
+    val u1 = ak.forward(-149.9, 61.2); val u2 = ak.forward(-147.7, 64.8)
+    val scaled = math.hypot(a2._1 - a1._1, a2._2 - a1._2)
+    val unscaled = math.hypot(u2._1 - u1._1, u2._2 - u1._2)
+    assert(math.abs(scaled / unscaled - 0.37) < 1e-12)
+    // the AK frame origin (-152, 63) lands exactly on its placement point,
+    // and Anchorage renders within the inset's ~1500 km neighborhood of it
+    val ao = p.forward(-152.0, 63.0)
+    assert(math.abs(ao._1 - -1882782.0) < 1e-6 && math.abs(ao._2 - -969242.0) < 1e-6)
+    assert(math.hypot(a1._1 - ao._1, a1._2 - ao._2) < 1500000.0)
+    // Hawaii inset is a pure shift (scale 1): vector between two points unchanged
+    val h1 = p.forward(-157.85, 21.3) // Honolulu
+    val h2 = p.forward(-156.3, 20.8)  // Maui
+    val hi = Crs.Albers(19.0, 24.0, 20.9, -156.5)
+    val v1 = hi.forward(-157.85, 21.3); val v2 = hi.forward(-156.3, 20.8)
+    assert(math.abs((h2._1 - h1._1) - (v2._1 - v1._1)) < 1e-9)
+    assert(math.abs((h2._2 - h1._2) - (v2._2 - v1._2)) < 1e-9)
+    // outside every frame -> (inf, inf), PR only when enabled
+    assert(p.forward(-0.1, 51.5)._1.isInfinity) // London
+    assert(p.forward(-66.1, 18.4)._1.isInfinity) // San Juan, PR off
+    assert(!Crs.AlbersUsa(includePR = true).forward(-66.1, 18.4)._1.isInfinity)
+    // inverse round-trips per region
+    for ((lon, lat) <- Seq((-104.9, 39.7), (-149.9, 61.2), (-157.85, 21.3))) {
+      val (x, y) = p.forward(lon, lat)
+      val (lon2, lat2) = p.inverse(x, y)
+      assert(math.abs(lon2 - lon) < 1e-8 && math.abs(lat2 - lat) < 1e-8, s"($lon,$lat)")
+    }
+    // string front-end incl. +PR flag
+    assert(Crs.fromProj4("albersusa") == Crs.AlbersUsa())
+    assert(Crs.fromProj4("albersusa +PR") == Crs.AlbersUsa(includePR = true))
+    assert(Crs.fromProj4("albersusa +PR +VI") == Crs.AlbersUsa(true, true))
+  }
+
   test("densified reprojection bounds chord deviation; straight paths untouched") {
     val p = Crs.Mollweide()
     // a long diagonal: genuinely curved in Mollweide (meridians are ellipses)
