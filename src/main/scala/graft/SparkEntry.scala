@@ -302,6 +302,55 @@ object SparkEntry {
        |ORDER BY rob.id""".stripMargin
   }
 
+  /** The q_simplify_dp SQL: the Douglas–Peucker RECURSION itself mirrored —
+   * a recursive CTE splits each (lo, hi) span at its max-perpendicular
+   * vertex (argmax via ORDER BY d DESC, i — first-max like the Scala scan),
+   * thresholds clamped by the enclosing span. The perpendicular-distance
+   * arithmetic matches Simplify.perpDistance op for op, so thresholds are
+   * bit-identical and the count needs no floor guard. */
+  private lazy val simplifyDpSql: String = {
+    val layer = Synthetic.polygonLayer(32, seed = 11L, holeEvery = 0)
+    val perp =
+      """CASE WHEN (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) = 0
+        |  THEN sqrt((v.x - a.x) * (v.x - a.x) + (v.y - a.y) * (v.y - a.y))
+        |  ELSE abs((v.x - a.x) * (b.y - a.y) - (v.y - a.y) * (b.x - a.x))
+        |       / sqrt((b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)) END""".stripMargin
+    def split(a: String): String =
+      s"""SELECT $a.ring, $a.lo, $a.hi,
+         |  (SELECT v.i FROM verts v
+         |    JOIN verts a ON a.ring = $a.ring AND a.i = $a.lo
+         |    JOIN verts b ON b.ring = $a.ring AND b.i = $a.hi
+         |    WHERE v.ring = $a.ring AND v.i > $a.lo AND v.i < $a.hi
+         |    ORDER BY ($perp) DESC, v.i LIMIT 1) AS maxi,
+         |  least((SELECT max($perp) FROM verts v
+         |    JOIN verts a ON a.ring = $a.ring AND a.i = $a.lo
+         |    JOIN verts b ON b.ring = $a.ring AND b.i = $a.hi
+         |    WHERE v.ring = $a.ring AND v.i > $a.lo AND v.i < $a.hi), $a.enc) AS t
+         |FROM segs $a WHERE $a.hi - $a.lo >= 2""".stripMargin
+    s"""WITH RECURSIVE v0(pk, ring, i, x, y) AS (
+       |  VALUES ${Synthetic.ringVertsSqlValues(layer)}),
+       |verts AS (
+       |  SELECT ring, i, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y FROM v0
+       |  UNION ALL
+       |  SELECT ring, (SELECT max(i) + 1 FROM v0 w WHERE w.ring = v0.ring) AS i,
+       |    CAST(x AS DOUBLE), CAST(y AS DOUBLE) FROM v0 WHERE i = 0),
+       |meta AS (SELECT ring, max(i) AS n1 FROM verts GROUP BY ring),
+       |segs(ring, lo, hi, enc) AS (
+       |  SELECT ring, 0, n1, 1e308 FROM meta
+       |  UNION ALL
+       |  SELECT sp.ring, u.clo, u.chi, sp.t
+       |  FROM (${split("s")}) sp, LATERAL (VALUES (sp.lo, sp.maxi), (sp.maxi, sp.hi)) u(clo, chi)
+       |),
+       |thr AS (SELECT sp2.maxi AS i, sp2.ring, sp2.t FROM (${split("s2")}) sp2)
+       |SELECT CAST(m.ring AS BIGINT) AS ring_id,
+       |  CAST(m.n1 + 1 AS BIGINT) AS n_before,
+       |  CAST(2 + coalesce(k.n, 0) AS BIGINT) AS n_after
+       |FROM meta m LEFT JOIN (
+       |  SELECT ring, count(*) AS n FROM thr WHERE t >= 0.35 GROUP BY ring) k
+       |  ON k.ring = m.ring
+       |ORDER BY ring_id""".stripMargin
+  }
+
   // ------------------------------------------- minhash/simhash SQL mirrors
 
   /** 64-bit wrap arithmetic helpers for DuckDB: Scala's Long multiply/add
@@ -1522,6 +1571,30 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Douglas-Peucker thresholds at a fixed interval — the DP recursion is
+    // mirrored by a recursive CTE, thresholds bit-identical (no floor guard)
+    "q_simplify_dp" -> ((s, dir) => {
+      import s.implicits._
+      val layer = Synthetic.polygonLayer(32, seed = 11L, holeEvery = 0)
+      val rings = (0 until layer.numRings).map { r =>
+        val st = layer.ringStart(r); val e = layer.ringStart(r + 1)
+        val flat = new Array[Double]((e - st) * 2)
+        var i = st
+        while (i < e) { flat((i - st) * 2) = layer.xx(i); flat((i - st) * 2 + 1) = layer.yy(i); i += 1 }
+        (r.toLong, flat)
+      }.toDF("ring_id", "ring")
+      val keptUdf = udf { (flat: Seq[Double]) =>
+        val n = flat.length / 2
+        val xx = Array.tabulate(n)(i => flat(i * 2))
+        val yy = Array.tabulate(n)(i => flat(i * 2 + 1))
+        graft.geom.Simplify.douglasPeucker(xx, yy).count(_ >= 0.35).toLong
+      }
+      rings.select(col("ring_id"),
+          (size(col("ring")) / 2).cast("long").as("n_before"),
+          keptUdf(col("ring")).as("n_after"))
+        .orderBy("ring_id")
+    }),
+
     // world projections behind the `+proj=` string front-end (Robinson,
     // Mollweide, sinusoidal, Equal Earth, polar stereographic) — parser and
     // forwards both verified by the cm-exact DuckDB mirror
@@ -2369,6 +2442,8 @@ object SparkEntry {
          |  FROM pll p CROSS JOIN edges e GROUP BY p.id, e.fid)
          |SELECT CAST(fid AS BIGINT) AS poly_key, count(*) AS n_points
          |FROM hits WHERE crossings % 2 = 1 GROUP BY 1 ORDER BY poly_key""".stripMargin,
+
+    "q_simplify_dp" -> simplifyDpSql,
 
     "q_minhash_pairs" -> minhashSql,
 
