@@ -351,6 +351,83 @@ object SparkEntry {
        |ORDER BY ring_id""".stripMargin
   }
 
+  /** The q_proj_path SQL: the densified-reprojection RECURSION mirrored —
+   * a recursive CTE bisects each projected segment at the unprojected
+   * midpoint while the projected midpoint deviates from the chord by more
+   * than interval/2 (sinusoidal forward is closed-form, so every comparison
+   * is bit-identical and inserted-vertex counts are exact). */
+  private lazy val projPathSql: String = {
+    val layer = Synthetic.polygonLayer(32, seed = 11L, holeEvery = 0)
+    val D2R = dl(Crs.D2R); val RA = dl(Crs.A)
+    val interval = 20000.0
+    val maxDevSq = dl(interval * interval * 0.25)
+    val minIntSq = dl(interval * interval * 25.0)
+    def fwdX(lon: String, lat: String) = s"(($lon - 0.0) * $D2R * cos($lat * $D2R) * $RA)"
+    def fwdY(lat: String) = s"(($lat * $D2R) * $RA)"
+    // squared distance of projected midpoint (px,py) to chord (x0,y0)-(x2,y2),
+    // same clamped-t arithmetic as Crs.pointSegDistSq
+    def devSq(px: String, py: String): String =
+      s"""(CASE WHEN (x2 - x0) * (x2 - x0) + (y2 - y0) * (y2 - y0) = 0
+         |  THEN ($px - x0) * ($px - x0) + ($py - y0) * ($py - y0)
+         |  ELSE ($px - (x0 + greatest(0.0, least(1.0,
+         |      (($px - x0) * (x2 - x0) + ($py - y0) * (y2 - y0)) /
+         |      ((x2 - x0) * (x2 - x0) + (y2 - y0) * (y2 - y0)))) * (x2 - x0)))
+         |     * ($px - (x0 + greatest(0.0, least(1.0,
+         |      (($px - x0) * (x2 - x0) + ($py - y0) * (y2 - y0)) /
+         |      ((x2 - x0) * (x2 - x0) + (y2 - y0) * (y2 - y0)))) * (x2 - x0)))
+         |   + ($py - (y0 + greatest(0.0, least(1.0,
+         |      (($px - x0) * (x2 - x0) + ($py - y0) * (y2 - y0)) /
+         |      ((x2 - x0) * (x2 - x0) + (y2 - y0) * (y2 - y0)))) * (y2 - y0)))
+         |     * ($py - (y0 + greatest(0.0, least(1.0,
+         |      (($px - x0) * (x2 - x0) + ($py - y0) * (y2 - y0)) /
+         |      ((x2 - x0) * (x2 - x0) + (y2 - y0) * (y2 - y0)))) * (y2 - y0))) END)""".stripMargin
+    // split predicate over a node (lng0, lat0, x0, y0, lng2, lat2, x2, y2)
+    val mid =
+      s"""SELECT *,
+         |  ${fwdX("((lng0 + lng2) / 2.0)", "((lat0 + lat2) / 2.0)")} AS px,
+         |  ${fwdY("((lat0 + lat2) / 2.0)")} AS py FROM NODE_SRC"""
+        .stripMargin
+    val splitCond =
+      s"""${devSq("px", "py")} > $maxDevSq
+         |  AND sqrt((lng0 - lng2) * (lng0 - lng2) + (lat0 - lat2) * (lat0 - lat2)) > 0.01""".stripMargin
+    s"""WITH RECURSIVE v0(pk, ring, i, x, y) AS (
+       |  VALUES ${Synthetic.ringVertsSqlValues(layer)}),
+       |verts AS (
+       |  SELECT ring, i, CAST(x AS DOUBLE) * 3.6 - 180.0 AS lng, CAST(y AS DOUBLE) * 1.7 - 85.0 AS lat FROM v0
+       |  UNION ALL
+       |  SELECT ring, (SELECT max(i) + 1 FROM v0 w WHERE w.ring = v0.ring) AS i,
+       |    CAST(x AS DOUBLE) * 3.6 - 180.0, CAST(y AS DOUBLE) * 1.7 - 85.0 FROM v0 WHERE i = 0),
+       |pverts AS (SELECT ring, i, lng, lat,
+       |    ${fwdX("lng", "lat")} AS x, ${fwdY("lat")} AS y FROM verts),
+       |seed AS (SELECT a.ring, a.i AS seg,
+       |    a.lng AS lng0, a.lat AS lat0, a.x AS x0, a.y AS y0,
+       |    b.lng AS lng2, b.lat AS lat2, b.x AS x2, b.y AS y2
+       |  FROM pverts a JOIN pverts b ON b.ring = a.ring AND b.i = a.i + 1
+       |  WHERE (b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y) > $minIntSq),
+       |nodes(ring, seg, lng0, lat0, x0, y0, lng2, lat2, x2, y2) AS (
+       |  SELECT ring, seg, lng0, lat0, x0, y0, lng2, lat2, x2, y2 FROM seed
+       |  UNION ALL
+       |  SELECT m.ring, m.seg,
+       |    CASE WHEN u.side = 0 THEN m.lng0 ELSE (m.lng0 + m.lng2) / 2.0 END,
+       |    CASE WHEN u.side = 0 THEN m.lat0 ELSE (m.lat0 + m.lat2) / 2.0 END,
+       |    CASE WHEN u.side = 0 THEN m.x0 ELSE m.px END,
+       |    CASE WHEN u.side = 0 THEN m.y0 ELSE m.py END,
+       |    CASE WHEN u.side = 0 THEN (m.lng0 + m.lng2) / 2.0 ELSE m.lng2 END,
+       |    CASE WHEN u.side = 0 THEN (m.lat0 + m.lat2) / 2.0 ELSE m.lat2 END,
+       |    CASE WHEN u.side = 0 THEN m.px ELSE m.x2 END,
+       |    CASE WHEN u.side = 0 THEN m.py ELSE m.y2 END
+       |  FROM (${mid.replace("NODE_SRC", "nodes")}) m, (VALUES (0), (1)) u(side)
+       |  WHERE $splitCond),
+       |splits AS (SELECT ring, count(*) AS n FROM (${mid.replace("NODE_SRC", "nodes")}) m
+       |  WHERE $splitCond GROUP BY ring),
+       |meta AS (SELECT ring, count(*) AS nv FROM verts GROUP BY ring)
+       |SELECT CAST(m.ring AS BIGINT) AS ring_id,
+       |  CAST(m.nv AS BIGINT) AS n_before,
+       |  CAST(m.nv + coalesce(s.n, 0) AS BIGINT) AS n_after
+       |FROM meta m LEFT JOIN splits s ON s.ring = m.ring
+       |ORDER BY ring_id""".stripMargin
+  }
+
   // ------------------------------------------- minhash/simhash SQL mirrors
 
   /** 64-bit wrap arithmetic helpers for DuckDB: Scala's Long multiply/add
@@ -1595,6 +1672,35 @@ object SparkEntry {
         .orderBy("ring_id")
     }),
 
+    // densified path reprojection (sinusoidal): inserted-vertex counts are
+    // exact — the bisection recursion is mirrored by a recursive CTE
+    "q_proj_path" -> ((s, dir) => {
+      import s.implicits._
+      val layer = Synthetic.polygonLayer(32, seed = 11L, holeEvery = 0)
+      val rings = (0 until layer.numRings).map { r =>
+        val st = layer.ringStart(r); val e = layer.ringStart(r + 1)
+        val flat = new Array[Double]((e - st) * 2)
+        var i = st
+        while (i < e) { flat((i - st) * 2) = layer.xx(i); flat((i - st) * 2 + 1) = layer.yy(i); i += 1 }
+        (r.toLong, flat)
+      }.toDF("ring_id", "ring")
+      val proj = Crs.Sinusoidal()
+      val cntUdf = udf { (flat: Seq[Double]) =>
+        val ll = new Array[Double](flat.length)
+        var i = 0
+        while (i + 1 < flat.length) {
+          ll(i) = flat(i) * 3.6 - 180.0
+          ll(i + 1) = flat(i + 1) * 1.7 - 85.0
+          i += 2
+        }
+        (Crs.projectPathDensified(ll, proj, 20000.0).length / 2).toLong
+      }
+      rings.select(col("ring_id"),
+          (size(col("ring")) / 2).cast("long").as("n_before"),
+          cntUdf(col("ring")).as("n_after"))
+        .orderBy("ring_id")
+    }),
+
     // world projections behind the `+proj=` string front-end (Robinson,
     // Mollweide, sinusoidal, Equal Earth, polar stereographic) — parser and
     // forwards both verified by the cm-exact DuckDB mirror
@@ -2444,6 +2550,8 @@ object SparkEntry {
          |FROM hits WHERE crossings % 2 = 1 GROUP BY 1 ORDER BY poly_key""".stripMargin,
 
     "q_simplify_dp" -> simplifyDpSql,
+
+    "q_proj_path" -> projPathSql,
 
     "q_minhash_pairs" -> minhashSql,
 
