@@ -1813,9 +1813,12 @@ object SparkEntry {
       }
       rmrf(new java.io.File(outDir))
       val imgs = imagesDf(s, dir)
+      // the lineage CHECKSUM (bit_xor of Spark xxhash64) is exercised in
+      // TileRunSpec; the group/input/output lineage is DuckDB-mirrorable
+      // (Morton group cascade + ray-cast match counts) and oracled here
       graft.streaming.TileRun.run(s, imgs, imageLayer, outDir, coarseRes = 3, fineRes = 8)
-        .map(m => (m.group, m.inputRows, m.outputRows, m.checksum))
-        .toDF("grp", "input_rows", "output_rows", "checksum")
+        .map(m => (m.group, m.inputRows, m.outputRows))
+        .toDF("grp", "input_rows", "output_rows")
         .orderBy("grp")
     })
   )
@@ -2552,6 +2555,25 @@ object SparkEntry {
     "q_simplify_dp" -> simplifyDpSql,
 
     "q_proj_path" -> projPathSql,
+
+    // TileRun lineage mirrored end to end: Morton coarse-group cascade +
+    // per-image ray-cast match counts against the 64-shape layer VALUES
+    "q_tilerun" ->
+      s"""WITH $imgXYSql,
+         |$imageEdgesSql,
+         |xyc AS (SELECT image_id, x AS cx, y AS cy FROM xy),
+         |${cellEncodeSql("xyc", 3)},
+         |hits AS (SELECT p.image_id, e.pk,
+         |    SUM(CASE WHEN ((e.ex1 > p.cx) <> (e.ex2 > p.cx))
+         |          AND e.ey1 + (p.cx - e.ex1) * (e.ey2 - e.ey1) / (e.ex2 - e.ex1) > p.cy
+         |        THEN 1 ELSE 0 END) AS crossings
+         |  FROM enc p CROSS JOIN iedges e GROUP BY p.image_id, e.pk),
+         |matches AS (SELECT image_id, count(*) AS n FROM hits
+         |  WHERE crossings % 2 = 1 GROUP BY image_id)
+         |SELECT e.cell_id AS grp, count(*) AS input_rows,
+         |  SUM(coalesce(m.n, 0)) AS output_rows
+         |FROM enc e LEFT JOIN matches m USING (image_id)
+         |GROUP BY 1 ORDER BY grp""".stripMargin,
 
     "q_minhash_pairs" -> minhashSql,
 
