@@ -428,6 +428,38 @@ object SparkEntry {
        |ORDER BY ring_id""".stripMargin
   }
 
+  /** The q_data_fill SQL: the modal-neighbor contagion unrolled to 20
+   * rounds (the operator's maxRounds) — each round every still-null cell
+   * adopts the modal value of its filled neighbors (ties → smallest value).
+   * Extra rounds past convergence are no-ops, so the unroll is exact. */
+  private lazy val dataFillSql: String = {
+    val rounds = (1 to 20).map { k =>
+      s"""g$k AS (SELECT u.id, fn.value AS nval, count(*) AS c
+         |  FROM f${k - 1} u
+         |  JOIN adj ON adj.a = u.id
+         |  JOIN f${k - 1} fn ON fn.id = adj.b AND fn.value IS NOT NULL
+         |  WHERE u.value IS NULL GROUP BY u.id, fn.value),
+         |h$k AS (SELECT id, nval FROM (
+         |    SELECT id, nval, row_number() OVER (PARTITION BY id ORDER BY c DESC, nval) AS rn
+         |    FROM g$k) t WHERE rn = 1),
+         |f$k AS MATERIALIZED (SELECT f.id, coalesce(f.value, h.nval) AS value
+         |  FROM f${k - 1} f LEFT JOIN h$k h USING (id))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $ptsSql,
+       |cells AS (SELECT CAST(floor(x / 10.0) AS BIGINT) AS cx,
+       |    CAST(floor(y / 10.0) AS BIGINT) AS cy, min(id) AS min_id
+       |  FROM pts GROUP BY 1, 2),
+       |base AS (SELECT cx * 1000 + cy AS id,
+       |    CASE WHEN min_id % 3 = 0 THEN 'c' || CAST(min_id % 7 AS VARCHAR) ELSE NULL END AS value,
+       |    cx, cy FROM cells),
+       |adj0 AS (SELECT a.id AS a, b.id AS b FROM base a JOIN base b
+       |  ON (abs(a.cx - b.cx) + abs(a.cy - b.cy)) = 1 AND a.id < b.id),
+       |adj AS (SELECT a, b FROM adj0 UNION SELECT b AS a, a AS b FROM adj0),
+       |f0 AS MATERIALIZED (SELECT id, value FROM base),
+       |$rounds
+       |SELECT id, value FROM f20 ORDER BY id""".stripMargin
+  }
+
   // ------------------------------------------- minhash/simhash SQL mirrors
 
   /** 64-bit wrap arithmetic helpers for DuckDB: Scala's Long multiply/add
@@ -2555,6 +2587,8 @@ object SparkEntry {
     "q_simplify_dp" -> simplifyDpSql,
 
     "q_proj_path" -> projPathSql,
+
+    "q_data_fill" -> dataFillSql,
 
     // TileRun lineage mirrored end to end: Morton coarse-group cascade +
     // per-image ray-cast match counts against the 64-shape layer VALUES
