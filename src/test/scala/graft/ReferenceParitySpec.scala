@@ -1,0 +1,126 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.geom.{Geom, Overlay, RectClip}
+
+/**
+ * Golden parity against the reference's OWN test expectations: the inputs
+ * and expected outputs below are transcribed from mapshaper's mocha suites
+ * (`/root/reference/test/dissolve2-test.mjs:44-140`,
+ * `clip-erase-test.mjs:107-128`) — the authoritative statement of the
+ * intended overlay semantics. Geometry comparison is rotation- and
+ * orientation-invariant (rings are cycles; both engines may start/wind
+ * differently without being wrong).
+ */
+class ReferenceParitySpec extends AnyFunSuite {
+
+  private def ring(pts: (Double, Double)*): Array[Double] =
+    pts.flatMap { case (x, y) => Seq(x, y) }.toArray
+
+  /** Canonical form of a ring: open vertex multiset + unsigned area. */
+  private def canon(r: Array[Double]): (Set[(Double, Double)], Double) = {
+    val n0 = r.length / 2
+    val n = if (n0 >= 2 && r(0) == r(r.length - 2) && r(1) == r(r.length - 1)) n0 - 1 else n0
+    val verts = (0 until n).map(i => (r(i * 2), r(i * 2 + 1))).toSet
+    val xs = Array.tabulate(n0)(i => r(i * 2))
+    val ys = Array.tabulate(n0)(i => r(i * 2 + 1))
+    (verts, math.abs(Geom.signedRingArea(xs, ys, 0, n0)))
+  }
+
+  private def assertRingsMatch(got: Seq[Array[Double]], want: Seq[Array[Double]]): Unit = {
+    assert(got.size == want.size, s"ring count: got ${got.size}, want ${want.size}")
+    val gc = got.map(canon).toSet
+    val wc = want.map(canon).toSet
+    assert(gc == wc, s"rings differ:\n got  ${gc.map(_._2)}\n want ${wc.map(_._2)}")
+  }
+
+  // reference dissolve2-test "dissolves cw ring inside another cw ring"
+  test("dissolve2: cw ring inside another cw ring collapses to the outer") {
+    val outer = ring((0, 0), (0, 3), (3, 3), (3, 0), (0, 0))
+    val inner = ring((1, 1), (1, 2), (2, 2), (2, 1), (1, 1))
+    val out = Overlay.dissolve2(Seq(Seq(outer), Seq(inner)))
+    assertRingsMatch(out, Seq(outer))
+  }
+
+  // reference dissolve2-test "dissolving single polygon preserves hole"
+  test("dissolve2: single polygon's hole is preserved") {
+    val outer = ring((0, 0), (0, 3), (3, 3), (3, 0), (0, 0))
+    val hole = ring((1, 1), (2, 1), (2, 2), (1, 2), (1, 1))
+    val out = Overlay.dissolve2(Seq(Seq(outer, hole)))
+    assertRingsMatch(out, Seq(outer, hole))
+  }
+
+  // reference dissolve2-test "gap-fill-area removes hole" (1.1 > hole area 1)
+  test("dissolve2: gap-fill-area above the hole area removes it") {
+    val outer = ring((0, 100), (0, 103), (3, 103), (3, 100), (0, 100))
+    val hole = ring((1, 101), (2, 101), (2, 102), (1, 102), (1, 101))
+    val out = Overlay.dissolve2GapFill(Seq(Seq(outer, hole)), gapFillArea = 1.1)
+    assertRingsMatch(out, Seq(outer))
+  }
+
+  // reference dissolve2-test "gap-fill-area=<smaller area> retains hole"
+  test("dissolve2: gap-fill-area below the hole area retains it") {
+    val outer = ring((0, 100), (0, 103), (3, 103), (3, 100), (0, 100))
+    val hole = ring((1, 101), (2, 101), (2, 102), (1, 102), (1, 101))
+    val out = Overlay.dissolve2GapFill(Seq(Seq(outer, hole)), gapFillArea = 0.9)
+    assertRingsMatch(out, Seq(outer, hole))
+  }
+
+  // reference dissolve2-test "donut and hole dissolve cleanly"
+  test("dissolve2: donut plus hole-filling square dissolve to a solid square") {
+    val outer = ring((0, 0), (0, 3), (3, 3), (3, 0), (0, 0))
+    val hole = ring((1, 1), (2, 1), (2, 2), (1, 2), (1, 1))
+    // the filler is rotated relative to the containing hole in the fixture
+    val filler = ring((1, 2), (2, 2), (2, 1), (1, 1), (1, 2))
+    val out = Overlay.dissolve2(Seq(Seq(outer, hole), Seq(filler)))
+    assertRingsMatch(out, Seq(outer))
+  }
+
+  // reference simplify-test "-simplify planar 0% removes all removable
+  // vertices": [[0,0],[0,1],[0.1,1.1],[0,1.2],[0,2]] -> [[0,0],[0,2]]
+  test("simplify 0%: every removable vertex drops, endpoints survive") {
+    val xx = Array(0.0, 0.0, 0.1, 0.0, 0.0)
+    val yy = Array(0.0, 1.0, 1.1, 1.2, 2.0)
+    val kk = graft.geom.Simplify.thresholds(xx, yy, graft.geom.Simplify.WeightedVisvalingam)
+    val (sx, sy) = graft.geom.Simplify.filter(xx, yy, kk, Double.PositiveInfinity)
+    assert(sx.toSeq == Seq(0.0, 0.0) && sy.toSeq == Seq(0.0, 2.0),
+      s"${sx.toSeq} / ${sy.toSeq}")
+  }
+
+  // reference simplify-test "-simplify target=a 5%":
+  // [[0,0],[0,1],[1,1]] -> [[0,0],[1,1]]
+  test("simplify 5% of a 3-point elbow keeps only the endpoints") {
+    val xx = Array(0.0, 0.0, 1.0)
+    val yy = Array(0.0, 1.0, 1.0)
+    val kk = graft.geom.Simplify.thresholds(xx, yy, graft.geom.Simplify.WeightedVisvalingam)
+    val (sx, sy) = graft.geom.Simplify.filter(xx, yy, kk, Double.PositiveInfinity)
+    assert(sx.toSeq == Seq(0.0, 1.0) && sy.toSeq == Seq(0.0, 1.0))
+  }
+
+  // reference dissolve2-test "Fix: dissolving preserves simplification":
+  // simplify planar interval=0.5 then dissolve2 of the wiggly square
+  // -> [[0,0],[0,2],[2,2],[2,0],[0,0]]
+  test("simplify interval=0.5 then dissolve2 yields the reference square") {
+    val flat = ring((0, 0), (0, 1), (0.1, 1.1), (0, 1.2), (0, 2), (2, 2), (2, 0), (0, 0))
+    val n = flat.length / 2
+    val xx = Array.tabulate(n)(i => flat(i * 2))
+    val yy = Array.tabulate(n)(i => flat(i * 2 + 1))
+    val kk = graft.geom.Simplify.thresholds(xx, yy, graft.geom.Simplify.WeightedVisvalingam)
+    val (sx, sy) = graft.geom.Simplify.filter(xx, yy, kk, 0.5)
+    val simplified = Array.tabulate(sx.length * 2)(i => if (i % 2 == 0) sx(i / 2) else sy(i / 2))
+    val out = Overlay.dissolve2(Seq(Seq(simplified)))
+    assertRingsMatch(out, Seq(ring((0, 0), (0, 2), (2, 2), (2, 0), (0, 0))))
+  }
+
+  // reference clip-erase-test "Clip a polyline layer with a bbox":
+  // [[0,1],[5,1]] clipped to bbox 1,0,2,2 -> [[1,1],[2,1]]
+  test("clip bbox: polyline fragment matches the reference expectation") {
+    val bboxRing = ring((1, 0), (2, 0), (2, 2), (1, 2), (1, 0))
+    val pieces = graft.operators.Buffer
+      .divideLine(Array(0.0, 1.0, 5.0, 1.0), Seq(bboxRing))
+      .filter(_._2) // keep inside
+    assert(pieces.size == 1, s"want one inside fragment, got ${pieces.size}")
+    assert(pieces.head._1.toSeq == Seq(1.0, 1.0, 2.0, 1.0), pieces.head._1.toSeq.toString)
+  }
+}
