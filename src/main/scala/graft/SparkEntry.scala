@@ -1786,6 +1786,17 @@ object SparkEntry {
         .groupBy("leaf_size").agg(count(lit(1)).as("n_leaves"))
         .orderBy("leaf_size")),
 
+    // -graticule: meridian/parallel construction + densification verified
+    // vertex by vertex (exact arithmetic both sides, no epsilon)
+    "q_graticule" -> ((s, dir) =>
+      Grids.graticule(s, 10)
+        .withColumn("vi", explode(sequence(lit(0), (size(col("path")) / 2 - 1).cast("int"))))
+        .select(col("gtype"), col("value").cast("long").as("value"),
+          col("part").cast("long").as("part"), col("vi").cast("long").as("vi"),
+          floor(element_at(col("path"), col("vi") * 2 + 1) * 1000000.0).cast("long").as("x_int"),
+          floor(element_at(col("path"), col("vi") * 2 + 2) * 1000000.0).cast("long").as("y_int"))
+        .orderBy("gtype", "value", "part", "vi")),
+
     // -point-to-grid: circle-influence weights into cells (rows-only; the
     // overlap kernel is unit-tested against closed-form values)
     "q_point_to_grid" -> ((s, dir) =>
@@ -2589,6 +2600,36 @@ object SparkEntry {
     "q_proj_path" -> projPathSql,
 
     "q_data_fill" -> dataFillSql,
+
+    // graticule lattice + exact-endpoint interpolation, mirrored verbatim
+    "q_graticule" ->
+      """WITH mer AS (SELECT -180.0 + 10.0 * (CAST(k AS DOUBLE) + 1.0) AS value
+        |  FROM (SELECT unnest(range(0, 36)) AS k)),
+        |mp AS (SELECT 'meridian' AS gtype, value,
+        |    unnest(CASE WHEN CAST(value AS BIGINT) % 90 = 0 THEN [0, 1, 2] ELSE [0] END) AS part
+        |  FROM mer),
+        |par AS (SELECT 'parallel' AS gtype, -90.0 + 10.0 * CAST(k AS DOUBLE) AS value, 0 AS part
+        |  FROM (SELECT unnest(range(0, 19)) AS k)),
+        |segs AS (
+        |  SELECT gtype, value, part,
+        |    CASE WHEN gtype = 'parallel' THEN -180.0
+        |         WHEN part = 0 THEN -80.0 WHEN part = 1 THEN -90.0 ELSE 80.0 END AS lo,
+        |    CASE WHEN gtype = 'parallel' THEN 180.0
+        |         WHEN part = 0 THEN 80.0 WHEN part = 1 THEN -80.0 ELSE 90.0 END AS hi
+        |  FROM (SELECT * FROM mp UNION ALL SELECT * FROM par)),
+        |sized AS (SELECT *, CAST(round(abs(hi - lo) / 0.5) AS INTEGER) - 1 AS n FROM segs),
+        |stepped AS (SELECT *, (hi - lo) / (CAST(n AS DOUBLE) + 1.0) AS step FROM sized),
+        |verts AS (SELECT gtype, value, part, n, lo, hi, step,
+        |    unnest(range(0, CAST(n AS BIGINT) + 2)) AS j FROM stepped),
+        |vv AS (SELECT gtype, value, part, j,
+        |    CASE WHEN j = 0 THEN lo WHEN j = n + 1 THEN hi
+        |         ELSE lo + step * CAST(j AS DOUBLE) END AS v
+        |  FROM verts)
+        |SELECT gtype, CAST(value AS BIGINT) AS value, CAST(part AS BIGINT) AS part,
+        |  CAST(j AS BIGINT) AS vi,
+        |  CAST(floor((CASE WHEN gtype = 'meridian' THEN value ELSE v END) * 1000000.0) AS BIGINT) AS x_int,
+        |  CAST(floor((CASE WHEN gtype = 'meridian' THEN v ELSE value END) * 1000000.0) AS BIGINT) AS y_int
+        |FROM vv ORDER BY gtype, value, part, vi""".stripMargin,
 
     // TileRun lineage mirrored end to end: Morton coarse-group cascade +
     // per-image ray-cast match counts against the 64-shape layer VALUES

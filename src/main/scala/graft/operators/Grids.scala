@@ -201,6 +201,65 @@ object Grids {
   }
 
   /**
+   * `-graticule` (unprojected): meridian/parallel polylines at an integer
+   * interval, densified at the reference's precision rule (1° above 10°
+   * intervals, else 0.5°), with polar extension parts for multiple-of-90
+   * meridians (reference `mapshaper-graticule.mjs:100-175`). Lines are
+   * generated distributively from `spark.range`; endpoints are exact (the
+   * interpolated run stops one step short and appends the true endpoint,
+   * like the reference's interval interpolator).
+   * Output: (gtype, value, part, path).
+   */
+  def graticule(spark: SparkSession, interval: Int = 10): DataFrame = {
+    require(interval > 0, "interval must be a positive integer")
+    val precision = if (interval > 10) 1.0 else 0.5
+    val xn = math.round(360.0 / interval).toInt
+    val yn = math.round(180.0 / interval).toInt + 1
+    val y0 = if (interval <= 15) interval.toDouble else 0.0
+
+    def densified(fixed: Double, lo: Double, hi: Double, vertical: Boolean): Array[Double] = {
+      val dist = math.abs(hi - lo)
+      val n = if (dist > precision + 1e-4) math.round(dist / precision).toInt - 1 else 0
+      val step = (hi - lo) / (n + 1)
+      val out = new Array[Double]((n + 2) * 2)
+      var j = 0
+      while (j <= n + 1) {
+        val v = if (j == 0) lo else if (j == n + 1) hi else lo + step * j
+        if (vertical) { out(j * 2) = fixed; out(j * 2 + 1) = v }
+        else { out(j * 2) = v; out(j * 2 + 1) = fixed }
+        j += 1
+      }
+      out
+    }
+
+    import spark.implicits._
+    val mUdf = udf { (k: Long, part: Int) =>
+      val x = -180.0 + interval * (k + 1)
+      part match {
+        case 0 => densified(x, -90.0 + y0, 90.0 - y0, vertical = true)
+        case 1 => densified(x, -90.0, -90.0 + y0, vertical = true)
+        case _ => densified(x, 90.0 - y0, 90.0, vertical = true)
+      }
+    }
+    val meridians = spark.range(xn)
+      .withColumn("value", lit(-180.0) + lit(interval.toDouble) * (col("id") + 1))
+      // polar extension parts only for multiples of 90 (when y0 > 0)
+      .withColumn("part", explode(
+        when(col("value").cast("long") % 90 === 0 && lit(y0) > 0.0,
+          array(lit(0), lit(1), lit(2))).otherwise(array(lit(0)))))
+      .select(lit("meridian").as("gtype"), col("value"), col("part"),
+        mUdf(col("id"), col("part")).as("path"))
+    val pUdf = udf { (k: Long) =>
+      densified(-90.0 + interval * k, -180.0, 180.0, vertical = false)
+    }
+    val parallels = spark.range(yn)
+      .withColumn("value", lit(-90.0) + lit(interval.toDouble) * col("id"))
+      .select(lit("parallel").as("gtype"), col("value"), lit(0).as("part"),
+        pUdf(col("id")).as("path"))
+    meridians.unionByName(parallels)
+  }
+
+  /**
    * `-dots`: deterministic dot-density fill — n seeded points uniformly
    * inside a shape via rejection sampling over its bbox (reference:
    * `src/points/mapshaper-dot-density.mjs`). Runs per feature inside a map.

@@ -124,6 +124,33 @@ class GridsSpec extends SparkSuite {
     assert(minNN(half) >= minNN(random))
   }
 
+  test("graticule: reference lattice, polar extensions, exact endpoints") {
+    import org.apache.spark.sql.functions._
+    val g = Grids.graticule(spark, 10).collect()
+    val mer = g.filter(_.getString(0) == "meridian")
+    val par = g.filter(_.getString(0) == "parallel")
+    // 36 meridian values (-170..180); multiples of 90 carry 2 polar parts
+    assert(mer.map(_.getDouble(1)).distinct.length == 36)
+    assert(mer.length == 36 + 2 * 4, s"${mer.length}") // -90, 0, 90, 180 extended
+    assert(par.length == 19) // -90..90
+    // parallels span the full world with exact endpoints
+    par.foreach { r =>
+      val p = r.getSeq[Double](3)
+      assert(p.head == -180.0 && p(p.length - 2) == 180.0)
+      assert(p(1) == r.getDouble(1) && p.last == r.getDouble(1))
+    }
+    // densification: 0.5-degree vertex spacing at interval 10
+    val main = mer.find(r => r.getDouble(1) == 0.0 && r.getInt(2) == 0).get.getSeq[Double](3)
+    assert(main.length / 2 == 321) // -80..80 at 0.5 degrees
+    assert(main(1) == -80.0 && main.last == 80.0)
+    // coarse graticule gets 1-degree precision and no polar parts
+    val coarse = Grids.graticule(spark, 30).collect()
+    assert(coarse.forall(_.getInt(2) == 0))
+    val cMain = coarse.find(r => r.getString(0) == "meridian" && r.getDouble(1) == 0.0)
+      .get.getSeq[Double](3)
+    assert(cMain.length / 2 == 181) // -90..90 at 1 degree, y0 = 0
+  }
+
   test("triangle grid: 6 equal-area cells per hex, areas sum to the hexagon") {
     val size = 4.0
     val hexArea = 3.0 * math.sqrt(3.0) / 2.0 * size * size
