@@ -1786,6 +1786,27 @@ object SparkEntry {
         .groupBy("leaf_size").agg(count(lit(1)).as("n_leaves"))
         .orderBy("leaf_size")),
 
+    // -rectangles: per-feature bbox + pct offsets + aspect fill-out, exact
+    "q_rectangles" -> ((s, dir) => {
+      import s.implicits._
+      val layer = Synthetic.polygonLayer(32, seed = 11L, holeEvery = 0)
+      val rings = (0 until layer.numRings).map { r =>
+        val st = layer.ringStart(r); val e = layer.ringStart(r + 1)
+        val flat = new Array[Double]((e - st) * 2)
+        var i = st
+        while (i < e) { flat((i - st) * 2) = layer.xx(i); flat((i - st) * 2 + 1) = layer.yy(i); i += 1 }
+        (r.toLong, flat)
+      }.toDF("ring_id", "ring")
+      Rectangles.of(rings, "ring", offsets = (0.1, 0.05, 0.1, 0.05),
+          offsetsArePct = true, aspectRatio = 1.5)
+        .select(col("ring_id"),
+          floor(element_at(col("rect"), 1) * 1000000.0).cast("long").as("x0_int"),
+          floor(element_at(col("rect"), 2) * 1000000.0).cast("long").as("y0_int"),
+          floor(element_at(col("rect"), 3) * 1000000.0).cast("long").as("x1_int"),
+          floor(element_at(col("rect"), 4) * 1000000.0).cast("long").as("y1_int"))
+        .orderBy("ring_id")
+    }),
+
     // -graticule: meridian/parallel construction + densification verified
     // vertex by vertex (exact arithmetic both sides, no epsilon)
     "q_graticule" -> ((s, dir) =>
@@ -2600,6 +2621,31 @@ object SparkEntry {
     "q_proj_path" -> projPathSql,
 
     "q_data_fill" -> dataFillSql,
+
+    // bbox + pct offsets + expand-only aspect fill-out, same op order
+    "q_rectangles" ->
+      s"""WITH v0 AS (SELECT ring, CAST(x AS DOUBLE) AS x, CAST(y AS DOUBLE) AS y
+         |  FROM (VALUES ${Synthetic.ringVertsSqlValues(Synthetic.polygonLayer(32, seed = 11L, holeEvery = 0))}) t(pk, ring, i, x, y)),
+         |bb AS (SELECT ring, min(x) AS x0, min(y) AS y0, max(x) AS x1, max(y) AS y1
+         |  FROM v0 GROUP BY ring),
+         |off AS (SELECT ring,
+         |    x0 - 0.1 * (x1 - x0) AS bx0, y0 - 0.05 * (y1 - y0) AS by0,
+         |    x1 + 0.1 * (x1 - x0) AS bx1, y1 + 0.05 * (y1 - y0) AS by1
+         |  FROM bb),
+         |ar AS (SELECT ring, bx0, by0, bx1, by1,
+         |    (bx1 - bx0) / (by1 - by0) AS r FROM off),
+         |fit AS (SELECT ring,
+         |    CASE WHEN r < 1.5 THEN (bx0 + bx1) / 2.0 - (by1 - by0) * 1.5 / 2.0 ELSE bx0 END AS bx0,
+         |    CASE WHEN r > 1.5 THEN (by0 + by1) / 2.0 - (bx1 - bx0) / 1.5 / 2.0 ELSE by0 END AS by0,
+         |    CASE WHEN r < 1.5 THEN (bx0 + bx1) / 2.0 + (by1 - by0) * 1.5 / 2.0 ELSE bx1 END AS bx1,
+         |    CASE WHEN r > 1.5 THEN (by0 + by1) / 2.0 + (bx1 - bx0) / 1.5 / 2.0 ELSE by1 END AS by1
+         |  FROM ar)
+         |SELECT CAST(ring AS BIGINT) AS ring_id,
+         |  CAST(floor(bx0 * 1000000.0) AS BIGINT) AS x0_int,
+         |  CAST(floor(by0 * 1000000.0) AS BIGINT) AS y0_int,
+         |  CAST(floor(bx1 * 1000000.0) AS BIGINT) AS x1_int,
+         |  CAST(floor(by1 * 1000000.0) AS BIGINT) AS y1_int
+         |FROM fit ORDER BY ring_id""".stripMargin,
 
     // graticule lattice + exact-endpoint interpolation, mirrored verbatim
     "q_graticule" ->

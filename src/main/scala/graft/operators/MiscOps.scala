@@ -96,3 +96,55 @@ object Info {
     }.toDF("column", "dtype", "n", "n_null", "min_s", "max_s")
   }
 }
+
+/**
+ * `-rectangles` — per-feature bbox rectangles with optional per-side offsets
+ * (absolute, or fractions of the bbox width/height like the reference's
+ * "N%" params, `mapshaper-rectangle.mjs:151-190` + `mapshaper-units.mjs:
+ * 164-179`) and aspect-ratio fill-out about the bbox center (expand-only,
+ * like Bounds.fillOut). Pure per-row arithmetic — codegen-adjacent, no
+ * shuffle.
+ */
+object Rectangles {
+  import org.apache.spark.sql.functions._
+
+  /** offsets = (left, bottom, right, top); aspectRatio 0 = off. */
+  def of(rings: DataFrame, ringCol: String,
+         offsets: (Double, Double, Double, Double) = (0, 0, 0, 0),
+         offsetsArePct: Boolean = false,
+         aspectRatio: Double = 0.0): DataFrame = {
+    val rectUdf = udf { (flat: Seq[Double]) =>
+      var x0 = Double.MaxValue; var y0 = Double.MaxValue
+      var x1 = Double.MinValue; var y1 = Double.MinValue
+      var i = 0
+      while (i + 1 < flat.length) {
+        if (flat(i) < x0) x0 = flat(i)
+        if (flat(i) > x1) x1 = flat(i)
+        if (flat(i + 1) < y0) y0 = flat(i + 1)
+        if (flat(i + 1) > y1) y1 = flat(i + 1)
+        i += 2
+      }
+      val w = x1 - x0; val h = y1 - y0
+      val (ol, ob, or_, ot) =
+        if (offsetsArePct)
+          (offsets._1 * w, offsets._2 * h, offsets._3 * w, offsets._4 * h)
+        else offsets
+      var bx0 = x0 - ol; var by0 = y0 - ob
+      var bx1 = x1 + or_; var by1 = y1 + ot
+      if (aspectRatio > 0) {
+        val ar = (bx1 - bx0) / (by1 - by0)
+        if (ar < aspectRatio) { // too tall: widen about the center
+          val wNew = (by1 - by0) * aspectRatio
+          val cx = (bx0 + bx1) / 2.0
+          bx0 = cx - wNew / 2.0; bx1 = cx + wNew / 2.0
+        } else if (ar > aspectRatio) { // too wide: heighten about the center
+          val hNew = (bx1 - bx0) / aspectRatio
+          val cy = (by0 + by1) / 2.0
+          by0 = cy - hNew / 2.0; by1 = cy + hNew / 2.0
+        }
+      }
+      Array(bx0, by0, bx1, by1)
+    }
+    rings.withColumn("rect", rectUdf(col(ringCol)))
+  }
+}
