@@ -89,3 +89,89 @@ object LineOps {
     SpatialJoin.broadcastJoin(spark, mids, "mx", "my", layer)
   }
 }
+
+/**
+ * `-dashlines` — split polylines into dash parts (reference
+ * `mapshaper-dashlines.mjs:58-122`, planar form): walk the path accumulating
+ * arc length; break every `interval`, alternating dash/gap when gapLen > 0
+ * (gapped lines start with a HALF-gap so rings and intersecting lines meet
+ * cleanly); a break within 0.1% of the final endpoint snaps to it so FP
+ * rounding never emits a micro-segment. Runs per line inside a map — no
+ * shuffle.
+ */
+object DashLines {
+  import org.apache.spark.sql.functions._
+
+  /** Dash pieces of one flat path; gapLen 0 = pure segmentation. */
+  def dashParts(flat: Array[Double], dashLen: Double, gapLen: Double): Seq[Array[Double]] = {
+    require(dashLen > 0, "dash length must be positive")
+    require(gapLen >= 0, "gap length must be non-negative")
+    val parts = Seq.newBuilder[Array[Double]]
+    var inDash = gapLen == 0
+    var interval = if (inDash) dashLen else gapLen * 0.5 // half-gap start
+    val cur = scala.collection.mutable.ArrayBuffer.empty[Double]
+
+    def addPart(): Unit = {
+      if (inDash && cur.length >= 4) parts += cur.toArray
+      if (gapLen > 0) {
+        inDash = !inDash
+        interval = if (inDash) dashLen else gapLen
+      }
+    }
+
+    if (flat.length < 4) return Seq.empty
+    var px = flat(0); var py = flat(1)
+    cur += px; cur += py
+    var elapsed = 0.0
+    var i = 2
+    val lastIdx = flat.length - 2
+    while (i + 1 < flat.length) {
+      var ax = px; var ay = py
+      px = flat(i); py = flat(i + 1)
+      var segLen = math.hypot(px - ax, py - ay)
+      if (segLen > 0) {
+        var continue = true
+        while (continue && elapsed + segLen >= interval) {
+          var pct = (interval - elapsed) / segLen
+          if (pct > 0.999 && i == lastIdx) pct = 1.0
+          val (bx, by) =
+            if (pct < 1) (ax + (px - ax) * pct, ay + (py - ay) * pct)
+            else (px, py)
+          cur += bx; cur += by
+          addPart()
+          cur.clear()
+          if (pct < 1) { cur += bx; cur += by }
+          ax = bx; ay = by
+          elapsed = 0.0
+          segLen = (1 - pct) * segLen
+          if (segLen == 0) continue = false
+        }
+        cur += px; cur += py // reference pushes p unconditionally after breaks
+        elapsed += segLen
+      }
+      i += 2
+    }
+    if (elapsed > 0 && cur.length >= 4) addPart()
+    parts.result()
+  }
+
+  /** DataFrame form: one row per dash piece (id, part, piece, piece_len). */
+  def apply(lines: org.apache.spark.sql.DataFrame, idCol: String, lineCol: String,
+            dashLen: Double, gapLen: Double): org.apache.spark.sql.DataFrame = {
+    val partsUdf = udf { (line: Seq[Double]) =>
+      dashParts(line.toArray, dashLen, gapLen).map { p =>
+        var len = 0.0
+        var i = 0
+        while (i + 3 < p.length) {
+          len += math.hypot(p(i + 2) - p(i), p(i + 3) - p(i + 1))
+          i += 2
+        }
+        (p, len)
+      }
+    }
+    lines
+      .select(col(idCol), posexplode(partsUdf(col(lineCol))).as(Seq("part", "_p")))
+      .select(col(idCol), col("part"),
+        col("_p._1").as("piece"), col("_p._2").as("piece_len"))
+  }
+}

@@ -82,4 +82,50 @@ class PathOpsSpec extends AnyFunSuite {
       assert(math.abs(exact - mc) < 2500 * 0.02 + 10.0, s"exact=$exact mc=$mc")
     }
   }
+
+  private def plen(p: Array[Double]): Double = {
+    var len = 0.0
+    var i = 0
+    while (i + 3 < p.length) {
+      len += math.hypot(p(i + 2) - p(i), p(i + 3) - p(i + 1)); i += 2
+    }
+    len
+  }
+
+  test("dashlines: gapless segmentation cuts exact dash lengths") {
+    val parts = graft.operators.DashLines.dashParts(Array(0.0, 0.0, 10.0, 0.0), 2.0, 0.0)
+    assert(parts.size == 5, parts.size.toString)
+    parts.foreach(p => assert(math.abs(plen(p) - 2.0) < 1e-12))
+    // pieces tile the line: consecutive endpoints meet
+    (0 until 4).foreach { i =>
+      assert(parts(i).takeRight(2).toSeq == parts(i + 1).take(2).toSeq)
+    }
+  }
+
+  test("dashlines: gapped lines start with a half-gap; trailing dash kept") {
+    val parts = graft.operators.DashLines.dashParts(Array(0.0, 0.0, 10.0, 0.0), 2.0, 1.0)
+    // gaps [0,.5) [2.5,3.5) [5.5,6.5) [8.5,9.5); dashes between + 0.5 tail
+    assert(parts.size == 4, parts.map(plen).toString)
+    assert(parts.take(3).forall(p => math.abs(plen(p) - 2.0) < 1e-12))
+    assert(math.abs(plen(parts(3)) - 0.5) < 1e-12)
+    assert(parts.head.take(2).toSeq == Seq(0.5, 0.0))
+  }
+
+  test("dashlines: near-endpoint break snaps (no micro tail)") {
+    val parts = graft.operators.DashLines.dashParts(Array(0.0, 0.0, 4.0001, 0.0), 2.0, 0.0)
+    assert(parts.size == 2, parts.map(plen).toString)
+    assert(parts(1).takeRight(2).toSeq == Seq(4.0001, 0.0))
+  }
+
+  test("dashlines: multi-segment path and DataFrame surface") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val df = Seq((1L, Seq(0.0, 0.0, 3.0, 4.0, 3.0, 9.0))).toDF("id", "line") // lengths 5+5
+    val out = graft.operators.DashLines(df, "id", "line", dashLen = 3.0, gapLen = 0.0)
+      .select("part", "piece_len").collect()
+    assert(out.length == 4) // 3+3+3+1
+    val lens = out.sortBy(_.getInt(0)).map(_.getDouble(1))
+    assert(lens.take(3).forall(l => math.abs(l - 3.0) < 1e-12))
+    assert(math.abs(lens(3) - 1.0) < 1e-12)
+  }
 }
