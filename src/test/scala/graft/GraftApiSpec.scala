@@ -48,4 +48,37 @@ class GraftApiSpec extends SparkSuite {
     val svg = Graft.writeSvg(Seq((dissolved, """fill="none"""")))
     assert(svg.contains("<path"))
   }
+
+  test("round-3 surface through the facade: proj strings, spherical simplify, grids, svg round-trip") {
+    // -proj robinson via the string front-end + densified reprojection
+    val robin = Graft.projection("robinson")
+    val projected = Graft.projectPath(Array(-60.0, 20.0, 60.0, 70.0), robin, 10000.0)
+    assert(projected.length >= 4)
+
+    // -proj albersusa +PR routes Puerto Rico into its inset
+    val usa = Graft.projection("albersusa +PR")
+    assert(!usa.forward(-66.1, 18.4)._1.isInfinity)
+
+    // spherical -simplify with keep-shapes over a lon/lat ring table
+    val ringDf = Seq((1L, rect(10, 50, 11, 51).toSeq)).toDF("id", "ring")
+    val simp = Graft.simplifySpherical(spark, ringDf, "ring", pct = 0.5)
+    assert(simp.select("n_after").head().getLong(0) >= 4)
+
+    // -grid type=rhombus + -subdivide expression + -graticule
+    assert(Graft.rhombusGrid(spark, 0, 0, 20, 20, 4.0).count() > 0)
+    val pts = (0 until 300).map(i => (i.toLong, (i % 17).toDouble, (i % 13).toDouble))
+      .toDF("id", "x", "y")
+    val sub = Graft.subdivide(spark, pts, "x", "y", st => st.count > 80)
+    assert(sub.select("leaf_id").distinct().count() == 4) // 300 -> 150 -> 75x4
+    assert(graft.operators.Grids.graticule(spark, 30).count() == 12 + 7)
+
+    // -dots evenness through the facade
+    val dots = Graft.dots(Seq(rect(0, 0, 50, 50)), 50, evenness = 1.0, seed = 2L)
+    assert(dots.length == 100)
+
+    // SVG export -> IMPORT round trip through the facade
+    val svg = Graft.writeSvg(Seq((Seq(rect(0, 0, 10, 10)), """fill="red"""")))
+    val feats = Graft.readSvg(svg)
+    assert(feats.length == 1 && feats.head.attrs("fill") == "red")
+  }
 }
