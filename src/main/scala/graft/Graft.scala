@@ -167,4 +167,58 @@ object Graft {
     Grids.dotFillEven(rings, n, evenness, seed)
   /** SVG import (paths + shape elements). */
   def readSvg(svg: String): Seq[sources.SvgIO.Feature] = sources.SvgIO.read(svg)
+
+  // ---- -lines / -check-geometry / -filter-islands2
+  /** -lines: polygons → classified boundary edges (outer/field/inner). */
+  def lines(polys: DataFrame, keyCol: String, ringCol: String,
+            fields: Seq[String] = Nil): DataFrame =
+    Lines.polygonsToLines(polys, keyCol, ringCol, fields)
+  /** -lines over a point layer: groupby= ordered LineString assembly. */
+  def pointsToLines(points: DataFrame, groupCol: String, orderCol: String,
+                    x: String, y: String): DataFrame =
+    Lines.pointsToLines(points, groupCol, orderCol, x, y)
+  /** -lines callouts=. */
+  def callouts(points: DataFrame, x: String, y: String): DataFrame =
+    Lines.callouts(points, x, y)
+  /** -check-geometry: distributed segment self-intersection report. */
+  def checkGeometry(segs: DataFrame, idCol: String, cellSize: Double): DataFrame =
+    CheckGeometry.intersectingPairs(segs, idCol, cellSize)
+  /** -filter-islands2: drop unshared island rings below min-area/min-vertices. */
+  def filterIslands2(rings: DataFrame, ridCol: String, keyCol: String, ringCol: String,
+                     minArea: Double = 0.0, minVertices: Int = 0): DataFrame =
+    FilterIslands2(rings, ridCol, keyCol, ringCol, minArea, minVertices)
+
+  // ---- -shape / -add-shape / -frame / -scalebar / -symbols / -svg-style
+  /** -shape type=rectangle (densified sides). */
+  def shapeRectangle(xmin: Double, ymin: Double, xmax: Double, ymax: Double,
+                     interval: Double = 0.5): Array[Double] =
+    Shapes.rectangle(xmin, ymin, xmax, ymax, interval)
+  /** -shape type=circle. */
+  def shapeCircle(cx: Double, cy: Double, radius: Double, vertices: Int = 360): Array[Double] =
+    Shapes.circle(cx, cy, radius, vertices)
+  /** -add-shape: append one constructed feature to a layer of rings. */
+  def addShape(spark: SparkSession, layer: DataFrame, keyCol: String, ringCol: String,
+               key: Long, flat: Array[Double]): DataFrame = {
+    import spark.implicits._
+    layer.unionByName(
+      Seq((key, flat.toSeq)).toDF(keyCol, ringCol), allowMissingColumns = true)
+  }
+  /** -frame: layer bounds + offsets → frame bbox and pixel dims. */
+  def frame(layer: DataFrame, x: String, y: String, widthPx: Double = 0, heightPx: Double = 0,
+            pctOffsets: (Double, Double, Double, Double) = (0, 0, 0, 0),
+            pxOffsets: (Double, Double, Double, Double) = (0, 0, 0, 0)): Shapes.Frame =
+    Shapes.frame(layer, x, y, widthPx, heightPx, pctOffsets, pxOffsets)
+  /** -scalebar: auto label + bar geometry for a frame. */
+  def scalebar(frameWidthPx: Double, frameHeightPx: Double, metersPerPx: Double,
+               label: String = null, style: String = "a",
+               position: String = "top-left"): Scalebar.Bar =
+    Scalebar.render(frameWidthPx, frameHeightPx, metersPerPx, label, style, position)
+  /** -symbols geographic=: per-point symbol polygons, scaled and shifted. */
+  def symbols(points: DataFrame, x: String, y: String, template: Array[Double],
+              metersPerPx: Double, radiusCol: Option[String] = None): DataFrame =
+    Symbols.geographic(points, x, y, template, metersPerPx, radiusCol)
+  /** -svg-style: set style columns, optionally gated by where=. */
+  def svgStyle(df: DataFrame, props: Map[String, org.apache.spark.sql.Column],
+               where: Option[org.apache.spark.sql.Column] = None): DataFrame =
+    SvgStyle(df, props, where)
 }

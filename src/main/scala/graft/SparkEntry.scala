@@ -1884,6 +1884,140 @@ object SparkEntry {
         .map(m => (m.group, m.inputRows, m.outputRows))
         .toDF("grp", "input_rows", "output_rows")
         .orderBy("grp")
+    }),
+
+    // -lines: polygons -> classified boundary edges (outer / field / inner)
+    // over a data-derived square-cell layer; exact integer coordinates
+    "q_lines" -> ((s, dir) => {
+      val cells = points(s, dir)
+        .select(floor(col("x") / 10.0).cast("long").as("cx"),
+          floor(col("y") / 10.0).cast("long").as("cy"))
+        .distinct()
+        .withColumn("key", col("cx") * 1000 + col("cy"))
+        .withColumn("g", (col("cx") + col("cy")) % 3)
+      val d = (c: Column) => c.cast("double")
+      val rings = cells.withColumn("ring", array(
+        d(col("cx")), d(col("cy")),
+        d(col("cx") + 1), d(col("cy")),
+        d(col("cx") + 1), d(col("cy") + 1),
+        d(col("cx")), d(col("cy") + 1),
+        d(col("cx")), d(col("cy"))))
+      Lines.polygonsToLines(rings, "key", "ring", Seq("g"))
+        .select(col("ex1").cast("long").as("x1"), col("ey1").cast("long").as("y1"),
+          col("ex2").cast("long").as("x2"), col("ey2").cast("long").as("y2"),
+          col("type"), col("rank"), col("key_a"), col("key_b"))
+        .orderBy("x1", "y1", "x2", "y2")
+    }),
+
+    // -lines over points: groupby= assembly into ordered LineStrings,
+    // verified vertex by vertex
+    "q_points_lines" -> ((s, dir) => {
+      val pts = points(s, dir).withColumn("g", col("id") % 5)
+      Lines.pointsToLines(pts, "g", "id", "x", "y")
+        .select(col("group"), posexplode(col("line")))
+        .groupBy(col("group"), (col("pos") / 2).cast("long").as("seq"))
+        .agg(min(when(col("pos") % 2 === 0, col("col"))).as("x"),
+          min(when(col("pos") % 2 === 1, col("col"))).as("y"))
+        .orderBy("group", "seq")
+    }),
+
+    // -check-geometry: distributed segment self-intersection report
+    "q_check_geom" -> ((s, dir) => {
+      val segs = points(s, dir).select(col("id").as("sid"),
+        col("x").as("x1"), col("y").as("y1"),
+        (col("x") + (derivedX(col("id") * 31 + 17) / 10.0 - 5.0)).as("x2"),
+        (col("y") + (derivedY(col("id") * 57 + 3) / 10.0 - 5.0)).as("y2"))
+      CheckGeometry.intersectingPairs(segs, "sid", cellSize = 5.0)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // -shape: rectangle (densified at 0.5) and circle constructors,
+    // vertex-exact (circle sin/cos floor-guarded)
+    "q_shape" -> ((s, dir) => {
+      import s.implicits._
+      def verts(kind: String, flat: Array[Double]): Seq[(String, Long, Long, Long)] =
+        (0 until flat.length / 2).map { i =>
+          (kind, i.toLong,
+            math.floor(flat(i * 2) * 1000000.0).toLong,
+            math.floor(flat(i * 2 + 1) * 1000000.0).toLong)
+        }
+      (verts("rect", Shapes.rectangle(0, 0, 7, 3)) ++
+        verts("circle", Shapes.circle(50, 50, 10, vertices = 37)))
+        .toDF("kind", "seq", "x_int", "y_int")
+        .orderBy("kind", "seq")
+    }),
+
+    // -frame: layer bounds + pct offsets + px offsets + derived height
+    "q_frame" -> ((s, dir) => {
+      import s.implicits._
+      val f = Shapes.frame(points(s, dir), "x", "y", widthPx = 800,
+        pctOffsets = (0.05, 0.05, 0.1, 0.1), pxOffsets = (10, 10, 20, 20))
+      Seq((math.floor(f.xmin * 1000000.0).toLong, math.floor(f.ymin * 1000000.0).toLong,
+        math.floor(f.xmax * 1000000.0).toLong, math.floor(f.ymax * 1000000.0).toLong,
+        math.round(f.widthPx * 10.0), math.round(f.heightPx * 10.0)))
+        .toDF("x0_int", "y0_int", "x1_int", "y1_int", "w_px10", "h_px10")
+    }),
+
+    // -scalebar: auto-label ladder + length/placement arithmetic per scale
+    "q_scalebar" -> ((s, dir) => {
+      val labelUdf = udf { (mpp: Double) => Scalebar.autoLabel(800.0, mpp) }
+      val lenUdf = udf { (mpp: Double) =>
+        Scalebar.render(800.0, 600.0, mpp, position = "bottom-right").lengthPx }
+      points(s, dir).where(col("id") <= 30)
+        .select(col("id"), ((col("id") * 73) % 400 + 5).cast("double").as("mpp"))
+        .withColumn("label", labelUdf(col("mpp")))
+        .withColumn("len_px", lenUdf(col("mpp")))
+        .withColumn("dx", (lit(800) - col("len_px") - 12).cast("long"))
+        .select(col("id"), col("label"), col("len_px"), col("dx"))
+        .orderBy("id")
+    }),
+
+    // -symbols geographic: per-point square symbol, scaled+shifted, no shuffle
+    "q_symbols" -> ((s, dir) => {
+      val tmpl = Symbols.polygonCoords("square", 1.0)
+      val pts = points(s, dir).withColumn("scale", (col("id") % 7 + 1).cast("double"))
+      Symbols.geographic(pts, "x", "y", tmpl, metersPerPx = 1.0, radiusCol = Some("scale"))
+        .select(col("id"), posexplode(col("symbol")))
+        .groupBy(col("id"), (col("pos") / 2).cast("long").as("seq"))
+        .agg(
+          min(when(col("pos") % 2 === 0, floor(col("col") * 1000000.0))).cast("long").as("x_int"),
+          min(when(col("pos") % 2 === 1, floor(col("col") * 1000000.0))).cast("long").as("y_int"))
+        .orderBy("id", "seq")
+    }),
+
+    // -svg-style: conditional style-column assignment with where=
+    "q_svg_style" -> ((s, dir) =>
+      SvgStyle(points(s, dir),
+        Map("fill" -> lit("red"), "stroke-width" -> floor(col("y") / 10.0)),
+        where = Some(col("x") > 50.0))
+        .select(col("id"), col("fill"), col("stroke-width").cast("long").as("sw"))
+        .orderBy("id")),
+
+    // -filter-islands2: islands (no shared edges) below min-area removed
+    // unless they contain a hole; shared-edge rings always kept
+    "q_filter_islands2" -> ((s, dir) => {
+      val cells = points(s, dir)
+        .select(floor(col("x") / 10.0).cast("long").as("cx"),
+          floor(col("y") / 10.0).cast("long").as("cy"))
+        .distinct()
+        .withColumn("s", when(col("cx") % 2 === 0, lit(10.0))
+          .otherwise(lit(4.0) + (col("cy") % 2).cast("double") * 3.0))
+        .withColumn("x0", col("cx").cast("double") * 10.0)
+        .withColumn("y0", col("cy").cast("double") * 10.0)
+      val outers = cells.select(
+        (col("cx") * 1000 + col("cy")).as("rid"),
+        (col("cx") * 1000 + col("cy")).as("key"),
+        array(col("x0"), col("y0"), col("x0") + col("s"), col("y0"),
+          col("x0") + col("s"), col("y0") + col("s"), col("x0"), col("y0") + col("s"),
+          col("x0"), col("y0")).as("ring"))
+      val holes = cells.where((col("cx") * 7 + col("cy")) % 5 === 0).select(
+        (col("cx") * 1000 + col("cy") + 500000).as("rid"),
+        (col("cx") * 1000 + col("cy")).as("key"),
+        array(col("x0") + 1.0, col("y0") + 1.0, col("x0") + 1.0, col("y0") + 2.5,
+          col("x0") + 2.5, col("y0") + 2.5, col("x0") + 2.5, col("y0") + 1.0,
+          col("x0") + 1.0, col("y0") + 1.0).as("ring"))
+      FilterIslands2(outers.union(holes), "rid", "key", "ring", minArea = 120.0)
+        .select(col("rid")).orderBy("rid")
     })
   )
 
@@ -2866,6 +3000,174 @@ object SparkEntry {
         |SELECT doc_id, CASE WHEN text IS NULL THEN CAST(0 AS BIGINT)
         |  WHEN u >= 9223372036854775808 THEN CAST(CAST(u AS HUGEINT) - 18446744073709551616 AS BIGINT)
         |  ELSE CAST(u AS BIGINT) END AS fp
-        |FROM f ORDER BY doc_id""".stripMargin
+        |FROM f ORDER BY doc_id""".stripMargin,
+
+    // -lines: classify each undirected square-grid edge as outer / field
+    // boundary ('g') / inner — exact integer coordinates and keys
+    "q_lines" ->
+      s"""WITH $ptsSql,
+         |cells AS (SELECT DISTINCT CAST(floor(x / 10.0) AS BIGINT) AS cx,
+         |    CAST(floor(y / 10.0) AS BIGINT) AS cy FROM pts),
+         |cc AS (SELECT cx, cy, cx * 1000 + cy AS key, (cx + cy) % 3 AS g FROM cells),
+         |edges AS (
+         |  SELECT cx AS x1, cy AS y1, cx + 1 AS x2, cy AS y2, key, g FROM cc
+         |  UNION ALL SELECT cx, cy + 1, cx + 1, cy + 1, key, g FROM cc
+         |  UNION ALL SELECT cx, cy, cx, cy + 1, key, g FROM cc
+         |  UNION ALL SELECT cx + 1, cy, cx + 1, cy + 1, key, g FROM cc),
+         |ec AS (SELECT x1, y1, x2, y2, count(*) AS c,
+         |    min(key) AS key_a,
+         |    CASE WHEN count(*) > 1 THEN max(key) END AS key_b,
+         |    min_by(g, key) AS ga, max_by(g, key) AS gb
+         |  FROM edges GROUP BY x1, y1, x2, y2)
+         |SELECT x1, y1, x2, y2,
+         |  CASE WHEN c = 1 THEN 'outer' WHEN ga <> gb THEN 'g' ELSE 'inner' END AS type,
+         |  CAST(CASE WHEN c = 1 THEN 0 WHEN ga <> gb THEN 1 ELSE 2 END AS BIGINT) AS rank,
+         |  key_a, key_b
+         |FROM ec ORDER BY x1, y1, x2, y2""".stripMargin,
+
+    // -lines over points: ordered LineString assembly, vertex by vertex
+    "q_points_lines" ->
+      s"""WITH $ptsSql
+         |SELECT id % 5 AS "group",
+         |  row_number() OVER (PARTITION BY id % 5 ORDER BY id) - 1 AS seq, x, y
+         |FROM pts ORDER BY "group", seq""".stripMargin,
+
+    // -check-geometry: the distributed cell-partitioned intersection report
+    // vs the O(n^2) pair scan — identical IEEE orientation arithmetic
+    // (structured as staged CTEs with CASE flags — the single-WHERE version
+    // trips an internal DuckDB vectorizer assertion, "requires a flat vector")
+    "q_check_geom" ->
+      s"""WITH $ptsSql,
+         |segs AS MATERIALIZED (SELECT id AS sid, x AS x1, y AS y1,
+         |  x + (${derivedXSql("(id * 31 + 17)")} / 10.0 - 5.0) AS x2,
+         |  y + (${derivedYSql("(id * 57 + 3)")} / 10.0 - 5.0) AS y2 FROM pts),
+         |j AS (SELECT a.sid AS a_id, b.sid AS b_id,
+         |  a.x1 AS ax1, a.y1 AS ay1, a.x2 AS ax2, a.y2 AS ay2,
+         |  b.x1 AS bx1, b.y1 AS by1, b.x2 AS bx2, b.y2 AS by2
+         |  FROM segs a JOIN segs b ON a.sid < b.sid),
+         |f AS (SELECT a_id, b_id,
+         |  ((ax2 - ax1) * (by1 - ay1) - (ay2 - ay1) * (bx1 - ax1)) AS o1,
+         |  ((ax2 - ax1) * (by2 - ay1) - (ay2 - ay1) * (bx2 - ax1)) AS o2,
+         |  ((bx2 - bx1) * (ay1 - by1) - (by2 - by1) * (ax1 - bx1)) AS o3,
+         |  ((bx2 - bx1) * (ay2 - by1) - (by2 - by1) * (ax2 - bx1)) AS o4,
+         |  CASE WHEN (ax1 = bx1 AND ay1 = by1) OR (ax1 = bx2 AND ay1 = by2)
+         |    OR (ax2 = bx1 AND ay2 = by1) OR (ax2 = bx2 AND ay2 = by2)
+         |    THEN 1 ELSE 0 END AS shared,
+         |  CASE WHEN least(ax1, ax2) <= greatest(bx1, bx2)
+         |    AND least(bx1, bx2) <= greatest(ax1, ax2)
+         |    AND least(ay1, ay2) <= greatest(by1, by2)
+         |    AND least(by1, by2) <= greatest(ay1, ay2) THEN 1 ELSE 0 END AS bb
+         |  FROM j)
+         |SELECT a_id, b_id FROM f
+         |WHERE shared = 0 AND bb = 1 AND o1 * o2 <= 0 AND o3 * o4 <= 0
+         |ORDER BY a_id, b_id""".stripMargin,
+
+    // -shape: rectangle side densification (exact halves) + 37-vertex circle
+    // (sin/cos floor-guarded at 1e6)
+    "q_shape" ->
+      """WITH rectv AS (
+        |  SELECT i AS seq, 0.0 AS x, CAST(i AS DOUBLE) * 0.5 AS y FROM generate_series(0, 5) t(i)
+        |  UNION ALL SELECT 6 + i, CAST(i AS DOUBLE) * 0.5, 3.0 FROM generate_series(0, 13) t(i)
+        |  UNION ALL SELECT 20 + i, 7.0, 3.0 - CAST(i AS DOUBLE) * 0.5 FROM generate_series(0, 5) t(i)
+        |  UNION ALL SELECT 26 + i, 7.0 - CAST(i AS DOUBLE) * 0.5, 0.0 FROM generate_series(0, 13) t(i)
+        |  UNION ALL SELECT 40, 0.0, 0.0),
+        |circv AS (
+        |  SELECT i AS seq,
+        |    50.0 + sin(CAST(i % 37 AS DOUBLE) / 37.0 * 360.0 / 180.0 * pi()) * 10.0 AS x,
+        |    50.0 + cos(CAST(i % 37 AS DOUBLE) / 37.0 * 360.0 / 180.0 * pi()) * 10.0 AS y
+        |  FROM generate_series(0, 37) t(i)),
+        |allv AS (SELECT 'rect' AS kind, seq, x, y FROM rectv
+        |  UNION ALL SELECT 'circle', seq, x, y FROM circv)
+        |SELECT kind, CAST(seq AS BIGINT) AS seq,
+        |  CAST(floor(x * 1000000.0) AS BIGINT) AS x_int,
+        |  CAST(floor(y * 1000000.0) AS BIGINT) AS y_int
+        |FROM allv ORDER BY kind, seq""".stripMargin,
+
+    // -frame: bbox + percentage offsets + pixel offsets + derived height,
+    // with every fractional literal emitted as an exact double
+    "q_frame" ->
+      s"""WITH $ptsSql,
+         |b0 AS (SELECT min(x) AS x0, min(y) AS y0, max(x) AS x1, max(y) AS y1 FROM pts),
+         |b1 AS (SELECT
+         |    (x1 - x0) / (1 - ${dl(0.05)} - ${dl(0.1)}) AS w2,
+         |    (y1 - y0) / (1 - ${dl(0.1)} - ${dl(0.05)}) AS h2, * FROM b0),
+         |b2 AS (SELECT
+         |    x0 - ${dl(0.05)} * w2 AS x0, y0 - ${dl(0.05)} * h2 AS y0,
+         |    x1 + ${dl(0.1)} * w2 AS x1, y1 + ${dl(0.1)} * h2 AS y1 FROM b1),
+         |b3 AS (SELECT (x1 - x0) / (800.0 - 10.0 - 20.0) AS scale, * FROM b2),
+         |b4 AS (SELECT
+         |    x0 - scale * 10.0 AS x0, y0 - scale * 10.0 AS y0,
+         |    x1 + scale * 20.0 AS x1, y1 + scale * 20.0 AS y1 FROM b3),
+         |b5 AS (SELECT *, (x1 - x0) / (y1 - y0) AS aspect FROM b4),
+         |b6 AS (SELECT *, round(800.0 / aspect * 10.0) / 10.0 AS hpx FROM b5)
+         |SELECT
+         |  CAST(floor(x0 * 1000000.0) AS BIGINT) AS x0_int,
+         |  CAST(floor(y0 * 1000000.0) AS BIGINT) AS y0_int,
+         |  CAST(floor(x1 * 1000000.0) AS BIGINT) AS x1_int,
+         |  CAST(floor(y1 * 1000000.0) AS BIGINT) AS y1_int,
+         |  CAST(8000 AS BIGINT) AS w_px10,
+         |  CAST(round(hpx * 10.0) AS BIGINT) AS h_px10
+         |FROM b6""".stripMargin,
+
+    // -scalebar: the auto-label ladder + length/placement arithmetic; ladder
+    // values are exact-literal VALUES, selection and rounding run in SQL
+    "q_scalebar" -> {
+      val ladder = Scalebar.autoOptions.zipWithIndex.map { case (numStr, i) =>
+        s"(${i + 1}, '$numStr', ${dl(Scalebar.parseNumber(numStr))})"
+      }.mkString(", ")
+      s"""WITH $ptsSql,
+         |m AS (SELECT id, CAST((id * 73) % 400 + 5 AS DOUBLE) AS mpp FROM pts WHERE id <= 30),
+         |opts AS (SELECT * FROM (VALUES $ladder) t(ord, numstr, val)),
+         |pick AS (SELECT m.id, m.mpp, min(o.ord) AS ord
+         |  FROM m JOIN opts o ON o.val * ${dl(1.60934)} > m.mpp * 70.0 / 1000.0
+         |  GROUP BY m.id, m.mpp),
+         |sel AS (SELECT p.id, p.mpp, o.numstr, o.val FROM pick p JOIN opts o ON o.ord = p.ord)
+         |SELECT id,
+         |  numstr || ' ' || CASE WHEN val > 1 THEN 'MILES' ELSE 'MILE' END AS label,
+         |  CAST(round(val * ${dl(1.60934)} / mpp * 1000.0) AS BIGINT) AS len_px,
+         |  CAST(800 - round(val * ${dl(1.60934)} / mpp * 1000.0) - 12 AS BIGINT) AS dx
+         |FROM sel ORDER BY id""".stripMargin
+    },
+
+    // -symbols: square template (sin/cos at odd-eighth angles) scaled and
+    // shifted per point, floor-guarded
+    "q_symbols" ->
+      s"""WITH $ptsSql,
+         |p AS (SELECT id, x, y, CAST(id % 7 + 1 AS DOUBLE) AS scale FROM pts),
+         |v AS (SELECT i FROM generate_series(0, 4) t(i))
+         |SELECT p.id, CAST(v.i AS BIGINT) AS seq,
+         |  CAST(floor((sin((CAST(v.i % 4 AS DOUBLE) + 0.5) / 4.0 * 360.0 / 180.0 * pi()) * scale + x)
+         |    * 1000000.0) AS BIGINT) AS x_int,
+         |  CAST(floor((cos((CAST(v.i % 4 AS DOUBLE) + 0.5) / 4.0 * 360.0 / 180.0 * pi()) * scale + y)
+         |    * 1000000.0) AS BIGINT) AS y_int
+         |FROM p CROSS JOIN v ORDER BY id, seq""".stripMargin,
+
+    // -svg-style: where=-gated style columns (excluded rows -> NULL)
+    "q_svg_style" ->
+      s"""WITH $ptsSql
+         |SELECT id,
+         |  CASE WHEN x > 50.0 THEN 'red' END AS fill,
+         |  CASE WHEN x > 50.0 THEN CAST(floor(y / 10.0) AS BIGINT) END AS sw
+         |FROM pts ORDER BY id""".stripMargin,
+
+    // -filter-islands2: island = no shared full-side edge (only adjacent
+    // s=10 squares share); removed when area < 120 and no hole inside
+    "q_filter_islands2" ->
+      s"""WITH $ptsSql,
+         |cells AS (SELECT DISTINCT CAST(floor(x / 10.0) AS BIGINT) AS cx,
+         |    CAST(floor(y / 10.0) AS BIGINT) AS cy FROM pts),
+         |cc AS (SELECT cx, cy,
+         |    CASE WHEN cx % 2 = 0 THEN 10.0 ELSE 4.0 + CAST(cy % 2 AS DOUBLE) * 3.0 END AS s
+         |  FROM cells),
+         |island AS (SELECT cx, cy, s,
+         |    NOT (s = 10.0 AND EXISTS (SELECT 1 FROM cc b
+         |      WHERE b.cx = cc.cx AND abs(b.cy - cc.cy) = 1 AND b.s = 10.0)) AS isl
+         |  FROM cc),
+         |removed AS (SELECT cx * 1000 + cy AS rid FROM island
+         |  WHERE isl AND s * s < 120.0 AND NOT ((cx * 7 + cy) % 5 = 0)),
+         |allrings AS (SELECT cx * 1000 + cy AS rid FROM cc
+         |  UNION ALL SELECT cx * 1000 + cy + 500000 FROM cc WHERE (cx * 7 + cy) % 5 = 0)
+         |SELECT rid FROM allrings WHERE rid NOT IN (SELECT rid FROM removed)
+         |ORDER BY rid""".stripMargin
   )
 }
