@@ -137,32 +137,11 @@ object OverlayOp {
     val ds = shapes.select(col(idCol).cast("long").as("id"), col(ringCol).as("ring"))
       .as[(Long, Array[Double])].cache()
 
-    // 1. covering cells of each shape's bbox
-    val cellsUdf = udf { (ring: Seq[Double]) =>
-      var x0 = Double.MaxValue; var y0 = Double.MaxValue
-      var x1 = Double.MinValue; var y1 = Double.MinValue
-      var i = 0
-      while (i < ring.length) {
-        x0 = math.min(x0, ring(i)); x1 = math.max(x1, ring(i))
-        y0 = math.min(y0, ring(i + 1)); y1 = math.max(y1, ring(i + 1))
-        i += 2
-      }
-      graft.cell.CellIndex.coveringCells(x0, y0, x1, y1, cellRes)
-    }
-    val bboxUdf = udf { (ring: Seq[Double]) =>
-      var x0 = Double.MaxValue; var y0 = Double.MaxValue
-      var x1 = Double.MinValue; var y1 = Double.MinValue
-      var i = 0
-      while (i < ring.length) {
-        x0 = math.min(x0, ring(i)); x1 = math.max(x1, ring(i))
-        y0 = math.min(y0, ring(i + 1)); y1 = math.max(y1, ring(i + 1))
-        i += 2
-      }
-      Array(x0, y0, x1, y1)
-    }
+    // 1. covering cells + bbox of each shape (codegen expressions, no boxing)
     val withCells = ds.toDF("id", "ring")
-      .withColumn("bbox", bboxUdf(col("ring")))
-      .withColumn("cell", explode(cellsUdf(col("ring"))))
+      .withColumn("bbox", graft.functions.SpatialExprs.ringBBox(col("ring")))
+      .withColumn("cell",
+        explode(graft.functions.SpatialExprs.ringCover(col("ring"), cellRes)))
       .select("id", "bbox", "cell")
 
     val pairs = withCells.as("a").join(withCells.as("b"),

@@ -91,21 +91,9 @@ object PolyJoin {
    * ids only through the shuffle; shared by overlap join and `-slice`. */
   def candidatePairs(spark: SparkSession, targets: DataFrame, sources: DataFrame,
                      cellRes: Int): DataFrame = {
-    def withCells(df: DataFrame, keyOut: String): DataFrame = {
-      val cellsUdf = udf { (ring: Seq[Double]) =>
-        var x0 = Double.MaxValue; var y0 = Double.MaxValue
-        var x1 = Double.MinValue; var y1 = Double.MinValue
-        var i = 0
-        while (i < ring.length) {
-          x0 = math.min(x0, ring(i)); x1 = math.max(x1, ring(i))
-          y0 = math.min(y0, ring(i + 1)); y1 = math.max(y1, ring(i + 1))
-          i += 2
-        }
-        graft.cell.CellIndex.coveringCells(x0, y0, x1, y1, cellRes)
-      }
+    def withCells(df: DataFrame, keyOut: String): DataFrame =
       df.select(col("key").cast("long").as(keyOut),
-          explode(cellsUdf(col("ring"))).as("_cell"))
-    }
+        explode(graft.functions.SpatialExprs.ringCover(col("ring"), cellRes)).as("_cell"))
     withCells(targets, "t_key").join(withCells(sources, "s_key"), Seq("_cell"))
       .select("t_key", "s_key").distinct()
   }

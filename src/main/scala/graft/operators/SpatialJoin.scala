@@ -93,20 +93,10 @@ object SpatialJoin {
       saltFactor: Int = 8): DataFrame = {
     import spark.implicits._
 
-    // polygon side: ring -> covering cells
-    val coverUdf = udf { (xs: Seq[Double], ys: Seq[Double]) =>
-      var x0 = Double.MaxValue; var y0 = Double.MaxValue
-      var x1 = Double.MinValue; var y1 = Double.MinValue
-      var i = 0
-      while (i < xs.length) {
-        if (xs(i) < x0) x0 = xs(i); if (xs(i) > x1) x1 = xs(i)
-        if (ys(i) < y0) y0 = ys(i); if (ys(i) > y1) y1 = ys(i)
-        i += 1
-      }
-      CellIndex.coveringCells(x0, y0, x1, y1, res)
-    }
+    // polygon side: ring -> covering cells (codegen, no boxing)
     val polyCells = polygons
-      .withColumn("_cell", explode(coverUdf(col("ring_x"), col("ring_y"))))
+      .withColumn("_cell",
+        explode(graft.functions.SpatialExprs.ringCoverXY(col("ring_x"), col("ring_y"), res)))
 
     // explicit skew handling: find hot cells, salt them
     val hot = polyCells.groupBy("_cell").count()

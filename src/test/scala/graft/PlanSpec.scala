@@ -151,4 +151,16 @@ class PlanSpec extends SparkSuite {
       out.exists(_.contains("_bucket")) && out.exists(n => n == "v" || n == "embedding"))
     assert(bad.isEmpty, s"vector bytes rode a bucket shuffle: $bad")
   }
+
+  test("polygon-side ring cover/bbox are codegen expressions, not Scala UDFs") {
+    import spark.implicits._
+    val rings = (0 until 20).map { i =>
+      (i.toLong, Seq(i * 10.0, 0.0, i * 10.0 + 5, 0.0, i * 10.0 + 5, 5.0, i * 10.0, 5.0, i * 10.0, 0.0))
+    }.toDF("key", "ring")
+    val pairs = graft.operators.PolyJoin.candidatePairs(spark, rings, rings, cellRes = 5)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(plan.contains("ring_cover"), plan.take(800))
+    assert(!plan.toLowerCase.contains("scalaudf") && !plan.contains("BatchEval"),
+      "boxed UDF survives on the polygon side")
+  }
 }
