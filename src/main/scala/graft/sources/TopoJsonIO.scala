@@ -99,9 +99,53 @@ object TopoJsonIO {
     PolygonLayer.fromShapes(shapes.result())
   }
 
+  /** Per-axis mean |dx|, |dy| over all ring segments — the reference's
+   * `getAvgSegment2` (`src/paths/mapshaper-path-utils.mjs:22-31`). */
+  def avgSegment2(arcs: Seq[Array[Double]]): (Double, Double) = {
+    var dx = 0.0; var dy = 0.0; var count = 0L
+    arcs.foreach { flat =>
+      var i = 0
+      while (i + 3 < flat.length) {
+        dx += math.abs(flat(i) - flat(i + 2))
+        dy += math.abs(flat(i + 1) - flat(i + 3))
+        count += 1
+        i += 2
+      }
+    }
+    if (count == 0) (0.0, 0.0) else (dx / count, dy / count)
+  }
+
   /**
-   * Export with quantization (default 1e5 grid like the reference's default)
-   * and SHARED ARCS — the buildTopology analog
+   * TopoJSON export grid sizing — the reference's `calcExportBounds`
+   * (`src/topojson/topojson-export.mjs:194-217`): `topojsonPrecision` scales
+   * the per-axis average segment; `quantization=n` divides the bounds into
+   * n-1 units; `precision` is an absolute unit; the DEFAULT is auto
+   * quantization at 0.02 of the average segment length. Returns the
+   * (xmax, ymax) of the quantized integer grid.
+   */
+  def exportGrid(arcs: Seq[Array[Double]], width: Double, height: Double,
+                 quantization: Int = 0, topojsonPrecision: Double = 0.0,
+                 precision: Double = 0.0): (Long, Long) = {
+    val (ux, uy) =
+      if (topojsonPrecision > 0) {
+        val (ax, ay) = avgSegment2(arcs); (ax * topojsonPrecision, ay * topojsonPrecision)
+      } else if (quantization > 0) {
+        (width / (quantization - 1), height / (quantization - 1))
+      } else if (precision > 0) {
+        (precision, precision)
+      } else {
+        val (ax, ay) = avgSegment2(arcs); (ax * 0.02, ay * 0.02)
+      }
+    val xmax = if (ux > 0) math.ceil(width / ux).toLong else 0L
+    val ymax = if (uy > 0) math.ceil(height / uy).toLong else 0L
+    (xmax, ymax)
+  }
+
+  /**
+   * Export with the reference's quantization sizing (quantization= like the
+   * CLI option; 0 = the reference's DEFAULT auto rule, 0.02 of the average
+   * segment per axis — `calcExportBounds`) and SHARED ARCS — the
+   * buildTopology analog
    * (`/root/reference/src/topology/mapshaper-topology.mjs`,
    * `mapshaper-arc-dissolve.mjs`): rings are split at topology nodes
    * (quantized vertices whose distinct-neighbor set is not exactly 2), the
@@ -109,10 +153,18 @@ object TopoJsonIO {
    * two polygons is stored ONCE), and rings reference arcs by signed index
    * (~i = reversed) like the reference's arc id convention.
    */
-  def toTopoJson(layer: PolygonLayer, quantization: Int = 100000): String = {
+  def toTopoJson(layer: PolygonLayer, quantization: Int = 0): String = {
     val (x0, y0, x1, y1) = layer.extent
-    val kx = if (x1 > x0) (quantization - 1) / (x1 - x0) else 1.0
-    val ky = if (y1 > y0) (quantization - 1) / (y1 - y0) else 1.0
+    val flats = (0 until layer.numRings).map { r =>
+      val st = layer.ringStart(r); val en = layer.ringStart(r + 1)
+      val f = new Array[Double]((en - st) * 2)
+      var i = st
+      while (i < en) { f((i - st) * 2) = layer.xx(i); f((i - st) * 2 + 1) = layer.yy(i); i += 1 }
+      f
+    }
+    val (gx, gy) = exportGrid(flats, x1 - x0, y1 - y0, quantization = quantization)
+    val kx = if (x1 > x0 && gx > 0) gx / (x1 - x0) else 1.0
+    val ky = if (y1 > y0 && gy > 0) gy / (y1 - y0) else 1.0
     def qx(v: Double): Long = math.round((v - x0) * kx)
     def qy(v: Double): Long = math.round((v - y0) * ky)
     @inline def pk(x: Long, y: Long): Long = (x << 32) | y

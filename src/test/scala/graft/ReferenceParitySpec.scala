@@ -123,4 +123,20 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(pieces.size == 1, s"want one inside fragment, got ${pieces.size}")
     assert(pieces.head._1.toSeq == Seq(1.0, 1.0, 2.0, 1.0), pieces.head._1.toSeq.toString)
   }
+
+  // reference topojson-test "calcExportBounds()": all four sizing branches,
+  // expectations transcribed from /root/reference/test/topojson-test.mjs:16-44
+  test("topojson export grid sizing matches the reference's calcExportBounds") {
+    import graft.sources.TopoJsonIO.exportGrid
+    // "default uses 0.02 of avg. segment": two arcs, bounds (0,0,2,1) -> [50,50]
+    val twoArcs = Seq(Array(0.0, 0.0, 2.0, 1.0), Array(0.0, 1.0, 2.0, 0.0))
+    assert(exportGrid(twoArcs, 2.0, 1.0) == (50L, 50L))
+    // "user-defined precision" (topojson_precision=0.1), one arc -> [10,10]
+    val oneArc = Seq(Array(0.0, 0.0, 2.0, 1.0))
+    assert(exportGrid(oneArc, 2.0, 1.0, topojsonPrecision = 0.1) == (10L, 10L))
+    // "quantization option" (quantization=1000) -> [999,999]
+    assert(exportGrid(oneArc, 2.0, 1.0, quantization = 1000) == (999L, 999L))
+    // "precision option" (precision=0.1) -> [20,10]
+    assert(exportGrid(oneArc, 2.0, 1.0, precision = 0.1) == (20L, 10L))
+  }
 }
