@@ -109,6 +109,15 @@ object Graft {
   def lambertUsa: Crs.Proj = Crs.Lcc(33.0, 45.0, 39.0, -96.0)
   def utm(zone: Int, south: Boolean = false): Crs.Proj = Crs.utm(zone, south)
   def azimuthalEquidistant(lat0: Double, lon0: Double): Crs.Proj = Crs.Aeqd(lat0, lon0)
+  /** Ellipsoidal (geodesic) AEQD — PROJ's +proj=aeqd +ellps=WGS84. */
+  def azimuthalEquidistantEllipsoidal(lat0: Double, lon0: Double): Crs.Proj =
+    Crs.AeqdGeodesic(lat0, lon0)
+  /** WGS84 direct geodesic (Vincenty): (lon2, lat2, azi2). */
+  def geodesicDirect(lat1: Double, lon1: Double, aziDeg: Double, meters: Double): (Double, Double, Double) =
+    Crs.geodesicDirect(lat1, lon1, aziDeg, meters)
+  /** WGS84 inverse geodesic (Vincenty): (meters, azi1). */
+  def geodesicInverse(lat1: Double, lon1: Double, lat2: Double, lon2: Double): (Double, Double) =
+    Crs.geodesicInverse(lat1, lon1, lat2, lon2)
   def rotation(a: Double, b: Double, c: Double): Crs.Proj = Crs.Rotation(a, b, c)
   /** -proj <name-or-+proj-string>: PROJ.4-style front-end (robinson, moll,
    * sinu, eqearth, stere, merc, aea, lcc, utm, aeqd, longlat + aliases). */

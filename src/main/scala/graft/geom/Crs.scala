@@ -601,7 +601,14 @@ object Crs {
       case "utm" => utm(kv.getOrElse("zone",
         throw new IllegalArgumentException("+proj=utm requires +zone")).toInt,
         kv.contains("south"))
-      case "aeqd" => Aeqd(d("lat_0", 0), d("lon_0", 0))
+      case "aeqd" =>
+        // +ellps= / +datum= selects the ellipsoidal (geodesic) variant,
+        // +R= forces a sphere — PROJ's own convention for aeqd
+        if (kv.contains("R") || kv.contains("a") && !kv.contains("ellps") && !kv.contains("datum"))
+          Aeqd(d("lat_0", 0), d("lon_0", 0), d("R", d("a", A)))
+        else if (kv.contains("ellps") || kv.contains("datum"))
+          AeqdGeodesic(d("lat_0", 0), d("lon_0", 0))
+        else Aeqd(d("lat_0", 0), d("lon_0", 0))
       case "merc" => Mercator(d("lon_0", 0))
       case "robin" => Robinson(d("lon_0", 0))
       case "moll" => Mollweide(d("lon_0", 0))
@@ -674,6 +681,128 @@ object Crs {
 
   /** Azimuthal equidistant, spherical form (Snyder 25-1..25-15) on the
    * WGS84 semi-major sphere — the variant used for quick range maps. */
+  // ------------------------------------------------ ellipsoidal geodesics
+
+  final val B = A * (1.0 - F) // WGS84 semi-minor axis
+
+  /**
+   * Direct geodesic problem on the WGS84 ellipsoid (Vincenty 1975, public
+   * formulas): from (lat1, lon1) along initial azimuth `aziDeg` for
+   * `s` meters → (lon2, lat2, azi2). The reference reaches the same
+   * semantics through geographiclib (`src/geom/mapshaper-geodesic.mjs:92-99`)
+   * for ellipsoidal CRS buffers and distance work.
+   */
+  def geodesicDirect(lat1Deg: Double, lon1Deg: Double, aziDeg: Double,
+                     s: Double): (Double, Double, Double) = {
+    val alpha1 = aziDeg * D2R
+    val sinA1 = math.sin(alpha1); val cosA1 = math.cos(alpha1)
+    val tanU1 = (1.0 - F) * math.tan(lat1Deg * D2R)
+    val cosU1 = 1.0 / math.sqrt(1.0 + tanU1 * tanU1)
+    val sinU1 = tanU1 * cosU1
+    val sigma1 = math.atan2(tanU1, cosA1)
+    val sinAlpha = cosU1 * sinA1
+    val cos2Alpha = 1.0 - sinAlpha * sinAlpha
+    val u2 = cos2Alpha * (A * A - B * B) / (B * B)
+    val bigA = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2)))
+    val bigB = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+    var sigma = s / (B * bigA)
+    var cos2SigmaM = 0.0; var sinSigma = 0.0; var cosSigma = 0.0
+    var iter = 0; var delta = 1.0
+    while (iter < 100 && math.abs(delta) > 1e-14) {
+      cos2SigmaM = math.cos(2.0 * sigma1 + sigma)
+      sinSigma = math.sin(sigma); cosSigma = math.cos(sigma)
+      val dSigma = bigB * sinSigma * (cos2SigmaM + bigB / 4.0 *
+        (cosSigma * (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM) -
+          bigB / 6.0 * cos2SigmaM * (-3.0 + 4.0 * sinSigma * sinSigma) *
+            (-3.0 + 4.0 * cos2SigmaM * cos2SigmaM)))
+      val next = s / (B * bigA) + dSigma
+      delta = next - sigma
+      sigma = next
+      iter += 1
+    }
+    cos2SigmaM = math.cos(2.0 * sigma1 + sigma)
+    sinSigma = math.sin(sigma); cosSigma = math.cos(sigma)
+    val tmp = sinU1 * sinSigma - cosU1 * cosSigma * cosA1
+    val phi2 = math.atan2(sinU1 * cosSigma + cosU1 * sinSigma * cosA1,
+      (1.0 - F) * math.sqrt(sinAlpha * sinAlpha + tmp * tmp))
+    val lambda = math.atan2(sinSigma * sinA1, cosU1 * cosSigma - sinU1 * sinSigma * cosA1)
+    val c = F / 16.0 * cos2Alpha * (4.0 + F * (4.0 - 3.0 * cos2Alpha))
+    val l = lambda - (1.0 - c) * F * sinAlpha * (sigma + c * sinSigma *
+      (cos2SigmaM + c * cosSigma * (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM)))
+    val azi2 = math.atan2(sinAlpha, -tmp)
+    (lon1Deg + l * R2D, phi2 * R2D, azi2 * R2D)
+  }
+
+  /**
+   * Inverse geodesic problem (Vincenty 1975): distance in meters and initial
+   * azimuth from (lat1, lon1) to (lat2, lon2). Converges everywhere except
+   * nearly-antipodal pairs, where it falls back to the last iterate (the
+   * buffer/AEQD use sites never operate near the antipode).
+   */
+  def geodesicInverse(lat1Deg: Double, lon1Deg: Double,
+                      lat2Deg: Double, lon2Deg: Double): (Double, Double) = {
+    val bigL = (lon2Deg - lon1Deg) * D2R
+    val tanU1 = (1.0 - F) * math.tan(lat1Deg * D2R)
+    val cosU1 = 1.0 / math.sqrt(1.0 + tanU1 * tanU1); val sinU1 = tanU1 * cosU1
+    val tanU2 = (1.0 - F) * math.tan(lat2Deg * D2R)
+    val cosU2 = 1.0 / math.sqrt(1.0 + tanU2 * tanU2); val sinU2 = tanU2 * cosU2
+    var lambda = bigL
+    var sinSigma = 0.0; var cosSigma = 1.0; var sigma = 0.0
+    var cos2Alpha = 1.0; var cos2SigmaM = 0.0
+    var iter = 0; var delta = 1.0
+    while (iter < 200 && math.abs(delta) > 1e-13) {
+      val sinL = math.sin(lambda); val cosL = math.cos(lambda)
+      val t1 = cosU2 * sinL
+      val t2 = cosU1 * sinU2 - sinU1 * cosU2 * cosL
+      sinSigma = math.sqrt(t1 * t1 + t2 * t2)
+      if (sinSigma == 0.0) return (0.0, 0.0) // coincident points
+      cosSigma = sinU1 * sinU2 + cosU1 * cosU2 * cosL
+      sigma = math.atan2(sinSigma, cosSigma)
+      val sinAlpha = cosU1 * cosU2 * sinL / sinSigma
+      cos2Alpha = 1.0 - sinAlpha * sinAlpha
+      cos2SigmaM = if (cos2Alpha == 0.0) 0.0 // equatorial line
+        else cosSigma - 2.0 * sinU1 * sinU2 / cos2Alpha
+      val c = F / 16.0 * cos2Alpha * (4.0 + F * (4.0 - 3.0 * cos2Alpha))
+      val next = bigL + (1.0 - c) * F * sinAlpha * (sigma + c * sinSigma *
+        (cos2SigmaM + c * cosSigma * (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM)))
+      delta = next - lambda
+      lambda = next
+      iter += 1
+    }
+    val u2 = cos2Alpha * (A * A - B * B) / (B * B)
+    val bigA = 1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2)))
+    val bigB = u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2)))
+    val dSigma = bigB * sinSigma * (cos2SigmaM + bigB / 4.0 *
+      (cosSigma * (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM) -
+        bigB / 6.0 * cos2SigmaM * (-3.0 + 4.0 * sinSigma * sinSigma) *
+          (-3.0 + 4.0 * cos2SigmaM * cos2SigmaM)))
+    val s = B * bigA * (sigma - dSigma)
+    val azi1 = math.atan2(cosU2 * math.sin(lambda),
+      cosU1 * sinU2 - sinU1 * cosU2 * math.cos(lambda))
+    (s, azi1 * R2D)
+  }
+
+  /**
+   * Ellipsoidal azimuthal equidistant: x = s·sin(azi), y = s·cos(azi) from
+   * the geodesic inverse (how PROJ computes +proj=aeqd on an ellipsoid);
+   * inverse recovers the point with the direct problem. True distance from
+   * the center along any azimuth — the property the spherical [[Aeqd]] only
+   * has on the sphere.
+   */
+  final case class AeqdGeodesic(lat0Deg: Double, lon0Deg: Double) extends Proj {
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val (s, azi) = geodesicInverse(lat0Deg, lon0Deg, latDeg, lonDeg)
+      (s * math.sin(azi * D2R), s * math.cos(azi * D2R))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val s = math.sqrt(x * x + y * y)
+      if (s == 0.0) return (lon0Deg, lat0Deg)
+      val azi = math.atan2(x, y) * R2D
+      val (lon2, lat2, _) = geodesicDirect(lat0Deg, lon0Deg, azi, s)
+      (lon2, lat2)
+    }
+  }
+
   final case class Aeqd(lat0Deg: Double, lon0Deg: Double, radius: Double = A) extends Proj {
     private val phi0 = lat0Deg * D2R
     private val sin0 = math.sin(phi0)

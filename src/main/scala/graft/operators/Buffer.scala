@@ -115,6 +115,25 @@ object Buffer {
     out
   }
 
+  /** Ellipsoidal geodesic point-buffer ring: one Vincenty direct shot per
+   * bearing (the reference's behavior for ellipsoidal CRS via geographiclib,
+   * `src/geom/mapshaper-geodesic.mjs:92-99`; the spherical variant above is
+   * its `+R=` / spherical-CRS branch). */
+  def geodesicPointBufferRingEllipsoidal(lonDeg: Double, latDeg: Double,
+                                         radiusMeters: Double, nSeg: Int = 32): Array[Double] = {
+    val out = new Array[Double]((nSeg + 1) * 2)
+    var i = 0
+    while (i < nSeg) {
+      val bearing = 360.0 * i / nSeg
+      val (lon2, lat2, _) = graft.geom.Crs.geodesicDirect(latDeg, lonDeg, bearing, radiusMeters)
+      out(i * 2) = lon2; out(i * 2 + 1) = lat2
+      i += 1
+    }
+    out(nSeg * 2) = out(0)
+    out(nSeg * 2 + 1) = out(1)
+    out
+  }
+
   /** Geodesic polyline buffer: densify the lon/lat path so consecutive
    * vertices sit well inside each other's buffer circles, place a geodesic
    * ring at every vertex, and merge through the planar mosaic (valid away
