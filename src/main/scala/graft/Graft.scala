@@ -189,6 +189,9 @@ object Graft {
   /** -lines callouts=. */
   def callouts(points: DataFrame, x: String, y: String): DataFrame =
     Lines.callouts(points, x, y)
+  /** -lines chain assembly: merge contiguous classified edges into polylines. */
+  def assembleChains(spark: SparkSession, classified: DataFrame): DataFrame =
+    Lines.assembleChains(spark, classified)
   /** -check-geometry: distributed segment self-intersection report. */
   def checkGeometry(segs: DataFrame, idCol: String, cellSize: Double): DataFrame =
     CheckGeometry.intersectingPairs(segs, idCol, cellSize)

@@ -91,6 +91,41 @@ object Lines {
   }
 
   /**
+   * Assemble classified edges into maximal polylines — the reference merges
+   * contiguous same-key arcs into one line (`mapshaper-lines.mjs:240-282`,
+   * extractLines' continuation/ring-seam merging). Distributed shape: within
+   * each classification group (type, key_a, key_b), two edges chain when they
+   * meet at a vertex used by EXACTLY two group edges (junctions of degree ≥ 3
+   * break chains, like the reference's node splits); chains are connected
+   * components over edge nodes — pointer-jumping CC, O(log chain-length)
+   * rounds, only (edge-id, label) longs shuffle.
+   *
+   * Input: output of [[polygonsToLines]]. Output: one row per chain:
+   * (type, rank, key_a, key_b, chain, n_edges) with `chain` the min edge id.
+   */
+  def assembleChains(spark: SparkSession, classified: DataFrame): DataFrame = {
+    val grp = Seq(col("type"), col("rank"), col("key_a"), col("key_b"))
+    val eid = xxhash64(col("ex1"), col("ey1"), col("ex2"), col("ey2"),
+      col("type"), col("key_a"))
+    val edges = classified.withColumn("eid", eid)
+    // endpoints, keyed by group + vertex
+    val ends = edges.select(grp :+ col("eid") :+
+      explode(array(struct(col("ex1").as("vx"), col("ey1").as("vy")),
+        struct(col("ex2").as("vx"), col("ey2").as("vy")))).as("v"): _*)
+    // vertices where exactly two group edges meet -> an adjacency pair
+    val adj = ends
+      .groupBy(grp :+ col("v"): _*)
+      .agg(collect_list(col("eid")).as("es"))
+      .where(size(col("es")) === 2)
+      .select(col("es").getItem(0).as("u"), col("es").getItem(1).as("v"))
+    val labels = ConnectedComponents.label(spark, edges.select(col("eid").as("id")), adj)
+    edges.join(labels, edges("eid") === labels("id"))
+      .groupBy(grp :+ col("comp").as("chain"): _*)
+      .agg(count(lit(1)).as("n_edges"))
+      .drop("comp")
+  }
+
+  /**
    * `-lines` over a point layer (`mapshaper-lines.mjs:81-152`): connect the
    * points of each group (groupby=) in `orderCol` order into one LineString.
    * Returns (group, line, n_vertices) with `line` a flat [x0,y0,x1,y1,...]

@@ -152,39 +152,10 @@ object OverlayOp {
       .select(col("a.id").as("u"), col("b.id").as("v"))
       .distinct().cache()
 
-    // 2. min-label propagation WITH pointer jumping: each round first takes
-    // the min over graph neighbors, then replaces every label by its label's
-    // label (path halving) — convergence in O(log diameter) rounds instead of
-    // O(diameter), so a 1000-parcel chain needs ~10 rounds, not 1000.
-    // localCheckpoint each iteration: iterative plans otherwise grow a
-    // join-chain logical tree that sends Catalyst analysis superlinear after
-    // ~8 rounds (caching truncates execution, NOT analysis).
-    val sym = pairs.union(pairs.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true)
-    var labels = ds.map(t => (t._1, t._1)).toDF("id", "comp").localCheckpoint(true)
-    var changedCount = 1L
-    var iter = 0
-    while (changedCount > 0 && iter < maxIters) {
-      val neighborMin = sym.join(labels, sym("v") === labels("id"))
-        .groupBy(col("u").as("id2")).agg(min(col("comp")).as("ncomp"))
-      val hooked = labels.join(neighborMin, labels("id") === col("id2"), "left")
-        .select(col("id"), least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-      // pointer jumping: comp <- label(comp)
-      val next = hooked.as("x")
-        .join(hooked.select(col("id").as("cid"), col("comp").as("ccomp")).as("y"),
-          col("x.comp") === col("cid"), "left")
-        .select(col("x.id").as("id"),
-          least(col("x.comp"), coalesce(col("ccomp"), col("x.comp"))).as("comp"))
-        .localCheckpoint(true)
-      changedCount = next.as("n").join(labels.as("o"), col("n.id") === col("o.id"))
-        .filter(col("n.comp") =!= col("o.comp")).count()
-      labels.unpersist()
-      labels = next
-      iter += 1
-    }
-    require(changedCount == 0,
-      s"dissolve2Distributed: connected-components failed to converge after $maxIters " +
-        s"rounds ($changedCount labels still changing) — raise maxIters")
+    // 2. min-label propagation with pointer jumping (shared helper —
+    // O(log diameter) rounds, only (id, comp) longs shuffle)
+    val labels = ConnectedComponents.label(spark,
+      ds.map(t => t._1).toDF("id"), pairs, maxIters)
 
     // 3. mosaic dissolve per component
     ds.toDF("id", "ring").join(labels, "id")

@@ -40,6 +40,27 @@ class LinesFurnitureSpec extends SparkSuite {
     assert(shared.head.getLong(6) == 1L && shared.head.getLong(7) == 2L)
   }
 
+  test("-lines chain assembly: contiguous same-key edges merge, junctions split") {
+    // three unit squares in a row, same g: each square's outer edges form one
+    // chain (3 edges for the end squares, 2 for the middle); each shared
+    // (inner) edge is its own single-edge chain (distinct key pairs)
+    val polys = Seq(
+      (1L, "a", rect(0, 0, 1, 1)),
+      (2L, "a", rect(1, 0, 2, 1)),
+      (3L, "a", rect(2, 0, 3, 1))).toDF("key", "g", "ring")
+    val classified = Lines.polygonsToLines(polys, "key", "ring", Seq("g"))
+    val chains = Lines.assembleChains(spark, classified)
+      .select("type", "key_a", "n_edges")
+      .as[(String, Long, Long)].collect()
+    val inner = chains.filter(_._1 == "inner")
+    assert(inner.length == 2 && inner.forall(_._3 == 1))
+    val outer = chains.filter(_._1 == "outer")
+    // outer edges: square1 left+top+bottom (one 3-edge chain), square2
+    // top+bottom (two 1-edge chains: they never touch within the group),
+    // square3 right+top+bottom (one 3-edge chain)
+    assert(outer.map(_._3).sorted.toSeq == Seq(1L, 1L, 3L, 3L), outer.mkString(","))
+  }
+
   test("-lines points->line assembles in order; groups are independent") {
     val pts = Seq((1L, 0), (3L, 0), (2L, 0), (10L, 1), (11L, 1))
       .toDF("id", "g")
