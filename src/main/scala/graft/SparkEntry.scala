@@ -1909,6 +1909,28 @@ object SparkEntry {
         .orderBy("x1", "y1", "x2", "y2")
     }),
 
+    // -lines chain assembly: chain-size histogram per classification group
+    // (labeling-invariant, so the pointer-jumping CC is oracle-checkable)
+    "q_lines_chains" -> ((s, dir) => {
+      val cells = points(s, dir)
+        .select(floor(col("x") / 10.0).cast("long").as("cx"),
+          floor(col("y") / 10.0).cast("long").as("cy"))
+        .distinct()
+        .withColumn("key", col("cx") * 1000 + col("cy"))
+        .withColumn("g", (col("cx") + col("cy")) % 3)
+      val d = (c: Column) => c.cast("double")
+      val rings = cells.withColumn("ring", array(
+        d(col("cx")), d(col("cy")),
+        d(col("cx") + 1), d(col("cy")),
+        d(col("cx") + 1), d(col("cy") + 1),
+        d(col("cx")), d(col("cy") + 1),
+        d(col("cx")), d(col("cy"))))
+      Lines.assembleChains(s, Lines.polygonsToLines(rings, "key", "ring", Seq("g")))
+        .groupBy("type", "rank", "key_a", "key_b", "n_edges")
+        .agg(count(lit(1)).as("n_chains"))
+        .orderBy("type", "rank", "key_a", "key_b", "n_edges")
+    }),
+
     // -lines over points: groupby= assembly into ordered LineStrings,
     // verified vertex by vertex
     "q_points_lines" -> ((s, dir) => {
@@ -3024,6 +3046,56 @@ object SparkEntry {
          |  CAST(CASE WHEN c = 1 THEN 0 WHEN ga <> gb THEN 1 ELSE 2 END AS BIGINT) AS rank,
          |  key_a, key_b
          |FROM ec ORDER BY x1, y1, x2, y2""".stripMargin,
+
+    // -lines chain assembly: min-label propagation unrolled to 4 rounds
+    // (groups have <= 4 edges in the square-cell fixture, diameter <= 3;
+    // extra rounds are no-ops, so the unroll is exact). Chain-size
+    // histograms are labeling-invariant — the Spark side labels via
+    // pointer-jumping CC over hashed edge ids, the mirror via lexicographic
+    // edge codes; sizes must agree exactly.
+    "q_lines_chains" -> {
+      val rounds = (1 to 4).map { k =>
+        s"""l$k AS MATERIALIZED (SELECT l.eid, l.type, l.rank, l.key_a, l.key_b,
+           |  least(l.lbl, coalesce(min(n.lbl), l.lbl)) AS lbl
+           |  FROM l${k - 1} l
+           |  LEFT JOIN adj a ON a.u = l.eid
+           |  LEFT JOIN l${k - 1} n ON n.eid = a.v
+           |  GROUP BY l.eid, l.type, l.rank, l.key_a, l.key_b, l.lbl)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $ptsSql,
+         |cells AS (SELECT DISTINCT CAST(floor(x / 10.0) AS BIGINT) AS cx,
+         |    CAST(floor(y / 10.0) AS BIGINT) AS cy FROM pts),
+         |cc AS (SELECT cx, cy, cx * 1000 + cy AS key, (cx + cy) % 3 AS g FROM cells),
+         |edges AS (
+         |  SELECT cx AS x1, cy AS y1, cx + 1 AS x2, cy AS y2, key, g FROM cc
+         |  UNION ALL SELECT cx, cy + 1, cx + 1, cy + 1, key, g FROM cc
+         |  UNION ALL SELECT cx, cy, cx, cy + 1, key, g FROM cc
+         |  UNION ALL SELECT cx + 1, cy, cx + 1, cy + 1, key, g FROM cc),
+         |ec AS (SELECT x1, y1, x2, y2, count(*) AS c,
+         |    min(key) AS key_a,
+         |    CASE WHEN count(*) > 1 THEN max(key) END AS key_b,
+         |    min_by(g, key) AS ga, max_by(g, key) AS gb
+         |  FROM edges GROUP BY x1, y1, x2, y2),
+         |cl AS (SELECT
+         |    CASE WHEN c = 1 THEN 'outer' WHEN ga <> gb THEN 'g' ELSE 'inner' END AS type,
+         |    CAST(CASE WHEN c = 1 THEN 0 WHEN ga <> gb THEN 1 ELSE 2 END AS BIGINT) AS rank,
+         |    key_a, key_b,
+         |    ((x1 * 200 + y1) * 200 + x2) * 200 + y2 AS eid,
+         |    x1, y1, x2, y2
+         |  FROM ec),
+         |ends AS (SELECT type, rank, key_a, key_b, eid, x1 AS vx, y1 AS vy FROM cl
+         |  UNION ALL SELECT type, rank, key_a, key_b, eid, x2, y2 FROM cl),
+         |adj0 AS (SELECT min(eid) AS u, max(eid) AS v
+         |  FROM ends GROUP BY type, key_a, key_b, vx, vy HAVING count(*) = 2),
+         |adj AS (SELECT u, v FROM adj0 UNION SELECT v AS u, u AS v FROM adj0),
+         |l0 AS MATERIALIZED (SELECT eid, type, rank, key_a, key_b, eid AS lbl FROM cl),
+         |$rounds,
+         |ch AS (SELECT type, rank, key_a, key_b, lbl, count(*) AS n_edges
+         |  FROM l4 GROUP BY type, rank, key_a, key_b, lbl)
+         |SELECT type, rank, key_a, key_b, n_edges, count(*) AS n_chains
+         |FROM ch GROUP BY type, rank, key_a, key_b, n_edges
+         |ORDER BY type, rank, key_a, key_b, n_edges""".stripMargin
+    },
 
     // -lines over points: ordered LineString assembly, vertex by vertex
     "q_points_lines" ->
