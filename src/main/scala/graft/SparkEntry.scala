@@ -1953,6 +1953,28 @@ object SparkEntry {
         .orderBy("a_id", "b_id")
     }),
 
+    // ellipsoidal geodesic inverse (Vincenty): distance to the meter and
+    // azimuth to 1e-4 degree on 30 derived pairs — the SQL mirror unrolls
+    // the lambda iteration to a fixed 8 rounds (the operator iterates to
+    // 1e-13; the guard absorbs the sub-micrometer tail difference)
+    "q_geodesic" -> ((s, dir) => {
+      val invUdf = udf { (lat1: Double, lon1: Double, lat2: Double, lon2: Double) =>
+        val (dist, azi) = graft.geom.Crs.geodesicInverse(lat1, lon1, lat2, lon2)
+        (math.floor(dist).toLong, math.floor(azi * 10000.0).toLong)
+      }
+      points(s, dir).where(col("id") <= 30)
+        .select(col("id"),
+          ((col("y") - 50.0) * 1.2).as("lat1"),
+          ((col("x") - 50.0) * 3.2).as("lon1"),
+          (derivedY(col("id") * 57 + 3) / 10.0 - 5.0).as("dlat"),
+          (derivedX(col("id") * 31 + 17) / 10.0 - 5.0).as("dlon"))
+        .select(col("id"),
+          invUdf(col("lat1"), col("lon1"),
+            col("lat1") + col("dlat"), col("lon1") + col("dlon")).as("r"))
+        .select(col("id"), col("r._1").as("dist_m"), col("r._2").as("azi_int"))
+        .orderBy("id")
+    }),
+
     // -shape: rectangle (densified at 0.5) and circle constructors,
     // vertex-exact (circle sin/cos floor-guarded)
     "q_shape" -> ((s, dir) => {
@@ -3133,6 +3155,66 @@ object SparkEntry {
          |SELECT a_id, b_id FROM f
          |WHERE shared = 0 AND bb = 1 AND o1 * o2 <= 0 AND o3 * o4 <= 0
          |ORDER BY a_id, b_id""".stripMargin,
+
+    // Vincenty inverse geodesic, lambda iteration unrolled to 8 fixed rounds
+    // (operator converges to 1e-13 in <=5 on these +-5 degree pairs; the
+    // meter/1e-4-degree floors absorb the tail). All constants are exact
+    // double literals; every expression mirrors the Scala op order.
+    "q_geodesic" -> {
+      val fC = dl(graft.geom.Crs.F)
+      val aC = dl(graft.geom.Crs.A)
+      val bC = dl(graft.geom.Crs.B)
+      val rounds = (1 to 8).map { k =>
+        s"""g$k AS MATERIALIZED (SELECT id, L, sinU1, cosU1, sinU2, cosU2,
+           |  sin(lambda) AS sinL, cos(lambda) AS cosL,
+           |  cosU2 * sinL AS t1,
+           |  cosU1 * sinU2 - sinU1 * cosU2 * cosL AS t2,
+           |  sqrt(t1 * t1 + t2 * t2) AS sinSigma,
+           |  sinU1 * sinU2 + cosU1 * cosU2 * cosL AS cosSigma,
+           |  atan2(sinSigma, cosSigma) AS sigma,
+           |  cosU1 * cosU2 * sinL / sinSigma AS sinAlpha,
+           |  1.0 - sinAlpha * sinAlpha AS cos2Alpha,
+           |  CASE WHEN cos2Alpha = 0.0 THEN 0.0
+           |    ELSE cosSigma - 2.0 * sinU1 * sinU2 / cos2Alpha END AS cos2SigmaM,
+           |  $fC / 16.0 * cos2Alpha * (4.0 + $fC * (4.0 - 3.0 * cos2Alpha)) AS cf,
+           |  L + (1.0 - cf) * $fC * sinAlpha * (sigma + cf * sinSigma *
+           |    (cos2SigmaM + cf * cosSigma *
+           |      (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM))) AS lambda
+           |  FROM g${k - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $ptsSql,
+         |pp AS (SELECT id,
+         |  (y - 50.0) * 1.2 AS lat1, (x - 50.0) * 3.2 AS lon1,
+         |  (y - 50.0) * 1.2 + (${derivedYSql("(id * 57 + 3)")} / 10.0 - 5.0) AS lat2,
+         |  (x - 50.0) * 3.2 + (${derivedXSql("(id * 31 + 17)")} / 10.0 - 5.0) AS lon2
+         |  FROM pts WHERE id <= 30),
+         |base AS (SELECT id,
+         |  (lon2 - lon1) * (pi() / 180.0) AS L,
+         |  (1.0 - $fC) * tan(lat1 * (pi() / 180.0)) AS tanU1,
+         |  1.0 / sqrt(1.0 + tanU1 * tanU1) AS cosU1,
+         |  tanU1 * cosU1 AS sinU1,
+         |  (1.0 - $fC) * tan(lat2 * (pi() / 180.0)) AS tanU2,
+         |  1.0 / sqrt(1.0 + tanU2 * tanU2) AS cosU2,
+         |  tanU2 * cosU2 AS sinU2
+         |  FROM pp),
+         |g0 AS MATERIALIZED (SELECT id, L, sinU1, cosU1, sinU2, cosU2, L AS lambda FROM base),
+         |$rounds,
+         |fin AS (SELECT id,
+         |  cos2Alpha * ($aC * $aC - $bC * $bC) / ($bC * $bC) AS u2,
+         |  1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2))) AS bigA,
+         |  u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2))) AS bigB,
+         |  bigB * sinSigma * (cos2SigmaM + bigB / 4.0 *
+         |    (cosSigma * (-1.0 + 2.0 * cos2SigmaM * cos2SigmaM) -
+         |      bigB / 6.0 * cos2SigmaM * (-3.0 + 4.0 * sinSigma * sinSigma) *
+         |        (-3.0 + 4.0 * cos2SigmaM * cos2SigmaM))) AS dSigma,
+         |  $bC * bigA * (sigma - dSigma) AS s,
+         |  atan2(cosU2 * sin(lambda),
+         |    cosU1 * sinU2 - sinU1 * cosU2 * cos(lambda)) * (180.0 / pi()) AS azi
+         |  FROM g8)
+         |SELECT id, CAST(floor(s) AS BIGINT) AS dist_m,
+         |  CAST(floor(azi * 10000.0) AS BIGINT) AS azi_int
+         |FROM fin ORDER BY id""".stripMargin
+    },
 
     // -shape: rectangle side densification (exact halves) + 37-vertex circle
     // (sin/cos floor-guarded at 1e6)
