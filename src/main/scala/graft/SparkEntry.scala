@@ -2029,6 +2029,28 @@ object SparkEntry {
         .orderBy("id", "seq")
     }),
 
+    // -simplify (Visvalingam): exact per-vertex removal thresholds of a
+    // 22-vertex derived polyline — the heap loop is equivalent to
+    // "remove argmin effective area, record prefix-max" which the SQL
+    // mirror unrolls; areas/sqrt are exact IEEE on both sides
+    "q_simplify_vis" -> ((s, dir) => {
+      val thrUdf = udf { (xs: Seq[Double], ys: Seq[Double]) =>
+        graft.geom.Simplify.thresholds(xs.toArray, ys.toArray,
+          graft.geom.Simplify.Visvalingam).toSeq
+      }
+      points(s, dir).where(col("id") >= 1 && col("id") <= 22)
+        .groupBy(lit(1).as("g"))
+        .agg(array_sort(collect_list(struct(col("id"), col("x"), col("y")))).as("pts"))
+        .select(
+          transform(col("pts"), p => p.getField("x")).as("xs"),
+          transform(col("pts"), p => p.getField("y")).as("ys"))
+        .select(posexplode(thrUdf(col("xs"), col("ys"))))
+        .where(col("pos") >= 1 && col("pos") <= 20) // interior vertices
+        .select((col("pos") + 1).cast("long").as("vi"),
+          floor(col("col") * 1000000000.0).cast("long").as("thr_int"))
+        .orderBy("vi")
+    }),
+
     // -svg-style: conditional style-column assignment with where=
     "q_svg_style" -> ((s, dir) =>
       SvgStyle(points(s, dir),
@@ -3295,6 +3317,38 @@ object SparkEntry {
          |  CAST(floor((cos((CAST(v.i % 4 AS DOUBLE) + 0.5) / 4.0 * 360.0 / 180.0 * pi()) * scale + y)
          |    * 1000000.0) AS BIGINT) AS y_int
          |FROM p CROSS JOIN v ORDER BY id, seq""".stripMargin,
+
+    // -simplify (Visvalingam): the heap loop == "remove argmin effective
+    // area; recorded threshold = prefix max of removal areas" — unrolled to
+    // the exact 20 removals of the 22-vertex fixture. Triangle areas,
+    // prefix max, sqrt and the 0.65 linearization are bit-identical IEEE.
+    "q_simplify_vis" -> {
+      val c65 = dl(0.65)
+      val rounds = (1 to 20).map { k =>
+        s"""a$k AS (SELECT idx, x, y,
+           |  lag(x) OVER (ORDER BY idx) AS px, lag(y) OVER (ORDER BY idx) AS py,
+           |  lead(x) OVER (ORDER BY idx) AS nx, lead(y) OVER (ORDER BY idx) AS ny
+           |  FROM s${k - 1} WHERE alive),
+           |m$k AS MATERIALIZED (SELECT idx AS rem,
+           |  abs(((py - ny) * (x - nx) + (y - ny) * (nx - px)) / 2.0) AS v
+           |  FROM a$k WHERE px IS NOT NULL AND nx IS NOT NULL
+           |  ORDER BY v, idx LIMIT 1),
+           |s$k AS MATERIALIZED (SELECT s.idx, s.x, s.y,
+           |  s.alive AND s.idx <> m.rem AS alive
+           |  FROM s${k - 1} s, m$k m)""".stripMargin
+      }.mkString(",\n")
+      val rec = (1 to 20).map(k => s"SELECT $k AS k, rem, v FROM m$k")
+        .mkString("\nUNION ALL ")
+      s"""WITH $ptsSql,
+         |s0 AS MATERIALIZED (SELECT id AS idx, x, y, TRUE AS alive
+         |  FROM pts WHERE id >= 1 AND id <= 22),
+         |$rounds,
+         |rec AS ($rec),
+         |thr AS (SELECT rem AS vi, max(v) OVER (ORDER BY k) AS t FROM rec)
+         |SELECT CAST(vi AS BIGINT) AS vi,
+         |  CAST(floor(sqrt(t) * $c65 * 1000000000.0) AS BIGINT) AS thr_int
+         |FROM thr ORDER BY vi""".stripMargin
+    },
 
     // -svg-style: where=-gated style columns (excluded rows -> NULL)
     "q_svg_style" ->

@@ -266,11 +266,22 @@ object Simplify {
    * Array-backed binary min-heap over external values, with position tracking
    * for O(log n) `update` (mirrors `mapshaper-heap.mjs`).
    */
+  /** Index-addressable binary min-heap. Ties on value break by smaller item
+   * id, so the removal ORDER (and with it the clamped threshold sequence) is
+   * fully deterministic — lattice-derived coordinates produce exact area
+   * ties, and an arbitrary heap order would make simplification output
+   * depend on heap internals. */
   final class MinHeap(values: Array[Double]) {
     private val n = values.length
     private val heap = new Array[Int](n)   // heap slot -> item id
     private val pos = new Array[Int](n)    // item id -> heap slot
     private var _size = n
+
+    /** (value, id) lexicographic: a strictly-less-than b. */
+    @inline private def lt(a: Int, b: Int): Boolean = {
+      val va = values(a); val vb = values(b)
+      va < vb || (va == vb && a < b)
+    }
     locally {
       var i = 0
       while (i < n) { heap(i) = i; pos(i) = i; i += 1 }
@@ -301,10 +312,9 @@ object Simplify {
     private def up(i0: Int): Unit = {
       var i = i0
       val id = heap(i)
-      val v = values(id)
       while (i > 0) {
         val p = (i - 1) / 2
-        if (values(heap(p)) <= v) return swapDone(i, id)
+        if (!lt(id, heap(p))) return swapDone(i, id)
         moveTo(heap(p), i)
         i = p
       }
@@ -316,14 +326,13 @@ object Simplify {
     private def down(i0: Int): Unit = {
       var i = i0
       val id = heap(i)
-      val v = values(id)
       var continue = true
       while (continue) {
         var c = 2 * i + 1
         if (c >= _size) continue = false
         else {
-          if (c + 1 < _size && values(heap(c + 1)) < values(heap(c))) c += 1
-          if (values(heap(c)) >= v) continue = false
+          if (c + 1 < _size && lt(heap(c + 1), heap(c))) c += 1
+          if (!lt(heap(c), id)) continue = false
           else { moveTo(heap(c), i); i = c }
         }
       }
