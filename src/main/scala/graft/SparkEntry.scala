@@ -2029,6 +2029,20 @@ object SparkEntry {
         .orderBy("id", "seq")
     }),
 
+    // -cluster greedy agglomeration: exact merge-sequence parity on 20
+    // derived centroids to k=6 (14 merges unrolled in the mirror; weighted
+    // centroid updates are identical IEEE on both sides)
+    "q_cluster_greedy" -> ((s, dir) => {
+      import s.implicits._
+      val items = points(s, dir).where(col("id") >= 1 && col("id") <= 20)
+        .orderBy("id")
+        .select("id", "x", "y").as[(Long, Double, Double)].collect().toSeq
+      val assign = Cluster.greedy(items, k = 6)
+      items.map { case (id, _, _) => (id, assign(id).toLong) }
+        .toDF("id", "cluster")
+        .orderBy("id")
+    }),
+
     // -simplify (Visvalingam): exact per-vertex removal thresholds of a
     // 22-vertex derived polyline — the heap loop is equivalent to
     // "remove argmin effective area, record prefix-max" which the SQL
@@ -3317,6 +3331,41 @@ object SparkEntry {
          |  CAST(floor((cos((CAST(v.i % 4 AS DOUBLE) + 0.5) / 4.0 * 360.0 / 180.0 * pi()) * scale + y)
          |    * 1000000.0) AS BIGINT) AS y_int
          |FROM p CROSS JOIN v ORDER BY id, seq""".stripMargin,
+
+    // -cluster greedy agglomeration unrolled: each round merges the closest
+    // alive pair (ties -> lexicographic scan order, mirroring the kernel's
+    // strict-< scan), weighted-centroid arithmetic in identical op order;
+    // final label = dense rank of the surviving root index
+    "q_cluster_greedy" -> {
+      val rounds = (1 to 14).map { k =>
+        s"""m$k AS MATERIALIZED (SELECT a.cid AS bi, b.cid AS bj,
+           |  b.cx AS bcx, b.cy AS bcy, b.sz AS bsz
+           |  FROM s${k - 1} a JOIN s${k - 1} b ON a.cid < b.cid AND a.alive AND b.alive
+           |  ORDER BY (a.cx - b.cx) * (a.cx - b.cx) + (a.cy - b.cy) * (a.cy - b.cy),
+           |    a.cid, b.cid
+           |  LIMIT 1),
+           |s$k AS MATERIALIZED (SELECT s.cid,
+           |  CASE WHEN s.cid = m.bi THEN (s.cx * s.sz + m.bcx * m.bsz) / (s.sz + m.bsz)
+           |    ELSE s.cx END AS cx,
+           |  CASE WHEN s.cid = m.bi THEN (s.cy * s.sz + m.bcy * m.bsz) / (s.sz + m.bsz)
+           |    ELSE s.cy END AS cy,
+           |  CASE WHEN s.cid = m.bi THEN s.sz + m.bsz ELSE s.sz END AS sz,
+           |  s.alive AND s.cid <> m.bj AS alive
+           |  FROM s${k - 1} s, m$k m),
+           |a$k AS MATERIALIZED (SELECT a.id,
+           |  CASE WHEN a.root = m.bj THEN m.bi ELSE a.root END AS root
+           |  FROM a${k - 1} a, m$k m)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $ptsSql,
+         |items AS (SELECT id, x, y, row_number() OVER (ORDER BY id) - 1 AS cid
+         |  FROM pts WHERE id >= 1 AND id <= 20),
+         |s0 AS MATERIALIZED (SELECT cid, x AS cx, y AS cy,
+         |  CAST(1.0 AS DOUBLE) AS sz, TRUE AS alive FROM items),
+         |a0 AS MATERIALIZED (SELECT id, cid AS root FROM items),
+         |$rounds
+         |SELECT id, CAST(dense_rank() OVER (ORDER BY root) - 1 AS BIGINT) AS cluster
+         |FROM a14 ORDER BY id""".stripMargin
+    },
 
     // -simplify (Visvalingam): the heap loop == "remove argmin effective
     // area; recorded threshold = prefix max of removal areas" — unrolled to
