@@ -2029,6 +2029,28 @@ object SparkEntry {
         .orderBy("id", "seq")
     }),
 
+    // -alpha-shapes: the alpha-complex boundary edge set (by point ids) of
+    // 24 derived points — Bowyer-Watson here vs brute-force empty-
+    // circumcircle Delaunay in the mirror (the triangulation is unique in
+    // general position, so the topology matches; the radius filter uses the
+    // identical circumcenter-distance arithmetic)
+    "q_alpha_edges" -> ((s, dir) => {
+      import s.implicits._
+      val pts24 = points(s, dir).where(col("id") >= 1 && col("id") <= 24)
+        .orderBy("id").select("id", "x", "y").as[(Long, Double, Double)].collect()
+      val xs = pts24.map(_._2); val ys = pts24.map(_._3)
+      val tris = AlphaShape.complexTriangles(xs, ys, alpha = 12.0)
+      val counts = scala.collection.mutable.Map.empty[(Long, Long), Int]
+      tris.grouped(3).foreach { t =>
+        Seq((t(0), t(1)), (t(1), t(2)), (t(0), t(2))).foreach { case (u, v) =>
+          val key = (pts24(math.min(u, v))._1, pts24(math.max(u, v))._1)
+          counts(key) = counts.getOrElse(key, 0) + 1
+        }
+      }
+      counts.filter(_._2 == 1).keys.toSeq.sorted
+        .toDF("a_id", "b_id").orderBy("a_id", "b_id")
+    }),
+
     // -cluster greedy agglomeration: exact merge-sequence parity on 20
     // derived centroids to k=6 (14 merges unrolled in the mirror; weighted
     // centroid updates are identical IEEE on both sides)
@@ -3331,6 +3353,34 @@ object SparkEntry {
          |  CAST(floor((cos((CAST(v.i % 4 AS DOUBLE) + 0.5) / 4.0 * 360.0 / 180.0 * pi()) * scale + y)
          |    * 1000000.0) AS BIGINT) AS y_int
          |FROM p CROSS JOIN v ORDER BY id, seq""".stripMargin,
+
+    // -alpha-shapes boundary edges: brute-force Delaunay (empty strict
+    // circumcircle over all triples) + the kernel's exact circumcenter/
+    // radius arithmetic + edge-multiplicity-1 boundary rule
+    "q_alpha_edges" ->
+      s"""WITH $ptsSql,
+         |p24 AS (SELECT id, x, y FROM pts WHERE id >= 1 AND id <= 24),
+         |tri AS (SELECT a.id AS ia, b.id AS ib, c.id AS ic,
+         |    a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by, c.x AS cx, c.y AS cy,
+         |    2.0 * (a.x * (b.y - c.y) + b.x * (c.y - a.y) + c.x * (a.y - b.y)) AS d
+         |  FROM p24 a JOIN p24 b ON a.id < b.id JOIN p24 c ON b.id < c.id),
+         |ccs AS (SELECT ia, ib, ic, ax, ay,
+         |    ax * ax + ay * ay AS a2, bx * bx + by * by AS b2, cx * cx + cy * cy AS c2,
+         |    (a2 * (by - cy) + b2 * (cy - ay) + c2 * (ay - by)) / d AS ux,
+         |    (a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)) / d AS uy
+         |  FROM tri WHERE d <> 0),
+         |del AS (SELECT ia, ib, ic, ux, uy, ax, ay FROM ccs
+         |  WHERE NOT EXISTS (SELECT 1 FROM p24 p
+         |    WHERE p.id <> ccs.ia AND p.id <> ccs.ib AND p.id <> ccs.ic
+         |      AND (p.x - ux) * (p.x - ux) + (p.y - uy) * (p.y - uy)
+         |        < (ax - ux) * (ax - ux) + (ay - uy) * (ay - uy))),
+         |kept AS (SELECT ia, ib, ic FROM del
+         |  WHERE sqrt((ux - ax) * (ux - ax) + (uy - ay) * (uy - ay)) <= 12.0),
+         |ed AS (SELECT least(ia, ib) AS u, greatest(ia, ib) AS v FROM kept
+         |  UNION ALL SELECT least(ib, ic), greatest(ib, ic) FROM kept
+         |  UNION ALL SELECT least(ia, ic), greatest(ia, ic) FROM kept)
+         |SELECT u AS a_id, v AS b_id FROM ed
+         |GROUP BY u, v HAVING count(*) = 1 ORDER BY a_id, b_id""".stripMargin,
 
     // -cluster greedy agglomeration unrolled: each round merges the closest
     // alive pair (ties -> lexicographic scan order, mirroring the kernel's
