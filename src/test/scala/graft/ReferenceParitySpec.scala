@@ -124,6 +124,37 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(pieces.head._1.toSeq == Seq(1.0, 1.0, 2.0, 1.0), pieces.head._1.toSeq.toString)
   }
 
+  // reference lines-test.mjs:374-398 (`polygonsToLines` on the 2x2 quad grid
+  // `lyrb`, foo: a,a,b,b / bar: 1,1,2,3): one-field expectation is
+  // [inner x2 @RANK2, foo x2 @RANK1, outer x4 @RANK0]; two-field is
+  // [inner x1 @RANK3, bar x1 @RANK2, foo x2 @RANK1, outer x4 @RANK0].
+  // Our model emits classified edges; assembled chains correspond 1:1 to the
+  // reference's merged arc-lines on this fixture.
+  test("-lines classification matches the reference's 2x2 grid expectations") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    def sq(x0: Double, y0: Double): Array[Double] =
+      Array(x0, y0, x0 + 1, y0, x0 + 1, y0 + 1, x0, y0 + 1, x0, y0)
+    val polys = Seq(
+      (1L, "a", 1L, sq(0, 1)), // tl
+      (2L, "a", 1L, sq(1, 1)), // tr
+      (3L, "b", 2L, sq(0, 0)), // bl
+      (4L, "b", 3L, sq(1, 0))) // br
+      .toDF("key", "foo", "bar", "ring")
+
+    def histogram(fields: Seq[String]): Map[(String, Long), Long] =
+      graft.operators.Lines.assembleChains(spark,
+        graft.operators.Lines.polygonsToLines(polys, "key", "ring", fields))
+        .groupBy("type", "rank").agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+        .collect().map(r => ((r.getString(0), r.getLong(1)), r.getLong(2))).toMap
+
+    assert(histogram(Seq("foo")) ==
+      Map(("inner", 2L) -> 2L, ("foo", 1L) -> 2L, ("outer", 0L) -> 4L))
+    assert(histogram(Seq("foo", "bar")) ==
+      Map(("inner", 3L) -> 1L, ("bar", 2L) -> 1L, ("foo", 1L) -> 2L, ("outer", 0L) -> 4L))
+  }
+
   // reference topojson-test "calcExportBounds()": all four sizing branches,
   // expectations transcribed from /root/reference/test/topojson-test.mjs:16-44
   test("topojson export grid sizing matches the reference's calcExportBounds") {
