@@ -2029,6 +2029,23 @@ object SparkEntry {
         .orderBy("id", "seq")
     }),
 
+    // -points endpoints=: first/last vertex of each assembled group line
+    "q_points_endpoints" -> ((s, dir) => {
+      val pts = points(s, dir).withColumn("g", col("id") % 7)
+      Points.endpoints(Lines.pointsToLines(pts, "g", "id", "x", "y"), "group", "line")
+        .orderBy("group", "which")
+    }),
+
+    // -points from a WKT field: codegen regexp_extract round trip
+    "q_points_wkt" -> ((s, dir) => {
+      val wkt = points(s, dir).select(col("id"),
+        concat(lit("POINT ("), ((col("id") * 31) % 1000).cast("string"),
+          lit(" "), ((col("id") * 77) % 1000).cast("string"), lit(")")).as("wkt"))
+      Points.fromWkt(wkt, "wkt")
+        .select(col("id"), col("x").cast("long").as("px"), col("y").cast("long").as("py"))
+        .orderBy("id")
+    }),
+
     // -alpha-shapes: the alpha-complex boundary edge set (by point ids) of
     // 24 derived points — Bowyer-Watson here vs brute-force empty-
     // circumcircle Delaunay in the mirror (the triangulation is unique in
@@ -3353,6 +3370,22 @@ object SparkEntry {
          |  CAST(floor((cos((CAST(v.i % 4 AS DOUBLE) + 0.5) / 4.0 * 360.0 / 180.0 * pi()) * scale + y)
          |    * 1000000.0) AS BIGINT) AS y_int
          |FROM p CROSS JOIN v ORDER BY id, seq""".stripMargin,
+
+    // -points endpoints=: min/max-id vertex per group line
+    "q_points_endpoints" ->
+      s"""WITH $ptsSql
+         |SELECT id % 7 AS "group", 'start' AS which,
+         |  min_by(x, id) AS x, min_by(y, id) AS y FROM pts GROUP BY id % 7
+         |UNION ALL
+         |SELECT id % 7, 'end', max_by(x, id), max_by(y, id) FROM pts GROUP BY id % 7
+         |ORDER BY "group", which""".stripMargin,
+
+    // -points wkt= round trip (integer-valued coordinates -> exact)
+    "q_points_wkt" ->
+      s"""WITH $ptsSql
+         |SELECT id, CAST((id * 31) % 1000 AS BIGINT) AS px,
+         |  CAST((id * 77) % 1000 AS BIGINT) AS py
+         |FROM pts ORDER BY id""".stripMargin,
 
     // -alpha-shapes boundary edges: brute-force Delaunay (empty strict
     // circumcircle over all triples) + the kernel's exact circumcenter/

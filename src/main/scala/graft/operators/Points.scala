@@ -97,6 +97,31 @@ object Points {
     rows.result().toDF("poly_key", "ring", "seg", "mx", "my")
   }
 
+  /** `-points endpoints=`: first and last vertex of each path
+   * (`mapshaper-points.mjs` endpoints mode). Pure built-in element access —
+   * codegen, no shuffle. Output: idCol + (which: 'start'|'end', x, y). */
+  def endpoints(lines: org.apache.spark.sql.DataFrame, idCol: String,
+                lineCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val l = col(lineCol)
+    val n = size(l)
+    lines.select(col(idCol), explode(array(
+      struct(lit("start").as("which"),
+        element_at(l, 1).as("x"), element_at(l, 2).as("y")),
+      struct(lit("end").as("which"),
+        element_at(l, n - 1).as("x"), element_at(l, n).as("y")))).as("p"))
+      .select(col(idCol), col("p.which"), col("p.x"), col("p.y"))
+  }
+
+  /** `-points` from a WKT field (`mapshaper-points.mjs` wkt mode, POINT
+   * geometry): extracts x/y via codegen `regexp_extract` — no UDF. */
+  def fromWkt(df: org.apache.spark.sql.DataFrame, wktCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val pat = "POINT\\s*\\(\\s*([-+0-9.eE]+)\\s+([-+0-9.eE]+)\\s*\\)"
+    df.withColumn("x", regexp_extract(col(wktCol), pat, 1).cast("double"))
+      .withColumn("y", regexp_extract(col(wktCol), pat, 2).cast("double"))
+  }
+
   /** Points interpolated along a path at a fixed interval (the `-points
    * interpolated` mode, `mapshaper-points.mjs` interval sampling). */
   def interpolate(flat: Array[Double], interval: Double): Array[Double] = {
