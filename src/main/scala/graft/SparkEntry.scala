@@ -789,6 +789,23 @@ object SparkEntry {
         .orderBy("l_orderkey")
     }),
 
+    // -uniq max_count=2 invert: the rows REMOVED by a keep-2 dedupe
+    "q_uniq_invert" -> ((s, dir) =>
+      Uniq(t(s, dir, "lineitem"), Seq("l_orderkey"),
+          Seq(col("l_linenumber"), col("l_partkey")), maxCount = 2, invert = true)
+        .select(col("l_orderkey"), col("l_partkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+
+    // -uniq index: keep everything, annotate the 1-based occurrence index
+    "q_uniq_index" -> ((s, dir) =>
+      Uniq(t(s, dir, "lineitem"), Seq("l_orderkey"),
+          Seq(col("l_linenumber"), col("l_partkey")), index = true)
+        .select(col("l_orderkey"), col("l_partkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("index").cast("long").as("occ"))
+        .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+
     "q_sort" -> ((s, dir) =>
       t(s, dir, "lineitem")
         .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
@@ -2157,6 +2174,18 @@ object SparkEntry {
         |  SELECT l_orderkey, l_partkey, l_linenumber,
         |         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS rn
         |  FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+
+    "q_uniq_invert" ->
+      """SELECT l_orderkey, l_partkey, CAST(l_linenumber AS BIGINT) AS l_linenumber FROM (
+        |  SELECT l_orderkey, l_partkey, l_linenumber,
+        |         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS rn
+        |  FROM lineitem) WHERE rn > 2
+        |ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin,
+
+    "q_uniq_index" ->
+      """SELECT l_orderkey, l_partkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+        |  CAST(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS BIGINT) AS occ
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin,
 
     "q_sort" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, l_extendedprice

@@ -148,3 +148,28 @@ object Rectangles {
     rings.withColumn("rect", rectUdf(col(ringCol)))
   }
 }
+
+/**
+ * `-uniq` with the reference's full option surface
+ * (`src/commands/mapshaper-uniq.mjs:9-56`): occurrence counting per key in a
+ * deterministic order; `max_count=` keeps the first n occurrences, `invert`
+ * keeps the removed side, `index` keeps everything and annotates the 1-based
+ * occurrence index. One window — the only shuffle is the key partition.
+ */
+object Uniq {
+  import org.apache.spark.sql.{Column, DataFrame}
+  import org.apache.spark.sql.expressions.Window
+  import org.apache.spark.sql.functions._
+
+  def apply(df: DataFrame, keyCols: Seq[String], orderCols: Seq[Column],
+            maxCount: Int = 1, invert: Boolean = false,
+            index: Boolean = false): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
+    val withIdx = df.withColumn("index", row_number().over(w))
+    if (index) withIdx
+    else {
+      val keep = col("index") <= maxCount
+      withIdx.filter(if (invert) !keep else keep).drop("index")
+    }
+  }
+}
