@@ -1225,6 +1225,16 @@ object SparkEntry {
         .select(col("image_id"), col("w"), col("h"), col("fmt"), col("ahash"))
         .orderBy("image_id")),
 
+    // image features through the REAL PNG codec, oracle-verified: PNG is
+    // lossless, so decoded pixels equal the generator formula and the SQL
+    // mirror re-derives ahash + mean from pure SplitMix64 arithmetic —
+    // the decode path itself is inside the verified loop
+    "q_img_ahash" -> ((s, dir) =>
+      Multimodal.features(s, imagesDf(s, dir).where(col("fmt") === "png" &&
+          substring(col("image_id"), 4, 12).cast("long") < 400)).toDF()
+        .select(col("image_id"), col("ahash"), col("mean_g"))
+        .orderBy("image_id")),
+
     "q_img_psnr" -> ((s, dir) =>
       Multimodal.psnrVsRender(s, imagesDf(s, dir).limit(500))
         .filter(col("psnr_db") >= 40.0)
@@ -2502,6 +2512,62 @@ object SparkEntry {
     "q_proj_crs" -> projCrsSql,
 
     "q_img_cell" -> imgCellSql,
+
+    // image ahash/mean via pure SQL pixel synthesis (PNG lossless => decoded
+    // pixels == generator formula): SplitMix64 unrolled with 32-bit-limb
+    // wrap-multiplies in HUGEINT, 8x8 cell means, sequential list_sum,
+    // sign-mapped UBIGINT bit pack
+    "q_img_ahash" ->
+      """WITH img AS (SELECT image_id, w, h, CAST(substr(image_id, 4, 12) AS BIGINT) AS i
+        |  FROM read_parquet('/root/repo/data/images_sf0.01.parquet/*.parquet')
+        |  WHERE fmt = 'png' AND CAST(substr(image_id, 4, 12) AS BIGINT) < 400),
+        |ns AS (SELECT n FROM generate_series(0, 1088) t(n)),
+        |pxn AS (SELECT image_id, i, w, h, n FROM img JOIN ns ON ns.n < img.w * img.h),
+        |st AS (SELECT image_id, w, h, n,
+        |  CAST((CAST(i AS HUGEINT) + CAST(n + 1 AS HUGEINT) * 11400714819323198485)
+        |    % 18446744073709551616 AS UBIGINT) AS z0 FROM pxn),
+        |x1s AS (SELECT image_id, w, h, n, xor(z0, z0 >> 30) AS a1 FROM st),
+        |l1 AS (SELECT image_id, w, h, n, a1 >> 32 AS ahi, a1 & 4294967295 AS alo FROM x1s),
+        |z1s AS (SELECT image_id, w, h, n,
+        |  CAST((CAST(alo * 484763065 AS HUGEINT) +
+        |    CAST((alo * 3210233709) % 4294967296 + (ahi * 484763065) % 4294967296 AS HUGEINT)
+        |      % 4294967296 * 4294967296) % 18446744073709551616 AS UBIGINT) AS z1
+        |  FROM l1),
+        |x2s AS (SELECT image_id, w, h, n, xor(z1, z1 >> 27) AS a2 FROM z1s),
+        |l2 AS (SELECT image_id, w, h, n, a2 >> 32 AS ahi, a2 & 4294967295 AS alo FROM x2s),
+        |z2s AS (SELECT image_id, w, h, n,
+        |  CAST((CAST(alo * 321982955 AS HUGEINT) +
+        |    CAST((alo * 2496678331) % 4294967296 + (ahi * 321982955) % 4294967296 AS HUGEINT)
+        |      % 4294967296 * 4294967296) % 18446744073709551616 AS UBIGINT) AS z2
+        |  FROM l2),
+        |px AS (SELECT image_id, w, h, n % w AS x, n // w AS y,
+        |  (((n % w) * 160) // w + ((n // w) * 80) // h
+        |    + CAST((xor(z2, z2 >> 31) >> 1) % 4 AS BIGINT)) & 255 AS g
+        |  FROM z2s),
+        |g8 AS (SELECT gi FROM generate_series(0, 7) t(gi)),
+        |cl AS (SELECT img.image_id, gy.gi AS gy, gx.gi AS gx,
+        |    (gx.gi * w) // 8 AS x0, greatest((gx.gi * w) // 8 + 1, ((gx.gi + 1) * w) // 8) AS x1,
+        |    (gy.gi * h) // 8 AS y0, greatest((gy.gi * h) // 8 + 1, ((gy.gi + 1) * h) // 8) AS y1
+        |  FROM img, g8 gx, g8 gy),
+        |gray AS (SELECT p.image_id, c.gy * 8 + c.gx AS gidx,
+        |    CAST(sum(p.g) AS DOUBLE) / count(*) AS gval
+        |  FROM px p JOIN cl c ON p.image_id = c.image_id
+        |    AND p.x >= c.x0 AND p.x < c.x1 AND p.y >= c.y0 AND p.y < c.y1
+        |  GROUP BY p.image_id, c.gy * 8 + c.gx),
+        |meanv AS (SELECT image_id, list_sum(list(gval ORDER BY gidx)) / 64.0 AS m
+        |  FROM gray GROUP BY image_id),
+        |bits AS (SELECT g.image_id,
+        |    sum(CASE WHEN g.gval >= m.m THEN CAST(1 AS UBIGINT) << g.gidx
+        |      ELSE CAST(0 AS UBIGINT) END) AS ub
+        |  FROM gray g JOIN meanv m USING (image_id) GROUP BY g.image_id),
+        |means AS (SELECT image_id, CAST(sum(g) AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_g
+        |  FROM px GROUP BY image_id, w, h)
+        |SELECT b.image_id,
+        |  CASE WHEN ub >= 9223372036854775808
+        |    THEN CAST(CAST(ub AS HUGEINT) - 18446744073709551616 AS BIGINT)
+        |    ELSE CAST(ub AS BIGINT) END AS ahash,
+        |  mn.mean_g
+        |FROM bits b JOIN means mn USING (image_id) ORDER BY b.image_id""".stripMargin,
 
     "q_img_pip_oracle" ->
       s"""WITH img AS (SELECT phash FROM read_parquet('/root/repo/data/images_sf0.01.parquet/*.parquet')),
