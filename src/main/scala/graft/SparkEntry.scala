@@ -789,6 +789,17 @@ object SparkEntry {
         .orderBy("l_orderkey")
     }),
 
+    // -calc first= / last= (document order = deterministic key order)
+    "q_calc_firstlast" -> ((s, dir) => {
+      val k = (col("l_orderkey") * 8 + col("l_linenumber")) * 100000 + col("l_partkey")
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(min_by(col("l_extendedprice"), k).as("first_price"),
+          max_by(col("l_extendedprice"), k).as("last_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // -uniq max_count=2 invert: the rows REMOVED by a keep-2 dedupe
     "q_uniq_invert" -> ((s, dir) =>
       Uniq(t(s, dir, "lineitem"), Seq("l_orderkey"),
@@ -2184,6 +2195,13 @@ object SparkEntry {
         |  SELECT l_orderkey, l_partkey, l_linenumber,
         |         row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey) AS rn
         |  FROM lineitem) WHERE rn = 1 ORDER BY l_orderkey""".stripMargin,
+
+    "q_calc_firstlast" ->
+      """SELECT l_returnflag,
+        |  min_by(l_extendedprice, (l_orderkey * 8 + l_linenumber) * 100000 + l_partkey) AS first_price,
+        |  max_by(l_extendedprice, (l_orderkey * 8 + l_linenumber) * 100000 + l_partkey) AS last_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_uniq_invert" ->
       """SELECT l_orderkey, l_partkey, CAST(l_linenumber AS BIGINT) AS l_linenumber FROM (
