@@ -152,6 +152,30 @@ class PlanSpec extends SparkSuite {
     assert(bad.isEmpty, s"vector bytes rode a bucket shuffle: $bad")
   }
 
+  test("-lines edge classification is UDF-free; only edge coords + small attrs shuffle") {
+    import spark.implicits._
+    val polys = (0 until 50).map { i =>
+      (i.toLong, s"g${i % 3}",
+        Seq(i * 2.0, 0.0, i * 2.0 + 2, 0.0, i * 2.0 + 2, 2.0, i * 2.0, 2.0, i * 2.0, 0.0))
+    }.toDF("key", "g", "ring")
+    val out = graft.operators.Lines.polygonsToLines(polys, "key", "ring", Seq("g"))
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("scalaudf") && !plan.contains("BatchEval"),
+      "-lines should be pure built-in expressions")
+    // the shuffle carries only edge coords + (key, g) structs — never rings
+    val bad = exchangeOutputs(out).filter(_.exists(_.contains("ring")))
+    assert(bad.isEmpty, s"ring arrays rode the -lines shuffle: $bad")
+  }
+
+  test("-check-geometry pair tests are UDF-free codegen column arithmetic") {
+    import spark.implicits._
+    val segs = (0 until 40).map(i =>
+      (i.toLong, i * 1.0, 0.0, i * 1.0 + 3, 3.0)).toDF("sid", "x1", "y1", "x2", "y2")
+    val pairs = graft.operators.CheckGeometry.intersectingPairs(segs, "sid", 2.0)
+    val plan = pairs.queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("scalaudf") && !plan.contains("BatchEval"))
+  }
+
   test("polygon-side ring cover/bbox are codegen expressions, not Scala UDFs") {
     import spark.implicits._
     val rings = (0 until 20).map { i =>
