@@ -28,13 +28,15 @@ object Scalebar {
     if (v > 0 && !v.isInfinite) v else Double.NaN
   }
 
-  /** Units suffix: "mile"/"mi."/"miles" vs "km"/"kilometers"/… —
-   * `mapshaper-scalebar.mjs:parseScalebarUnits`. */
+  /** Units suffix — the reference's exact regexes
+   * (`mapshaper-scalebar.mjs:parseScalebarUnits`): miles also match "mi",
+   * "mi." and 英里; km also match "k.m.", "kilometers", "kilomètres"
+   * (dot-matched accent) and 公里. */
   def parseUnits(str: String): String = {
     val lower = str.toLowerCase
-    if (lower.matches(".*(miles?|mi\\.?)$")) "mile"
-    else if (lower.matches(".*(k\\.m\\.|km|kilometers?|kilometres?)$")) "km"
-    else ""
+    val isMiles = "(miles?|mi[.]?|英里)$".r.findFirstIn(lower).isDefined
+    val isKm = "(k\\.m\\.|km|kilometers?|kilom.tres?|公里)$".r.findFirstIn(lower).isDefined
+    if (isMiles) "mile" else if (isKm) "km" else ""
   }
 
   /** Label → kilometers (miles × 1.60934); NaN when unparseable. */

@@ -155,6 +155,32 @@ class ReferenceParitySpec extends AnyFunSuite {
       Map(("inner", 3L) -> 1L, ("bar", 2L) -> 1L, ("foo", 1L) -> 2L, ("outer", 0L) -> 4L))
   }
 
+  // reference scalebar-test.mjs:13-35 — parseScalebarLabelToKm and
+  // formatDistanceLabel expectations, transcribed verbatim
+  test("scalebar label parsing/formatting matches the reference's own cases") {
+    import graft.operators.Scalebar.{labelToKm, formatDistanceLabel}
+    val toKm = 1.60934
+    assert(labelToKm("1 mile") == toKm)
+    assert(labelToKm("1 MILE") == toKm)
+    assert(labelToKm("50 mi") == 50 * toKm)
+    assert(labelToKm("1 / 2 MILE") == 1.0 / 2 * toKm)
+    assert(labelToKm("1/2 MILE") == 1.0 / 2 * toKm)
+    assert(labelToKm("0.5 MILE") == 0.5 * toKm)
+    assert(labelToKm("1km") == 1.0)
+    assert(labelToKm("5 k.m.") == 5.0)
+    assert(labelToKm("1 kilometer") == 1.0)
+    assert(labelToKm("5 kilometres") == 5.0)
+    assert(labelToKm("5 kilomètres") == 5.0)
+    assert(labelToKm("250 公里") == 250.0)
+    assert(labelToKm("2英里") == 2 * toKm)
+    assert(labelToKm("1,000 KILOMETERS") == 1000.0)
+    assert(formatDistanceLabel("1,000", "mile") == "1,000 MILES")
+    assert(formatDistanceLabel("1", "mile") == "1 MILE")
+    assert(formatDistanceLabel("1.5", "mile") == "1.5 MILES")
+    assert(formatDistanceLabel("1/8", "mile") == "1/8 MILE")
+    assert(formatDistanceLabel("1/8", "km") == "1/8 KM")
+  }
+
   // reference topojson-test "calcExportBounds()": all four sizing branches,
   // expectations transcribed from /root/reference/test/topojson-test.mjs:16-44
   test("topojson export grid sizing matches the reference's calcExportBounds") {
