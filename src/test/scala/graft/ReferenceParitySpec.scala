@@ -155,6 +155,30 @@ class ReferenceParitySpec extends AnyFunSuite {
       Map(("inner", 3L) -> 1L, ("bar", 2L) -> 1L, ("foo", 1L) -> 2L, ("outer", 0L) -> 4L))
   }
 
+  // reference visvalingam-test.mjs:10-54 — getArcCalculator threshold
+  // expectations (raw area thresholds incl. the monotonicity clamp),
+  // transcribed verbatim
+  test("Visvalingam raw thresholds match the reference's path fixtures") {
+    import graft.geom.Simplify
+    def thr(xx: Array[Double], yy: Array[Double]): Seq[Double] =
+      Simplify.visvalingam(xx, yy, Simplify.standardMetric).toSeq
+    val inf = Double.PositiveInfinity
+    // two-vertex path
+    assert(thr(Array(0, 1), Array(0, 0)) == Seq(inf, inf))
+    // three-vertex path
+    assert(thr(Array(0, 1, 2), Array(0, 1, 0)) == Seq(inf, 1.0, inf))
+    // four-vertex path w/ threshold update (clamp lifts the collinear 0 to 0.5)
+    assert(thr(Array(0, 0, 1, 3), Array(0, 1, 0, 0)) == Seq(inf, 0.5, 0.5, inf))
+    // five-vertex path w/ spike
+    assert(thr(Array(0, 1, 1, 1, 2), Array(0, 0, 1, 0, 0)) == Seq(inf, 0, 0, 0, inf))
+    // weightedMetric degenerate triangles are 0 (visvalingam-test.mjs:109-112)
+    val wm = Simplify.weightedMetric(0.7)
+    assert(wm(1, 1, 1, 1, 2, 3) == 0.0)
+    assert(wm(1, 1, 2, 3, 1, 1) == 0.0)
+    assert(wm(2, 3, 1, 1, 1, 1) == 0.0)
+    assert(wm(1, 1, 1, 1, 1, 1) == 0.0)
+  }
+
   // reference scalebar-test.mjs:13-35 — parseScalebarLabelToKm and
   // formatDistanceLabel expectations, transcribed verbatim
   test("scalebar label parsing/formatting matches the reference's own cases") {
