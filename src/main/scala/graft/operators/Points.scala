@@ -113,13 +113,21 @@ object Points {
       .select(col(idCol), col("p.which"), col("p.x"), col("p.y"))
   }
 
-  /** `-points` from a WKT field (`mapshaper-points.mjs` wkt mode, POINT
-   * geometry): extracts x/y via codegen `regexp_extract` — no UDF. */
+  /** `-points` from a WKT field (`mapshaper-points.mjs` wkt mode; semantics
+   * of `parseWKTPoint`, `test/points-test.mjs:186-190`: case-insensitive,
+   * `POINT Z/M/ZM` keep only x,y, non-POINT types yield null): extracts x/y
+   * via codegen `regexp_extract` — no UDF. */
   def fromWkt(df: org.apache.spark.sql.DataFrame, wktCol: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions._
-    val pat = "POINT\\s*\\(\\s*([-+0-9.eE]+)\\s+([-+0-9.eE]+)\\s*\\)"
-    df.withColumn("x", regexp_extract(col(wktCol), pat, 1).cast("double"))
-      .withColumn("y", regexp_extract(col(wktCol), pat, 2).cast("double"))
+    val pat = "(?i)^\\s*POINT\\s*(?:ZM|Z|M)?\\s*\\(\\s*([-+0-9.eE]+)\\s+([-+0-9.eE]+)"
+    df.withColumn("x", try_cast_double(regexp_extract(col(wktCol), pat, 1)))
+      .withColumn("y", try_cast_double(regexp_extract(col(wktCol), pat, 2)))
+  }
+
+  /** ANSI-safe string→double: empty/non-numeric → null (non-POINT rows). */
+  private def try_cast_double(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    when(c === "", lit(null).cast("double")).otherwise(c.cast("double"))
   }
 
   /** Points interpolated along a path at a fixed interval (the `-points

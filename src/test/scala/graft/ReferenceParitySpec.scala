@@ -155,6 +155,22 @@ class ReferenceParitySpec extends AnyFunSuite {
       Map(("inner", 3L) -> 1L, ("bar", 2L) -> 1L, ("foo", 1L) -> 2L, ("outer", 0L) -> 4L))
   }
 
+  // reference points-test.mjs:186-190 — parseWKTPoint forms
+  test("WKT point parsing matches the reference's parseWKTPoint cases") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    val df = Seq(
+      (1L, "POINT (10 20)"), (2L, "point(5 2)"),
+      (3L, "POINT Z (1 2 3)"), (4L, "LINESTRING (0 0, 1 1)"))
+      .toDF("id", "wkt")
+    val out = graft.operators.Points.fromWkt(df, "wkt")
+      .orderBy("id").select("x", "y").collect()
+    assert(out(0).getDouble(0) == 10.0 && out(0).getDouble(1) == 20.0)
+    assert(out(1).getDouble(0) == 5.0 && out(1).getDouble(1) == 2.0)
+    assert(out(2).getDouble(0) == 1.0 && out(2).getDouble(1) == 2.0)
+    assert(out(3).isNullAt(0) && out(3).isNullAt(1)) // non-POINT -> null
+  }
+
   // reference visvalingam-test.mjs:10-54 — getArcCalculator threshold
   // expectations (raw area thresholds incl. the monotonicity clamp),
   // transcribed verbatim
