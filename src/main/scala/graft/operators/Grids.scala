@@ -31,6 +31,22 @@ object Grids {
         ((col("xmin") + col("xmax")) / 2).as("x"),
         ((col("ymin") + col("ymax")) / 2).as("y"))
 
+  /** `-point-grid rows= cols=`: per-axis spacing with half-cell margins
+   * (`test/point-grid-test.mjs:57-110` — rows=2, cols=1 on bbox [0,0,2,4]
+   * yields (1,1),(1,3); the reference default bbox is the world frame). */
+  def pointGridRowsCols(spark: SparkSession, rows: Int, cols: Int,
+                        x0: Double = -180, y0: Double = -90,
+                        x1: Double = 180, y1: Double = 90): DataFrame = {
+    val dx = (x1 - x0) / cols
+    val dy = (y1 - y0) / rows
+    spark.range(cols.toLong * rows)
+      .withColumn("gx", (col("id") % cols).cast("long"))
+      .withColumn("gy", (col("id") / cols).cast("long"))
+      .select(col("id").as("gid"), col("gx"), col("gy"),
+        (lit(x0) + (col("gx").cast("double") + 0.5) * dx).as("x"),
+        (lit(y0) + (col("gy").cast("double") + 0.5) * dy).as("y"))
+  }
+
   /**
    * `-point-to-grid`: aggregate points into grid cells with an
    * influence-circle weight — weight of a point for a cell = area(circle(p,

@@ -155,6 +155,22 @@ class ReferenceParitySpec extends AnyFunSuite {
       Map(("inner", 3L) -> 1L, ("bar", 2L) -> 1L, ("foo", 1L) -> 2L, ("outer", 0L) -> 4L))
   }
 
+  // reference point-grid-test.mjs:57-110 — rows/cols margins + world default
+  test("-point-grid rows/cols margins match the reference's expectations") {
+    val spark = SparkTestBase.spark
+    def pts(rows: Int, cols: Int, bbox: Option[(Double, Double, Double, Double)]): Seq[(Double, Double)] = {
+      val df = bbox match {
+        case Some((a, b, c, d)) => graft.operators.Grids.pointGridRowsCols(spark, rows, cols, a, b, c, d)
+        case None => graft.operators.Grids.pointGridRowsCols(spark, rows, cols)
+      }
+      df.orderBy("gid").collect().map(r => (r.getDouble(3), r.getDouble(4))).toSeq
+    }
+    // bbox [0,0,2,4], rows=2 cols=1 -> (1,1),(1,3)
+    assert(pts(2, 1, Some((0, 0, 2, 4))) == Seq((1.0, 1.0), (1.0, 3.0)))
+    // default world bbox, rows=1 cols=2 -> (-90,0),(90,0)
+    assert(pts(1, 2, None) == Seq((-90.0, 0.0), (90.0, 0.0)))
+  }
+
   // reference points-test.mjs:186-190 — parseWKTPoint forms
   test("WKT point parsing matches the reference's parseWKTPoint cases") {
     val spark = SparkTestBase.spark
