@@ -233,4 +233,27 @@ object Graft {
   def svgStyle(df: DataFrame, props: Map[String, org.apache.spark.sql.Column],
                where: Option[org.apache.spark.sql.Column] = None): DataFrame =
     SvgStyle(df, props, where)
+
+  /** -uniq with the full option surface (max_count=, invert, index). */
+  def uniq(df: DataFrame, keyCols: Seq[String], orderCols: Seq[org.apache.spark.sql.Column],
+           maxCount: Int = 1, invert: Boolean = false, index: Boolean = false): DataFrame =
+    Uniq(df, keyCols, orderCols, maxCount, invert, index)
+  /** -points endpoints=: first/last vertex of each path. */
+  def pointsEndpoints(lines: DataFrame, idCol: String, lineCol: String): DataFrame =
+    Points.endpoints(lines, idCol, lineCol)
+  /** -points wkt=: POINT-WKT field extraction (case-insensitive, Z/M). */
+  def pointsFromWkt(df: DataFrame, wktCol: String): DataFrame = Points.fromWkt(df, wktCol)
+  /** -point-grid rows= cols= with the reference's half-cell margins. */
+  def pointGridRowsCols(spark: SparkSession, rows: Int, cols: Int,
+                        x0: Double = -180, y0: Double = -90,
+                        x1: Double = 180, y1: Double = 90): DataFrame =
+    Grids.pointGridRowsCols(spark, rows, cols, x0, y0, x1, y1)
+  /** -calc first=/last= (deterministic document order via min_by/max_by). */
+  def calcFirstLast(df: DataFrame, groupCol: String, valueCol: String,
+                    orderCol: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.groupBy(groupCol).agg(
+      min_by(org.apache.spark.sql.functions.col(valueCol), orderCol).as("first"),
+      max_by(org.apache.spark.sql.functions.col(valueCol), orderCol).as("last"))
+  }
 }
