@@ -248,6 +248,10 @@ object Graft {
                         x0: Double = -180, y0: Double = -90,
                         x1: Double = 180, y1: Double = 90): DataFrame =
     Grids.pointGridRowsCols(spark, rows, cols, x0, y0, x1, y1)
+  /** Gap-based sessionization (batch analog of the streaming state machine). */
+  def sessionize(events: DataFrame, keyCol: String, tsCol: String, tieCol: String,
+                 gapSeconds: Long): DataFrame =
+    Sessionize.summarize(events, keyCol, tsCol, tieCol, gapSeconds)
   /** -calc first=/last= (deterministic document order via min_by/max_by). */
   def calcFirstLast(df: DataFrame, groupCol: String, valueCol: String,
                     orderCol: org.apache.spark.sql.Column): DataFrame = {

@@ -1091,6 +1091,13 @@ object SparkEntry {
           max(col("value")).as("max_value"))
         .orderBy("hour", "event_type")),
 
+    // gap-based sessionization (30-min gap per user), exact microsecond
+    // arithmetic — the batch analog of the streaming state machine
+    "q_sessionize" -> ((s, dir) =>
+      Sessionize.summarize(t(s, dir, "events"), "user_id", "ts", "event_id",
+          gapSeconds = 1800)
+        .orderBy("user_id", "session")),
+
     // ---------------- documents: dedup + text analysis ----------------
     "q_dedup_exact" -> ((s, dir) => {
       val docs = t(s, dir, "documents").withColumn("_key", substring(col("text"), 1, 30))
@@ -2875,6 +2882,21 @@ object SparkEntry {
          |SELECT CAST(floor(x / 20.0) AS BIGINT) AS grid_col,
          |       CAST(floor(y / 20.0) AS BIGINT) AS grid_row, count(*) AS n
          |FROM pts GROUP BY grid_col, grid_row ORDER BY grid_col, grid_row""".stripMargin,
+
+    "q_sessionize" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |g AS (SELECT user_id, event_id, us,
+        |    CASE WHEN lag(us) OVER w IS NULL
+        |      OR us - lag(us) OVER w > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+        |s AS (SELECT user_id, us,
+        |    sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) - 1 AS session
+        |  FROM g)
+        |SELECT user_id, CAST(session AS BIGINT) AS session, count(*) AS n_events,
+        |  min(us) AS start_us, max(us) AS end_us
+        |FROM s GROUP BY user_id, session
+        |ORDER BY user_id, session""".stripMargin,
 
     "q_events_window" ->
       """SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS n,
