@@ -1259,6 +1259,8 @@ object SparkEntry {
         .orderBy("image_id")),
 
     // -simplify: Visvalingam thresholds per ring + global retained-pct filter
+    // (rows-only: approxQuantile interval; the KERNEL is exactly oracle-
+    // verified by q_simplify_vis)
     "q_simplify" -> ((s, dir) => {
       import s.implicits._
       val layer = Synthetic.polygonLayer(64, seed = 42L)
@@ -1407,6 +1409,8 @@ object SparkEntry {
     }),
 
     // -cluster: greedy centroid agglomeration of the oracle layer (k=3)
+    // (rows-only; the greedy kernel is exactly oracle-verified by
+    // q_cluster_greedy)
     "q_cluster" -> ((s, dir) => {
       import s.implicits._
       val cents = Points.centroids(s, Synthetic.oracleLayer)
@@ -1459,6 +1463,8 @@ object SparkEntry {
     }),
 
     // -alpha-shapes: DISTRIBUTED alpha complex (cell-partitioned Delaunay,
+    // rows-only here; the Delaunay/alpha-edge kernel is exactly oracle-
+    // verified by q_alpha_edges)
     // circumcenter-owned triangles, global edge parity); only the O(perimeter)
     // boundary is collected for ring assembly
     "q_alpha_shape" -> ((s, dir) => {
