@@ -40,6 +40,41 @@ class StreamingSpec extends SparkSuite {
     assert(streamed == expected)
   }
 
+  test("streaming sessionization emits exactly the batch operator's sessions") {
+    val dir = "/root/testdata/sf0.001"
+    val batch = spark.read.parquet(s"$dir/events.parquet")
+    val streamDir = java.nio.file.Files.createTempDirectory("events_sess")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(batch.schema).parquet(streamDir.toString)
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val sessions = graft.streaming.EventStream.sessionizeStream(
+      spark, stream, "user_id", gapSeconds = 1800)
+    val q = sessions.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("ev_sess")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.sql("SELECT k, start_us, end_us, n_events FROM ev_sess")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val all = graft.operators.Sessionize
+      .summarize(batch, "user_id", "ts", "event_id", gapSeconds = 1800)
+      .select(col("user_id").cast("long"), col("start_us"), col("end_us"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // every emitted session is exactly a batch session
+    assert(streamed.subsetOf(all), s"extra sessions: ${streamed -- all}")
+    // at minimum, every session closed by a later event must have been emitted
+    // (the per-key final session may stay open if the final watermark never
+    // passes its timeout before AvailableNow stops)
+    val lastPerKey = all.groupBy(_._1).map { case (_, ss) => ss.maxBy(_._2) }.toSet
+    assert((all -- lastPerKey).subsetOf(streamed),
+      s"missing closed sessions: ${(all -- lastPerKey) -- streamed}")
+  }
+
   test("streaming dedup drops duplicate event ids (watermark-bounded state)") {
     val dir = "/root/testdata/sf0.001"
     val batch = spark.read.parquet(s"$dir/events.parquet")
