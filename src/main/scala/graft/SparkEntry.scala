@@ -73,6 +73,38 @@ object SparkEntry {
   /** Bigger synthetic layer for the image-side (non-oracle) spatial queries. */
   private lazy val imageLayer: PolygonLayer = Synthetic.polygonLayer(64, seed = 42L)
 
+  /** Shared SQL prefix re-synthesizing PNG pixels from the generator formula
+   * (SplitMix64 state=seed+k·GAMMA jumps, 32-bit-limb wrap-multiplies):
+   * yields CTEs `img(image_id, w, h, i)` and `px(image_id, w, h, x, y, g)`.
+   * Used by the q_img_ahash and q_img_augment oracles. */
+  private def imgPxPrefix(idLimit: Int): String =
+    s"""img AS (SELECT image_id, w, h, CAST(substr(image_id, 4, 12) AS BIGINT) AS i
+       |  FROM read_parquet('/root/repo/data/images_sf0.01.parquet/*.parquet')
+       |  WHERE fmt = 'png' AND CAST(substr(image_id, 4, 12) AS BIGINT) < $idLimit),
+       |ns AS (SELECT n FROM generate_series(0, 1088) t(n)),
+       |pxn AS (SELECT image_id, i, w, h, n FROM img JOIN ns ON ns.n < img.w * img.h),
+       |st AS (SELECT image_id, w, h, n,
+       |  CAST((CAST(i AS HUGEINT) + CAST(n + 1 AS HUGEINT) * 11400714819323198485)
+       |    % 18446744073709551616 AS UBIGINT) AS z0 FROM pxn),
+       |x1s AS (SELECT image_id, w, h, n, xor(z0, z0 >> 30) AS a1 FROM st),
+       |l1 AS (SELECT image_id, w, h, n, a1 >> 32 AS ahi, a1 & 4294967295 AS alo FROM x1s),
+       |z1s AS (SELECT image_id, w, h, n,
+       |  CAST((CAST(alo * 484763065 AS HUGEINT) +
+       |    CAST((alo * 3210233709) % 4294967296 + (ahi * 484763065) % 4294967296 AS HUGEINT)
+       |      % 4294967296 * 4294967296) % 18446744073709551616 AS UBIGINT) AS z1
+       |  FROM l1),
+       |x2s AS (SELECT image_id, w, h, n, xor(z1, z1 >> 27) AS a2 FROM z1s),
+       |l2 AS (SELECT image_id, w, h, n, a2 >> 32 AS ahi, a2 & 4294967295 AS alo FROM x2s),
+       |z2s AS (SELECT image_id, w, h, n,
+       |  CAST((CAST(alo * 321982955 AS HUGEINT) +
+       |    CAST((alo * 2496678331) % 4294967296 + (ahi * 321982955) % 4294967296 AS HUGEINT)
+       |      % 4294967296 * 4294967296) % 18446744073709551616 AS UBIGINT) AS z2
+       |  FROM l2),
+       |px AS (SELECT image_id, w, h, n % w AS x, n // w AS y,
+       |  (((n % w) * 160) // w + ((n // w) * 80) // h
+       |    + CAST((xor(z2, z2 >> 31) >> 1) % 4 AS BIGINT)) & 255 AS g
+       |  FROM z2s)""".stripMargin
+
   // ------------------------------------------------------------- CRS oracle
   import graft.geom.Crs
   private val crsAea = Crs.Albers(29.5, 45.5, 23.0, -96.0)
@@ -1252,6 +1284,26 @@ object SparkEntry {
           substring(col("image_id"), 4, 12).cast("long") < 400)).toDF()
         .select(col("image_id"), col("ahash"), col("mean_g"))
         .orderBy("image_id")),
+
+    // augmentation end-to-end: center-crop + deterministic flip, re-encoded
+    // PNG, decoded again — crop luma sums are flip-invariant and mirror the
+    // generator formula exactly
+    "q_img_augment" -> ((s, dir) => {
+      import s.implicits._
+      val imgs = imagesDf(s, dir).where(col("fmt") === "png" &&
+        substring(col("image_id"), 4, 12).cast("long") < 200)
+      Multimodal.withAugmented(imgs)
+        .select("image_id", "aug").as[(String, Array[Byte])]
+        .map { case (id, aug) =>
+          val (w, _, px) = graft.tables.Images.decode(aug)
+          var sum = 0L
+          var i = 0
+          while (i < px.length) { sum += px(i) & 0xff; i += 1 }
+          (id, w.toLong, sum)
+        }
+        .toDF("image_id", "side", "lum_sum")
+        .orderBy("image_id")
+    }),
 
     "q_img_psnr" -> ((s, dir) =>
       Multimodal.psnrVsRender(s, imagesDf(s, dir).limit(500))
@@ -2548,6 +2600,20 @@ object SparkEntry {
     // pixels == generator formula): SplitMix64 unrolled with 32-bit-limb
     // wrap-multiplies in HUGEINT, 8x8 cell means, sequential list_sum,
     // sign-mapped UBIGINT bit pack
+    // augment (center-crop square + deterministic flip) end-to-end through
+    // PNG encode/decode: the crop's luma sum is flip-invariant and derives
+    // exactly from the generator formula
+    "q_img_augment" ->
+      (s"""WITH ${imgPxPrefix(200)},
+         |crop AS (SELECT image_id,
+         |    least(w, h) AS side, (w - least(w, h)) // 2 AS cx0, (h - least(w, h)) // 2 AS cy0
+         |  FROM img)
+         |SELECT p.image_id, CAST(c.side AS BIGINT) AS side, sum(p.g) AS lum_sum
+         |FROM px p JOIN crop c ON p.image_id = c.image_id
+         |  AND p.x >= c.cx0 AND p.x < c.cx0 + c.side
+         |  AND p.y >= c.cy0 AND p.y < c.cy0 + c.side
+         |GROUP BY p.image_id, c.side ORDER BY p.image_id""").stripMargin,
+
     "q_img_ahash" ->
       """WITH img AS (SELECT image_id, w, h, CAST(substr(image_id, 4, 12) AS BIGINT) AS i
         |  FROM read_parquet('/root/repo/data/images_sf0.01.parquet/*.parquet')

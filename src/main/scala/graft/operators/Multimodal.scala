@@ -91,6 +91,37 @@ object Multimodal {
     bits
   }
 
+  /** Deterministic training-data augmentation: center-crop to the largest
+   * square, optional horizontal flip, re-encode PNG. Pure per-row work over
+   * the binary payload — the classic augmentation stage of an image
+   * training pipeline (shuffle-free; `bytes` is the only wide column read). */
+  def augment(bytes: Array[Byte], flip: Boolean): Array[Byte] = {
+    val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val side = math.min(src.getWidth, src.getHeight)
+    val x0 = (src.getWidth - side) / 2
+    val y0 = (src.getHeight - side) / 2
+    val out = new BufferedImage(side, side, BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < side) {
+      var x = 0
+      while (x < side) {
+        val sx = if (flip) x0 + side - 1 - x else x0 + x
+        out.setRGB(x, y, src.getRGB(sx, y0 + y))
+        x += 1
+      }
+      y += 1
+    }
+    Images.encode(out, "png")
+  }
+
+  /** Augmentation stage over a DataFrame: adds `aug` (PNG bytes) — flip is
+   * derived deterministically from the id hash so reruns are identical. */
+  def withAugmented(images: DataFrame, idCol: String = "image_id"): DataFrame = {
+    val augUdf = udf((b: Array[Byte], flip: Boolean) => augment(b, flip))
+    images.withColumn("aug",
+      augUdf(col("bytes"), xxhash64(col(idCol)) % 2 === 0))
+  }
+
   /** Resize via Java2D (bilinear); returns re-encoded PNG bytes. */
   def resize(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
     val src = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))

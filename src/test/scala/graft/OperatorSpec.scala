@@ -260,4 +260,29 @@ class OperatorSpec extends SparkSuite {
     assert(f1.forall(r => r.mean_r >= 0 && r.mean_r <= 255))
     assert(f1.forall(_.luma_hist.sum > 0))
   }
+
+  test("augmentation: center-crop square + flip is pixel-exact through the PNG codec") {
+    val imgs = Images.generate(spark, 12).toDF().filter(org.apache.spark.sql.functions.col("fmt") === "png")
+    val rows = Multimodal.withAugmented(imgs)
+      .select("image_id", "bytes", "aug", "w", "h").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w0, h0, src) = Images.decode(r.getAs[Array[Byte]]("bytes"))
+      val (wa, ha, aug) = Images.decode(r.getAs[Array[Byte]]("aug"))
+      val side = math.min(w0, h0)
+      assert(wa == side && ha == side)
+      val x0 = (w0 - side) / 2; val y0 = (h0 - side) / 2
+      val flip = {
+        // detect: either orientation must match the source crop EXACTLY (PNG lossless)
+        def matches(f: Boolean): Boolean = (0 until side).forall { y =>
+          (0 until side).forall { x =>
+            val sx = if (f) x0 + side - 1 - x else x0 + x
+            (aug(y * side + x) & 0xffffff) == (src((y0 + y) * w0 + sx) & 0xffffff)
+          }
+        }
+        matches(false) || matches(true)
+      }
+      assert(flip, s"augmented pixels diverge for ${r.getString(0)}")
+    }
+  }
 }
