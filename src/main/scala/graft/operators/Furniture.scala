@@ -177,6 +177,41 @@ object Symbols {
     out
   }
 
+  /** `-symbols type=ring`: concentric discs/annuli from a radii list
+   * (`mapshaper-ring-symbols.mjs:getRingCoords`): an odd count starts with a
+   * solid center disc, then (inner, outer) pairs become rings with holes.
+   * Returns polygons as (outer ring, optional hole ring with reversed
+   * winding) in our flat model. */
+  def ringCoords(radii: Seq[Double]): Seq[Seq[Array[Double]]] = {
+    def reverse(flat: Array[Double]): Array[Double] = {
+      val n = flat.length / 2
+      val out = new Array[Double](flat.length)
+      var i = 0
+      while (i < n) {
+        out(i * 2) = flat((n - 1 - i) * 2)
+        out(i * 2 + 1) = flat((n - 1 - i) * 2 + 1)
+        i += 1
+      }
+      out
+    }
+    val solidCenter = radii.length % 2 == 1
+    val out = Seq.newBuilder[Seq[Array[Double]]]
+    var i = 0
+    while (i < radii.length) {
+      var ring = polygonCoords("circle", radii(i))
+      if (!solidCenter || i > 0) {
+        val hole = ring
+        i += 1
+        ring = polygonCoords("circle", radii(i))
+        out += Seq(ring, reverse(hole))
+      } else {
+        out += Seq(ring)
+      }
+      i += 1
+    }
+    out.result()
+  }
+
   /** Straight filled arrow pointing at `direction` degrees
    * (`mapshaper-arrow-symbols.mjs:getArrowCoords`, straight-stem branch):
    * a 7-vertex polygon from stem + head dimensions, rotated. */

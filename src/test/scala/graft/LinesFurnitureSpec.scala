@@ -257,6 +257,24 @@ class LinesFurnitureSpec extends SparkSuite {
     assert(!plan.contains("Exchange"))
   }
 
+  test("symbols: ring radii list -> solid center + annuli with holes") {
+    def area(flat: Array[Double]): Double = {
+      val n = flat.length / 2
+      val xs = Array.tabulate(n)(i => flat(i * 2)); val ys = Array.tabulate(n)(i => flat(i * 2 + 1))
+      graft.geom.Geom.signedRingArea(xs, ys, 0, n)
+    }
+    // odd count: solid disc r=1, then annulus 2..3
+    val rings = Symbols.ringCoords(Seq(1.0, 2.0, 3.0))
+    assert(rings.length == 2)
+    assert(rings(0).length == 1 && math.abs(math.abs(area(rings(0).head)) - math.Pi) < 0.02)
+    assert(rings(1).length == 2)
+    val net = area(rings(1)(0)) + area(rings(1)(1)) // hole is reversed -> cancels
+    assert(math.abs(math.abs(net) - math.Pi * (9 - 4)) < 0.1, s"net=$net")
+    // even count: single annulus
+    val ann = Symbols.ringCoords(Seq(2.0, 4.0))
+    assert(ann.length == 1 && ann.head.length == 2)
+  }
+
   test("symbols: straight arrow polygon tips at stem+head") {
     val a = Symbols.arrowCoords(stemLen = 10, stemWidth = 2, headLen = 5, headWidth = 6)
     assert(a(6) == 0.0 && a(7) == 15.0) // tip
