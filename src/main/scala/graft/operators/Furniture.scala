@@ -212,6 +212,53 @@ object Symbols {
     out.result()
   }
 
+  /** Head length / head width ratio from the head angle
+   * (`mapshaper-arrow-symbols.mjs:getHeadSizeRatio`; default angle 40°). */
+  def headSizeRatio(headAngleDeg: Double): Double =
+    1.0 / math.tan(math.Pi * headAngleDeg / 180.0 / 2.0) / 2.0
+
+  /** Arrow sizing defaults (`initArrowSize`): stem width 2; a missing head
+   * width defaults to 3× the stem width (or derives from head length via the
+   * angle ratio); a missing head length derives from the width. Returns
+   * (stemWidth, headWidth, headLen). */
+  def arrowSize(stemWidth: Double = 2.0, headWidth: Double = Double.NaN,
+                headLen: Double = Double.NaN, headAngleDeg: Double = 40.0): (Double, Double, Double) = {
+    val ratio = headSizeRatio(headAngleDeg)
+    var hw = headWidth; var hl = headLen
+    if (hw == 0) hl = 0
+    else if (!(hw > 0)) {
+      if (hl > 0) hw = hl / ratio
+      else if (hl == 0) hw = 0
+      else hw = stemWidth * 3
+    }
+    if (!(hl >= 0)) hl = hw * ratio
+    require(!(hw < stemWidth && hw > 0), "Arrow head must be at least as wide as the stem.")
+    (stemWidth, hw, hl)
+  }
+
+  /** Stick arrow (`getStickArrowCoords`, straight stem): MultiLineString of
+   * the stem plus a two-stroke head, rotated clockwise by `direction`. */
+  def stickArrowCoords(stemLen: Double, headLen: Double, headWidth: Double,
+                       direction: Double = 0.0): Seq[Array[Double]] = {
+    val headDx = headWidth / 2.0
+    val parts = scala.collection.mutable.ArrayBuffer(
+      Array(0.0, 0.0, 0.0, stemLen))
+    if (headLen > 0)
+      parts += Array(-headDx, stemLen - headLen, 0.0, stemLen, headDx, stemLen - headLen)
+    val rad = -direction / 180.0 * math.Pi
+    val c = math.cos(rad); val s = math.sin(rad)
+    parts.map { flat =>
+      val out = new Array[Double](flat.length)
+      var i = 0
+      while (i + 1 < flat.length) {
+        out(i) = flat(i) * c - flat(i + 1) * s
+        out(i + 1) = flat(i) * s + flat(i + 1) * c
+        i += 2
+      }
+      out
+    }.toSeq
+  }
+
   /** Straight filled arrow pointing at `direction` degrees
    * (`mapshaper-arrow-symbols.mjs:getArrowCoords`, straight-stem branch):
    * a 7-vertex polygon from stem + head dimensions, rotated. */

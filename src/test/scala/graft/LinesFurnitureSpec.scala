@@ -282,6 +282,23 @@ class LinesFurnitureSpec extends SparkSuite {
     assert(math.abs(east(6) - 15.0) < 1e-12 && math.abs(east(7)) < 1e-12)
   }
 
+  test("symbols: arrow sizing defaults and stick arrow strokes") {
+    // default head width = 3x stem; head length from the 40-degree ratio
+    val (sw, hw, hl) = Symbols.arrowSize()
+    assert(sw == 2.0 && hw == 6.0)
+    assert(math.abs(hl - hw * Symbols.headSizeRatio(40)) < 1e-12)
+    // explicit head length derives width
+    val (_, hw2, hl2) = Symbols.arrowSize(headLen = 5.0)
+    assert(math.abs(hw2 - 5.0 / Symbols.headSizeRatio(40)) < 1e-12 && hl2 == 5.0)
+    // head narrower than stem rejected
+    intercept[IllegalArgumentException] { Symbols.arrowSize(stemWidth = 4, headWidth = 3) }
+    // stick arrow: stem + 2-stroke head; east rotation maps north to +x
+    val parts = Symbols.stickArrowCoords(10, 4, 6, direction = 90)
+    assert(parts.length == 2)
+    assert(math.abs(parts(0)(2) - 10.0) < 1e-12 && math.abs(parts(0)(3)) < 1e-12)
+    assert(math.abs(parts(1)(2) - 10.0) < 1e-12) // head apex at the tip
+  }
+
   // --------------------------------------------------------- -svg-style
 
   test("svg-style sets columns; where= leaves excluded rows null") {
