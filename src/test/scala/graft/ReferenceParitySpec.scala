@@ -155,6 +155,27 @@ class ReferenceParitySpec extends AnyFunSuite {
       Map(("inner", 3L) -> 1L, ("bar", 2L) -> 1L, ("foo", 1L) -> 2L, ("outer", 0L) -> 4L))
   }
 
+  // reference uniq-test.mjs:8-42 — all four option behaviors on the
+  // [a, b, a, a] fixture, transcribed verbatim (document order = row id)
+  test("-uniq option behaviors match the reference's uniq-test fixture") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val df = Seq((0L, "a"), (1L, "b"), (2L, "a"), (3L, "a")).toDF("id", "foo")
+    def ids(out: org.apache.spark.sql.DataFrame): Seq[Long] =
+      out.orderBy("id").select("id").as[Long].collect().toSeq
+    // default: keep first of each key -> rows 0, 1
+    assert(ids(graft.operators.Uniq(df, Seq("foo"), Seq(col("id")))) == Seq(0L, 1L))
+    // max-count=2 -> rows 0, 1, 2
+    assert(ids(graft.operators.Uniq(df, Seq("foo"), Seq(col("id")), maxCount = 2)) == Seq(0L, 1L, 2L))
+    // index -> all rows kept, 1-based occurrence indexes [1, 1, 2, 3]
+    val idx = graft.operators.Uniq(df, Seq("foo"), Seq(col("id")), index = true)
+      .orderBy("id").select("index").as[Int].collect().toSeq
+    assert(idx == Seq(1, 1, 2, 3))
+    // invert -> the removed side: rows 2, 3
+    assert(ids(graft.operators.Uniq(df, Seq("foo"), Seq(col("id")), invert = true)) == Seq(2L, 3L))
+  }
+
   // reference point-grid-test.mjs:57-110 — rows/cols margins + world default
   test("-point-grid rows/cols margins match the reference's expectations") {
     val spark = SparkTestBase.spark
