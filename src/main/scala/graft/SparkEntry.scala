@@ -2078,6 +2078,29 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // Vincenty DIRECT problem (the ellipsoidal AEQD inverse / buffer-ring
+    // engine): destination at 1e-7 degree (~1 cm), azimuth at 1e-4 degree,
+    // vs a 6-round fixed unroll in SQL
+    "q_geodesic_direct" -> ((s, dir) => {
+      val dirUdf = udf { (lat1: Double, lon1: Double, azi: Double, dist: Double) =>
+        val (lon2, lat2, azi2) = graft.geom.Crs.geodesicDirect(lat1, lon1, azi, dist)
+        (math.floor(lon2 * 10000000.0).toLong,
+          math.floor(lat2 * 10000000.0).toLong,
+          math.floor(azi2 * 10000.0).toLong)
+      }
+      points(s, dir).where(col("id") >= 1 && col("id") <= 30)
+        .select(col("id"),
+          ((col("y") - 50.0) * 1.2).as("lat1"),
+          ((col("x") - 50.0) * 3.2).as("lon1"),
+          ((col("id") * 97) % 360).cast("double").as("azi"),
+          (((col("id") * 131) % 5000) * 1000 + 500).cast("double").as("dist"))
+        .select(col("id"),
+          dirUdf(col("lat1"), col("lon1"), col("azi"), col("dist")).as("r"))
+        .select(col("id"), col("r._1").as("lon2_int"), col("r._2").as("lat2_int"),
+          col("r._3").as("azi2_int"))
+        .orderBy("id")
+    }),
+
     // -shape: rectangle (densified at 0.5) and circle constructors,
     // vertex-exact (circle sin/cos floor-guarded)
     "q_shape" -> ((s, dir) => {
@@ -3495,6 +3518,64 @@ object SparkEntry {
          |  FROM g8)
          |SELECT id, CAST(floor(s) AS BIGINT) AS dist_m,
          |  CAST(floor(azi * 10000.0) AS BIGINT) AS azi_int
+         |FROM fin ORDER BY id""".stripMargin
+    },
+
+    // Vincenty direct, sigma iteration unrolled to 6 fixed rounds (the
+    // operator converges to 1e-14 in <=4 on these <=5000 km shots; the
+    // 1e-7-degree floor absorbs the tail)
+    "q_geodesic_direct" -> {
+      val fC = dl(graft.geom.Crs.F)
+      val aC = dl(graft.geom.Crs.A)
+      val bC = dl(graft.geom.Crs.B)
+      val rounds = (1 to 6).map { k =>
+        s"""d$k AS MATERIALIZED (SELECT id, lon1, s, sinA1, cosA1, sigma1,
+           |  sinU1, cosU1, sinAlpha, cos2Alpha, bigA, bigB,
+           |  cos(2.0 * sigma1 + sigma) AS c2m,
+           |  sin(sigma) AS ss, cos(sigma) AS cs,
+           |  s / ($bC * bigA) + bigB * ss * (c2m + bigB / 4.0 *
+           |    (cs * (-1.0 + 2.0 * c2m * c2m) -
+           |      bigB / 6.0 * c2m * (-3.0 + 4.0 * ss * ss) *
+           |        (-3.0 + 4.0 * c2m * c2m))) AS sigma
+           |  FROM d${k - 1})""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $ptsSql,
+         |pp AS (SELECT id,
+         |  (y - 50.0) * 1.2 AS lat1, (x - 50.0) * 3.2 AS lon1,
+         |  CAST((id * 97) % 360 AS DOUBLE) AS azi,
+         |  CAST(((id * 131) % 5000) * 1000 + 500 AS DOUBLE) AS s
+         |  FROM pts WHERE id >= 1 AND id <= 30),
+         |base AS (SELECT id, lon1, s,
+         |  sin(azi * (pi() / 180.0)) AS sinA1, cos(azi * (pi() / 180.0)) AS cosA1,
+         |  (1.0 - $fC) * tan(lat1 * (pi() / 180.0)) AS tanU1,
+         |  1.0 / sqrt(1.0 + tanU1 * tanU1) AS cosU1,
+         |  tanU1 * cosU1 AS sinU1,
+         |  atan2(tanU1, cosA1) AS sigma1,
+         |  cosU1 * sinA1 AS sinAlpha,
+         |  1.0 - sinAlpha * sinAlpha AS cos2Alpha,
+         |  cos2Alpha * ($aC * $aC - $bC * $bC) / ($bC * $bC) AS u2,
+         |  1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2))) AS bigA,
+         |  u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2))) AS bigB
+         |  FROM pp),
+         |d0 AS MATERIALIZED (SELECT id, lon1, s, sinA1, cosA1, sigma1,
+         |  sinU1, cosU1, sinAlpha, cos2Alpha, bigA, bigB,
+         |  s / ($bC * bigA) AS sigma FROM base),
+         |$rounds,
+         |fin AS (SELECT id, lon1,
+         |  cos(2.0 * sigma1 + sigma) AS c2m, sin(sigma) AS ss, cos(sigma) AS cs,
+         |  sinU1 * ss - cosU1 * cs * cosA1 AS tmp,
+         |  atan2(sinU1 * cs + cosU1 * ss * cosA1,
+         |    (1.0 - $fC) * sqrt(sinAlpha * sinAlpha + tmp * tmp)) AS phi2,
+         |  atan2(ss * sinA1, cosU1 * cs - sinU1 * ss * cosA1) AS lambda,
+         |  $fC / 16.0 * cos2Alpha * (4.0 + $fC * (4.0 - 3.0 * cos2Alpha)) AS cc,
+         |  lambda - (1.0 - cc) * $fC * sinAlpha * (sigma + cc * ss *
+         |    (c2m + cc * cs * (-1.0 + 2.0 * c2m * c2m))) AS l,
+         |  atan2(sinAlpha, -tmp) AS azi2
+         |  FROM d6)
+         |SELECT id,
+         |  CAST(floor((lon1 + l * (180.0 / pi())) * 10000000.0) AS BIGINT) AS lon2_int,
+         |  CAST(floor(phi2 * (180.0 / pi()) * 10000000.0) AS BIGINT) AS lat2_int,
+         |  CAST(floor(azi2 * (180.0 / pi()) * 10000.0) AS BIGINT) AS azi2_int
          |FROM fin ORDER BY id""".stripMargin
     },
 
