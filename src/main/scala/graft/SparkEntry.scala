@@ -2230,6 +2230,29 @@ object SparkEntry {
         .orderBy("vi")
     }),
 
+    // SPHERICAL -simplify kernel: lon/lat -> XYZ on the R=6378137 sphere,
+    // 3D Visvalingam thresholds in meters (the reference's default for
+    // unprojected data), mm floor guard
+    "q_simplify_sph" -> ((s, dir) => {
+      val thrUdf = udf { (lons: Seq[Double], lats: Seq[Double]) =>
+        graft.geom.Simplify.sphericalThresholds(lons.toArray, lats.toArray,
+          graft.geom.Simplify.Visvalingam).toSeq
+      }
+      points(s, dir).where(col("id") >= 1 && col("id") <= 20)
+        .groupBy(lit(1).as("g"))
+        .agg(array_sort(collect_list(struct(col("id"),
+          ((col("x") - 50.0) * 3.2).as("lon"),
+          ((col("y") - 50.0) * 1.2).as("lat")))).as("pts"))
+        .select(
+          transform(col("pts"), p => p.getField("lon")).as("lons"),
+          transform(col("pts"), p => p.getField("lat")).as("lats"))
+        .select(posexplode(thrUdf(col("lons"), col("lats"))))
+        .where(col("pos") >= 1 && col("pos") <= 18)
+        .select((col("pos") + 1).cast("long").as("vi"),
+          floor(col("col") * 1000.0).cast("long").as("thr_mm"))
+        .orderBy("vi")
+    }),
+
     // -svg-style: conditional style-column assignment with where=
     "q_svg_style" -> ((s, dir) =>
       SvgStyle(points(s, dir),
@@ -3767,6 +3790,50 @@ object SparkEntry {
          |thr AS (SELECT rem AS vi, max(v) OVER (ORDER BY k) AS t FROM rec)
          |SELECT CAST(vi AS BIGINT) AS vi,
          |  CAST(floor(sqrt(t) * $c65 * 1000000000.0) AS BIGINT) AS thr_int
+         |FROM thr ORDER BY vi""".stripMargin
+    },
+
+    // spherical -simplify kernel: XYZ projection + 3D Visvalingam unrolled
+    // to the exact 18 removals; det arithmetic mirrors Geom.triangleArea3D
+    // term order, removal thresholds = prefix max, mm floors
+    "q_simplify_sph" -> {
+      val c65 = dl(0.65)
+      def det(a1: String, a2: String, b1: String, b2: String, c1: String, c2: String) =
+        s"($a1 * $b2 - $a1 * $c2 + $b1 * $c2 - $b1 * $a2 + $c1 * $a2 - $c1 * $b2)"
+      val dxy = det("px", "py", "x", "y", "nx", "ny")
+      val dxz = det("px", "pz", "x", "z", "nx", "nz")
+      val dyz = det("py", "pz", "y", "z", "ny", "nz")
+      val areaExpr =
+        s"0.5 * sqrt($dxy * $dxy + $dxz * $dxz + $dyz * $dyz)"
+      val rounds = (1 to 18).map { k =>
+        s"""a$k AS (SELECT idx, x, y, z,
+           |  lag(x) OVER (ORDER BY idx) AS px, lag(y) OVER (ORDER BY idx) AS py,
+           |  lag(z) OVER (ORDER BY idx) AS pz,
+           |  lead(x) OVER (ORDER BY idx) AS nx, lead(y) OVER (ORDER BY idx) AS ny,
+           |  lead(z) OVER (ORDER BY idx) AS nz
+           |  FROM s${k - 1} WHERE alive),
+           |m$k AS MATERIALIZED (SELECT idx AS rem, $areaExpr AS v
+           |  FROM a$k WHERE px IS NOT NULL AND nx IS NOT NULL
+           |  ORDER BY v, idx LIMIT 1),
+           |s$k AS MATERIALIZED (SELECT s.idx, s.x, s.y, s.z,
+           |  s.alive AND s.idx <> m.rem AS alive
+           |  FROM s${k - 1} s, m$k m)""".stripMargin
+      }.mkString(",\n")
+      val rec = (1 to 18).map(k => s"SELECT $k AS k, rem, v FROM m$k")
+        .mkString("\nUNION ALL ")
+      s"""WITH $ptsSql,
+         |ll AS (SELECT id AS idx, (x - 50.0) * 3.2 AS lon, (y - 50.0) * 1.2 AS lat
+         |  FROM pts WHERE id >= 1 AND id <= 20),
+         |s0 AS MATERIALIZED (SELECT idx,
+         |  cos(lon * pi() / 180.0) * cos(lat * pi() / 180.0) * 6378137.0 AS x,
+         |  sin(lon * pi() / 180.0) * cos(lat * pi() / 180.0) * 6378137.0 AS y,
+         |  sin(lat * pi() / 180.0) * 6378137.0 AS z,
+         |  TRUE AS alive FROM ll),
+         |$rounds,
+         |rec AS ($rec),
+         |thr AS (SELECT rem AS vi, max(v) OVER (ORDER BY k) AS t FROM rec)
+         |SELECT CAST(vi AS BIGINT) AS vi,
+         |  CAST(floor(sqrt(t) * $c65 * 1000.0) AS BIGINT) AS thr_mm
          |FROM thr ORDER BY vi""".stripMargin
     },
 
