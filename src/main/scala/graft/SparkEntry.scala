@@ -2230,6 +2230,23 @@ object SparkEntry {
         .orderBy("vi")
     }),
 
+    // spherical geodesic point-buffer ring: 32 direct-problem vertices per
+    // point, 1e-7-degree floors
+    "q_geodesic_ring" -> ((s, dir) => {
+      val ringUdf = udf { (lon: Double, lat: Double, radius: Double) =>
+        graft.operators.Buffer.geodesicPointBufferRing(lon, lat, radius).toSeq
+      }
+      points(s, dir).where(col("id") >= 1 && col("id") <= 10)
+        .select(col("id"),
+          ((col("x") - 50.0) * 3.2).as("lon"), ((col("y") - 50.0) * 1.2).as("lat"),
+          (((col("id") * 37) % 900) * 1000 + 10000).cast("double").as("radius"))
+        .select(col("id"), posexplode(ringUdf(col("lon"), col("lat"), col("radius"))))
+        .groupBy(col("id"), (col("pos") / 2).cast("long").as("vi"))
+        .agg(min(when(col("pos") % 2 === 0, floor(col("col") * 10000000.0))).cast("long").as("lon_int"),
+          min(when(col("pos") % 2 === 1, floor(col("col") * 10000000.0))).cast("long").as("lat_int"))
+        .orderBy("id", "vi")
+    }),
+
     // SPHERICAL -simplify kernel: lon/lat -> XYZ on the R=6378137 sphere,
     // 3D Visvalingam thresholds in meters (the reference's default for
     // unprojected data), mm floor guard
@@ -3792,6 +3809,35 @@ object SparkEntry {
          |  CAST(floor(sqrt(t) * $c65 * 1000000000.0) AS BIGINT) AS thr_int
          |FROM thr ORDER BY vi""".stripMargin
     },
+
+    // spherical geodesic buffer ring: the direct problem at 32 bearings,
+    // identical op order, 1e-7-degree floors
+    "q_geodesic_ring" ->
+      s"""WITH $ptsSql,
+         |pp AS (SELECT id, (x - 50.0) * 3.2 AS lon, (y - 50.0) * 1.2 AS lat,
+         |  CAST(((id * 37) % 900) * 1000 + 10000 AS DOUBLE) AS radius
+         |  FROM pts WHERE id >= 1 AND id <= 10),
+         |vs AS (SELECT vi FROM generate_series(0, 32) t(vi)),
+         |b AS (SELECT id, vi,
+         |  lat * (pi() / 180.0) AS phi, lon * (pi() / 180.0) AS lam,
+         |  radius / ${dl(6371008.8)} AS delta,
+         |  2.0 * pi() * CAST(vi % 32 AS DOUBLE) / 32.0 AS theta
+         |  FROM pp, vs),
+         |c AS (SELECT id, vi, phi, lam, theta,
+         |  sin(delta) AS sinD, cos(delta) AS cosD,
+         |  sin(phi) AS sinP, cos(phi) AS cosP
+         |  FROM b),
+         |d AS (SELECT id, vi, lam, theta, sinD, cosD, sinP, cosP,
+         |  sinP * cosD + cosP * sinD * cos(theta) AS sinLat2
+         |  FROM c),
+         |e AS (SELECT id, vi,
+         |  asin(greatest(-1.0, least(1.0, sinLat2))) AS lat2,
+         |  lam + atan2(sin(theta) * sinD * cosP, cosD - sinP * sinLat2) AS lon2
+         |  FROM d)
+         |SELECT id, CAST(vi AS BIGINT) AS vi,
+         |  CAST(floor(lon2 / (pi() / 180.0) * 10000000.0) AS BIGINT) AS lon_int,
+         |  CAST(floor(lat2 / (pi() / 180.0) * 10000000.0) AS BIGINT) AS lat_int
+         |FROM e ORDER BY id, vi""".stripMargin,
 
     // spherical -simplify kernel: XYZ projection + 3D Visvalingam unrolled
     // to the exact 18 removals; det arithmetic mirrors Geom.triangleArea3D
