@@ -2230,6 +2230,28 @@ object SparkEntry {
         .orderBy("vi")
     }),
 
+    // -smooth kernel (Chaikin corner cutting, w=0.25, 2 iterations) on an
+    // open 20-vertex derived path — exact affine arithmetic, vertex by vertex
+    "q_smooth_exact" -> ((s, dir) => {
+      val smoothUdf = udf { (xs: Seq[Double], ys: Seq[Double]) =>
+        val flat = new Array[Double](xs.length * 2)
+        var i = 0
+        while (i < xs.length) { flat(i * 2) = xs(i); flat(i * 2 + 1) = ys(i); i += 1 }
+        graft.geom.PathOps.smooth(flat, 0.25, 2).toSeq
+      }
+      points(s, dir).where(col("id") >= 1 && col("id") <= 20)
+        .groupBy(lit(1).as("g"))
+        .agg(array_sort(collect_list(struct(col("id"), col("x"), col("y")))).as("pts"))
+        .select(
+          transform(col("pts"), p => p.getField("x")).as("xs"),
+          transform(col("pts"), p => p.getField("y")).as("ys"))
+        .select(posexplode(smoothUdf(col("xs"), col("ys"))))
+        .groupBy((col("pos") / 2).cast("long").as("vi"))
+        .agg(min(when(col("pos") % 2 === 0, col("col"))).as("x"),
+          min(when(col("pos") % 2 === 1, col("col"))).as("y"))
+        .orderBy("vi")
+    }),
+
     // spherical geodesic point-buffer ring: 32 direct-problem vertices per
     // point, 1e-7-degree floors
     "q_geodesic_ring" -> ((s, dir) => {
@@ -3808,6 +3830,31 @@ object SparkEntry {
          |SELECT CAST(vi AS BIGINT) AS vi,
          |  CAST(floor(sqrt(t) * $c65 * 1000000000.0) AS BIGINT) AS thr_int
          |FROM thr ORDER BY vi""".stripMargin
+    },
+
+    // -smooth kernel: two unrolled Chaikin passes — interior vertices emit
+    // v+w(prev-v) and v+w(next-v), endpoints stay; identical IEEE affine ops
+    "q_smooth_exact" -> {
+      def pass(inp: String, out: String): String =
+        s"""a$out AS (SELECT seq, x, y,
+           |  lag(x) OVER (ORDER BY seq) AS px, lag(y) OVER (ORDER BY seq) AS py,
+           |  lead(x) OVER (ORDER BY seq) AS nx, lead(y) OVER (ORDER BY seq) AS ny
+           |  FROM $inp),
+           |p$out AS (
+           |  SELECT 2 * seq AS k, x, y FROM a$out WHERE nx IS NULL
+           |  UNION ALL SELECT 2 * seq + 1, x, y FROM a$out WHERE px IS NULL
+           |  UNION ALL SELECT 2 * seq, x + 0.25 * (px - x), y + 0.25 * (py - y)
+           |    FROM a$out WHERE px IS NOT NULL AND nx IS NOT NULL
+           |  UNION ALL SELECT 2 * seq + 1, x + 0.25 * (nx - x), y + 0.25 * (ny - y)
+           |    FROM a$out WHERE px IS NOT NULL AND nx IS NOT NULL),
+           |$out AS MATERIALIZED (SELECT row_number() OVER (ORDER BY k) - 1 AS seq, x, y
+           |  FROM p$out)""".stripMargin
+      s"""WITH $ptsSql,
+         |s0 AS (SELECT row_number() OVER (ORDER BY id) - 1 AS seq, x, y
+         |  FROM pts WHERE id >= 1 AND id <= 20),
+         |${pass("s0", "s1")},
+         |${pass("s1", "s2")}
+         |SELECT CAST(seq AS BIGINT) AS vi, x, y FROM s2 ORDER BY vi""".stripMargin
     },
 
     // spherical geodesic buffer ring: the direct problem at 32 bearings,
