@@ -2230,6 +2230,20 @@ object SparkEntry {
         .orderBy("vi")
     }),
 
+    // -points inner (polylabel-style anchor): 4 grid-refinement rounds over
+    // each oracle shape, exact arithmetic (PIP parity + clamped segment
+    // distances), vertex-exact at 1e-9
+    "q_anchor" -> ((s, dir) => {
+      import s.implicits._
+      val layer = Synthetic.oracleLayer
+      (0 until layer.numShapes).map { sh =>
+        val (ax, ay) = Points.anchor(layer, sh)
+        (layer.shapeKeys(sh),
+          math.floor(ax * 1000000000.0).toLong,
+          math.floor(ay * 1000000000.0).toLong)
+      }.toDF("pk", "x_int", "y_int").orderBy("pk")
+    }),
+
     // -smooth kernel (Chaikin corner cutting, w=0.25, 2 iterations) on an
     // open 20-vertex derived path — exact affine arithmetic, vertex by vertex
     "q_smooth_exact" -> ((s, dir) => {
@@ -3830,6 +3844,74 @@ object SparkEntry {
          |SELECT CAST(vi AS BIGINT) AS vi,
          |  CAST(floor(sqrt(t) * $c65 * 1000000000.0) AS BIGINT) AS thr_int
          |FROM thr ORDER BY vi""".stripMargin
+    },
+
+    // -points inner (anchor): 4 unrolled grid-refinement rounds; inside =
+    // upward-ray parity (equivalent to the kernel's even-odd combineRings in
+    // general position), distance = clamped point-segment distance in the
+    // kernel's exact op order; ties keep the earlier (gy, gx) like the scan
+    "q_anchor" -> {
+      val distExpr =
+        """(SELECT min(sqrt(
+          |   (c.px - (e.ex1 + (e.ex2 - e.ex1) *
+          |     greatest(0.0, least(1.0,
+          |       ((c.px - e.ex1) * (e.ex2 - e.ex1) + (c.py - e.ey1) * (e.ey2 - e.ey1))
+          |       / ((e.ex2 - e.ex1) * (e.ex2 - e.ex1) + (e.ey2 - e.ey1) * (e.ey2 - e.ey1)))))) *
+          |   (c.px - (e.ex1 + (e.ex2 - e.ex1) *
+          |     greatest(0.0, least(1.0,
+          |       ((c.px - e.ex1) * (e.ex2 - e.ex1) + (c.py - e.ey1) * (e.ey2 - e.ey1))
+          |       / ((e.ex2 - e.ex1) * (e.ex2 - e.ex1) + (e.ey2 - e.ey1) * (e.ey2 - e.ey1)))))) +
+          |   (c.py - (e.ey1 + (e.ey2 - e.ey1) *
+          |     greatest(0.0, least(1.0,
+          |       ((c.px - e.ex1) * (e.ex2 - e.ex1) + (c.py - e.ey1) * (e.ey2 - e.ey1))
+          |       / ((e.ex2 - e.ex1) * (e.ex2 - e.ex1) + (e.ey2 - e.ey1) * (e.ey2 - e.ey1)))))) *
+          |   (c.py - (e.ey1 + (e.ey2 - e.ey1) *
+          |     greatest(0.0, least(1.0,
+          |       ((c.px - e.ex1) * (e.ex2 - e.ex1) + (c.py - e.ey1) * (e.ey2 - e.ey1))
+          |       / ((e.ex2 - e.ex1) * (e.ex2 - e.ex1) + (e.ey2 - e.ey1) * (e.ey2 - e.ey1))))))))
+          | FROM edges e WHERE e.pk = c.pk)""".stripMargin.replace("\n", " ").replaceAll("\\|", "")
+      val insideExpr =
+        """((SELECT count(*) FROM edges e WHERE e.pk = c.pk
+          |  AND ((e.ex1 > c.px) <> (e.ex2 > c.px))
+          |  AND e.ey1 + (c.px - e.ex1) * (e.ey2 - e.ey1) / (e.ex2 - e.ex1) > c.py) % 2 = 1)"""
+          .stripMargin.replace("\n", " ").replaceAll("\\|", "")
+      val rounds = (1 to 4).map { k =>
+        s"""c$k AS (SELECT s.pk, s.x0, s.y0, s.x1, s.y1, s.bx, s.by, s.bd,
+           |    gy.i AS gy, gx.i AS gx,
+           |    s.x0 + (s.x1 - s.x0) * CAST(gx.i AS DOUBLE) / 8.0 AS px,
+           |    s.y0 + (s.y1 - s.y0) * CAST(gy.i AS DOUBLE) / 8.0 AS py
+           |  FROM s${k - 1} s, g9 gx, g9 gy),
+           |d$k AS MATERIALIZED (SELECT c.*, $distExpr AS dist
+           |  FROM c$k c WHERE $insideExpr),
+           |w$k AS MATERIALIZED (SELECT pk, px, py, dist FROM (
+           |    SELECT pk, px, py, dist,
+           |      row_number() OVER (PARTITION BY pk ORDER BY dist DESC, gy, gx) AS rn
+           |    FROM d$k WHERE dist > bd) t WHERE rn = 1),
+           |s$k AS MATERIALIZED (SELECT s.pk,
+           |    coalesce(w.px, s.bx) - (s.x1 - s.x0) / 8.0 AS x0,
+           |    coalesce(w.py, s.by) - (s.y1 - s.y0) / 8.0 AS y0,
+           |    coalesce(w.px, s.bx) + (s.x1 - s.x0) / 8.0 AS x1,
+           |    coalesce(w.py, s.by) + (s.y1 - s.y0) / 8.0 AS y1,
+           |    coalesce(w.px, s.bx) AS bx, coalesce(w.py, s.by) AS by,
+           |    coalesce(w.dist, s.bd) AS bd
+           |  FROM s${k - 1} s LEFT JOIN w$k w USING (pk))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $oracleEdgesSql,
+         |g9 AS (SELECT i FROM generate_series(0, 8) t(i)),
+         |bb AS (SELECT pk,
+         |    min(least(ex1, ex2)) AS x0, min(least(ey1, ey2)) AS y0,
+         |    max(greatest(ex1, ex2)) AS x1, max(greatest(ey1, ey2)) AS y1
+         |  FROM edges GROUP BY pk),
+         |ctr AS (SELECT pk, x0, y0, x1, y1,
+         |    (x0 + x1) / 2.0 AS px, (y0 + y1) / 2.0 AS py FROM bb),
+         |s0 AS MATERIALIZED (SELECT c.pk, c.x0, c.y0, c.x1, c.y1,
+         |    c.px AS bx, c.py AS by,
+         |    CASE WHEN $insideExpr THEN $distExpr ELSE -1.0 END AS bd
+         |  FROM ctr c),
+         |$rounds
+         |SELECT pk, CAST(floor(bx * 1000000000.0) AS BIGINT) AS x_int,
+         |  CAST(floor(by * 1000000000.0) AS BIGINT) AS y_int
+         |FROM s4 ORDER BY pk""".stripMargin
     },
 
     // -smooth kernel: two unrolled Chaikin passes — interior vertices emit
