@@ -2230,6 +2230,30 @@ object SparkEntry {
         .orderBy("vi")
     }),
 
+    // -points interpolated: points every 2.5 units along each group path
+    // (2.5 is binary-exact, so the kernel's sequential `next += interval`
+    // equals j*interval and the mirror is exact)
+    "q_interpolate" -> ((s, dir) => {
+      val interpUdf = udf { (xs: Seq[Double], ys: Seq[Double]) =>
+        val flat = new Array[Double](xs.length * 2)
+        var i = 0
+        while (i < xs.length) { flat(i * 2) = xs(i); flat(i * 2 + 1) = ys(i); i += 1 }
+        Points.interpolate(flat, 2.5).toSeq
+      }
+      points(s, dir).where(col("id") >= 1 && col("id") <= 40)
+        .withColumn("g", col("id") % 4)
+        .groupBy("g")
+        .agg(array_sort(collect_list(struct(col("id"), col("x"), col("y")))).as("pts"))
+        .select(col("g"),
+          transform(col("pts"), p => p.getField("x")).as("xs"),
+          transform(col("pts"), p => p.getField("y")).as("ys"))
+        .select(col("g"), posexplode(interpUdf(col("xs"), col("ys"))))
+        .groupBy(col("g"), (col("pos") / 2).cast("long").as("vi"))
+        .agg(min(when(col("pos") % 2 === 0, col("col"))).as("x"),
+          min(when(col("pos") % 2 === 1, col("col"))).as("y"))
+        .orderBy("g", "vi")
+    }),
+
     // -points inner (polylabel-style anchor): 4 grid-refinement rounds over
     // each oracle shape, exact arithmetic (PIP parity + clamped segment
     // distances), vertex-exact at 1e-9
@@ -3845,6 +3869,36 @@ object SparkEntry {
          |  CAST(floor(sqrt(t) * $c65 * 1000000000.0) AS BIGINT) AS thr_int
          |FROM thr ORDER BY vi""".stripMargin
     },
+
+    // -points interpolated: emission bounds b_i = acc_i + d_i + eps are
+    // sequential-fold exact (list_sum), next_j = j*2.5 is binary-exact, so
+    // every emitted vertex mirrors bit for bit
+    "q_interpolate" ->
+      s"""WITH $ptsSql,
+         |pp AS (SELECT id % 4 AS g, id, x, y FROM pts WHERE id >= 1 AND id <= 40),
+         |v AS (SELECT g, row_number() OVER (PARTITION BY g ORDER BY id) - 1 AS seq, x, y FROM pp),
+         |seg AS (SELECT a.g, a.seq, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2,
+         |    sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS d
+         |  FROM v a JOIN v b ON a.g = b.g AND b.seq = a.seq + 1),
+         |lens AS (SELECT g, list(d ORDER BY seq) AS ds FROM seg GROUP BY g),
+         |tot AS (SELECT g, list_sum(ds) AS total,
+         |    1e-12 * greatest(1.0, list_sum(ds)) AS eps, ds FROM lens),
+         |accs AS (SELECT s.g, s.seq, s.x1, s.y1, s.x2, s.y2, s.d, t.total, t.eps,
+         |    CASE WHEN s.seq = 0 THEN 0.0 ELSE list_sum(t.ds[1:s.seq]) END AS acc
+         |  FROM seg s JOIN tot t ON s.g = t.g),
+         |js AS (SELECT j FROM generate_series(1, 1000) t(j)),
+         |em AS (SELECT a.g, j.j,
+         |    a.x1 + (a.x2 - a.x1) * ((CAST(j.j AS DOUBLE) * 2.5 - a.acc) / a.d) AS x,
+         |    a.y1 + (a.y2 - a.y1) * ((CAST(j.j AS DOUBLE) * 2.5 - a.acc) / a.d) AS y
+         |  FROM accs a JOIN js j
+         |    ON CAST(j.j AS DOUBLE) * 2.5 > a.acc + a.eps
+         |    AND CAST(j.j AS DOUBLE) * 2.5 <= a.acc + a.d + a.eps
+         |    AND CAST(j.j AS DOUBLE) * 2.5 < a.total - a.eps),
+         |heads AS (SELECT g, 0 AS j, x, y FROM v WHERE seq = 0),
+         |allv AS (SELECT * FROM heads UNION ALL SELECT * FROM em)
+         |SELECT g, CAST(row_number() OVER (PARTITION BY g ORDER BY j) - 1 AS BIGINT) AS vi,
+         |  x, y
+         |FROM allv ORDER BY g, vi""".stripMargin,
 
     // -points inner (anchor): 4 unrolled grid-refinement rounds; inside =
     // upward-ray parity (equivalent to the kernel's even-odd combineRings in
