@@ -2230,6 +2230,20 @@ object SparkEntry {
         .orderBy("vi")
     }),
 
+    // -dashlines: dash/gap segmentation (dash 2.5, gap 1.25 — binary-exact,
+    // so break positions are exact prefix sums; half-gap start) — per-piece
+    // vertex counts and rounded lengths vs the analytic schedule
+    "q_dashlines" -> ((s, dir) => {
+      val pts = points(s, dir).where(col("id") >= 1 && col("id") <= 40)
+        .withColumn("g", col("id") % 4)
+      val paths = Lines.pointsToLines(pts, "g", "id", "x", "y")
+      DashLines(paths, "group", "line", dashLen = 2.5, gapLen = 1.25)
+        .select(col("group").as("g"), col("part").cast("long").as("part"),
+          (size(col("piece")) / 2).cast("long").as("n_vertices"),
+          round(col("piece_len") * 10000.0).cast("long").as("len_q"))
+        .orderBy("g", "part")
+    }),
+
     // -points interpolated: points every 2.5 units along each group path
     // (2.5 is binary-exact, so the kernel's sequential `next += interval`
     // equals j*interval and the mirror is exact)
@@ -3869,6 +3883,50 @@ object SparkEntry {
          |  CAST(floor(sqrt(t) * $c65 * 1000000000.0) AS BIGINT) AS thr_int
          |FROM thr ORDER BY vi""".stripMargin
     },
+
+    // -dashlines: the analytic dash schedule (half-gap start 0.625, dash
+    // 2.5, gap 1.25 — exact doubles) against the kernel's walk; lengths
+    // round-guarded at 1e4, snap-to-endpoint rule mirrored
+    "q_dashlines" ->
+      s"""WITH $ptsSql,
+         |pp AS (SELECT id % 4 AS g, id, x, y FROM pts WHERE id >= 1 AND id <= 40),
+         |v AS (SELECT g, row_number() OVER (PARTITION BY g ORDER BY id) - 1 AS seq, x, y FROM pp),
+         |seg AS (SELECT a.g, a.seq,
+         |    sqrt((b.x - a.x) * (b.x - a.x) + (b.y - a.y) * (b.y - a.y)) AS d
+         |  FROM v a JOIN v b ON a.g = b.g AND b.seq = a.seq + 1),
+         |lens AS (SELECT g, list(d ORDER BY seq) AS ds FROM seg GROUP BY g),
+         |tot AS (SELECT g, list_sum(ds) AS total, ds FROM lens),
+         |accs AS (SELECT s.g, s.seq, s.d,
+         |    CASE WHEN s.seq = 0 THEN 0.0 ELSE list_sum(t.ds[1:s.seq]) END AS acc
+         |  FROM seg s JOIN tot t ON s.g = t.g),
+         |last AS (SELECT g, max(seq) AS lastseq FROM seg GROUP BY g),
+         |lastseg AS (SELECT a.g, a.acc AS lls FROM accs a
+         |  JOIN last l ON a.g = l.g AND a.seq = l.lastseq),
+         |ks AS (SELECT k FROM generate_series(0, 400) t(k)),
+         |dashes AS (SELECT t.g, k.k,
+         |    0.625 + 3.75 * CAST(k.k AS DOUBLE) AS a,
+         |    0.625 + 3.75 * CAST(k.k AS DOUBLE) + 2.5 AS b,
+         |    t.total, ls.lls,
+         |    CASE WHEN k.k = 0 THEN 0.0
+         |      ELSE 0.625 + 3.75 * CAST(k.k - 1 AS DOUBLE) + 2.5 END AS prevb
+         |  FROM tot t JOIN lastseg ls ON t.g = ls.g, ks k
+         |  WHERE 0.625 + 3.75 * CAST(k.k AS DOUBLE) < t.total),
+         |live AS (SELECT * FROM dashes WHERE NOT (a > lls AND
+         |    (a - greatest(prevb, lls)) / (total - greatest(prevb, lls)) > 0.999)),
+         |eff AS (SELECT g, k, a, total,
+         |    CASE WHEN b >= total THEN total
+         |      WHEN b > lls AND (b - greatest(a, lls)) / (total - greatest(a, lls)) > 0.999
+         |        THEN total
+         |      ELSE b END AS beff
+         |  FROM live),
+         |cnt AS (SELECT e.g, e.k, e.a, e.beff,
+         |    (SELECT count(*) FROM accs v2
+         |      WHERE v2.g = e.g AND v2.seq >= 1 AND v2.acc > e.a AND v2.acc < e.beff) AS interior
+         |  FROM eff e)
+         |SELECT g, CAST(row_number() OVER (PARTITION BY g ORDER BY k) - 1 AS BIGINT) AS part,
+         |  CAST(2 + interior AS BIGINT) AS n_vertices,
+         |  CAST(round((beff - a) * 10000.0) AS BIGINT) AS len_q
+         |FROM cnt ORDER BY g, part""".stripMargin,
 
     // -points interpolated: emission bounds b_i = acc_i + d_i + eps are
     // sequential-fold exact (list_sum), next_j = j*2.5 is binary-exact, so

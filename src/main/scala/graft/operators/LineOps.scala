@@ -128,7 +128,7 @@ object DashLines {
     while (i + 1 < flat.length) {
       var ax = px; var ay = py
       px = flat(i); py = flat(i + 1)
-      var segLen = math.hypot(px - ax, py - ay)
+      var segLen = graft.geom.Geom.distance(ax, ay, px, py)
       if (segLen > 0) {
         var continue = true
         while (continue && elapsed + segLen >= interval) {
@@ -163,7 +163,7 @@ object DashLines {
         var len = 0.0
         var i = 0
         while (i + 3 < p.length) {
-          len += math.hypot(p(i + 2) - p(i), p(i + 3) - p(i + 1))
+          len += graft.geom.Geom.distance(p(i), p(i + 1), p(i + 2), p(i + 3))
           i += 2
         }
         (p, len)
