@@ -2230,6 +2230,29 @@ object SparkEntry {
         .orderBy("vi")
     }),
 
+    // -densify (planar): vertices inserted at j/k fractions per segment,
+    // k = ceil(d/2.5) — identical IEEE everywhere, vertex-exact
+    "q_densify" -> ((s, dir) => {
+      val densifyUdf = udf { (xs: Seq[Double], ys: Seq[Double]) =>
+        val flat = new Array[Double](xs.length * 2)
+        var i = 0
+        while (i < xs.length) { flat(i * 2) = xs(i); flat(i * 2 + 1) = ys(i); i += 1 }
+        graft.geom.PathOps.densify(flat, 2.5).toSeq
+      }
+      points(s, dir).where(col("id") >= 1 && col("id") <= 30)
+        .withColumn("g", col("id") % 3)
+        .groupBy("g")
+        .agg(array_sort(collect_list(struct(col("id"), col("x"), col("y")))).as("pts"))
+        .select(col("g"),
+          transform(col("pts"), p => p.getField("x")).as("xs"),
+          transform(col("pts"), p => p.getField("y")).as("ys"))
+        .select(col("g"), posexplode(densifyUdf(col("xs"), col("ys"))))
+        .groupBy(col("g"), (col("pos") / 2).cast("long").as("vi"))
+        .agg(min(when(col("pos") % 2 === 0, col("col"))).as("x"),
+          min(when(col("pos") % 2 === 1, col("col"))).as("y"))
+        .orderBy("g", "vi")
+    }),
+
     // -dashlines: dash/gap segmentation (dash 2.5, gap 1.25 — binary-exact,
     // so break positions are exact prefix sums; half-gap start) — per-piece
     // vertex counts and rounded lengths vs the analytic schedule
@@ -3883,6 +3906,31 @@ object SparkEntry {
          |  CAST(floor(sqrt(t) * $c65 * 1000000000.0) AS BIGINT) AS thr_int
          |FROM thr ORDER BY vi""".stripMargin
     },
+
+    // -densify: per-segment j/k insertion, exact mirror
+    "q_densify" ->
+      s"""WITH $ptsSql,
+         |pp AS (SELECT id % 3 AS g, id, x, y FROM pts WHERE id >= 1 AND id <= 30),
+         |v AS (SELECT g, row_number() OVER (PARTITION BY g ORDER BY id) - 1 AS seq, x, y FROM pp),
+         |mx AS (SELECT g, max(seq) AS lastseq FROM v GROUP BY g),
+         |seg AS (SELECT a.g, a.seq, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2,
+         |    sqrt((a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)) AS d
+         |  FROM v a JOIN v b ON a.g = b.g AND b.seq = a.seq + 1),
+         |ks AS (SELECT s.*, CAST(ceil(s.d / 2.5) AS BIGINT) AS k FROM seg s),
+         |js AS (SELECT j FROM generate_series(0, 200) t(j)),
+         |em AS (
+         |  SELECT g, seq, 0 AS j, x1 AS x, y1 AS y FROM ks
+         |  UNION ALL
+         |  SELECT s.g, s.seq, j.j,
+         |    s.x1 + (s.x2 - s.x1) * (CAST(j.j AS DOUBLE) / s.k) AS x,
+         |    s.y1 + (s.y2 - s.y1) * (CAST(j.j AS DOUBLE) / s.k) AS y
+         |  FROM ks s JOIN js j ON s.d > 2.5 AND j.j >= 1 AND j.j < s.k
+         |  UNION ALL
+         |  SELECT v.g, m.lastseq, 0, v.x, v.y FROM v JOIN mx m
+         |    ON v.g = m.g AND v.seq = m.lastseq)
+         |SELECT g, CAST(row_number() OVER (PARTITION BY g ORDER BY seq, j) - 1 AS BIGINT) AS vi,
+         |  x, y
+         |FROM em ORDER BY g, vi""".stripMargin,
 
     // -dashlines: the analytic dash schedule (half-gap start 0.625, dash
     // 2.5, gap 1.25 — exact doubles) against the kernel's walk; lengths
