@@ -248,6 +248,16 @@ object Graft {
                         x0: Double = -180, y0: Double = -90,
                         x1: Double = 180, y1: Double = 90): DataFrame =
     Grids.pointGridRowsCols(spark, rows, cols, x0, y0, x1, y1)
+  /** -dashlines: dash/gap segmentation of polyline rows. */
+  def dashlines(lines: DataFrame, idCol: String, lineCol: String,
+                dashLen: Double, gapLen: Double): DataFrame =
+    DashLines(lines, idCol, lineCol, dashLen, gapLen)
+  /** -densify (planar): insert vertices so no segment exceeds interval. */
+  def densify(flat: Array[Double], interval: Double): Array[Double] =
+    graft.geom.PathOps.densify(flat, interval)
+  /** -smooth: iterated Chaikin corner cutting. */
+  def smooth(flat: Array[Double], weight: Double, iterations: Int): Array[Double] =
+    graft.geom.PathOps.smooth(flat, weight, iterations)
   /** Gap-based sessionization (batch analog of the streaming state machine). */
   def sessionize(events: DataFrame, keyCol: String, tsCol: String, tieCol: String,
                  gapSeconds: Long): DataFrame =
