@@ -155,6 +155,35 @@ class ReferenceParitySpec extends AnyFunSuite {
       Map(("inner", 3L) -> 1L, ("bar", 2L) -> 1L, ("foo", 1L) -> 2L, ("outer", 0L) -> 4L))
   }
 
+  // reference smooth-test.mjs:68-110 — smoothing invariants (straight line
+  // stays straight, open endpoints pinned, closed rings stay closed with
+  // rounded corners), checked against our Chaikin kernel
+  test("-smooth invariants match the reference's behavioral expectations") {
+    import graft.geom.PathOps
+    // straight line stays on y = 2x + 3
+    val straight = (0 to 20).flatMap(i => Seq(i.toDouble, 2.0 * i + 3)).toArray
+    val s1 = PathOps.smooth(straight, 0.25, 3)
+    val dev = (0 until s1.length / 2)
+      .map(j => math.abs(s1(j * 2 + 1) - (2 * s1(j * 2) + 3))).max
+    assert(dev < 1e-9, s"deviation from line: $dev")
+    // open endpoints pinned
+    val wavy = (0 to 40).flatMap(i => Seq(i.toDouble, math.sin(i.toDouble))).toArray
+    val s2 = PathOps.smooth(wavy, 0.25, 2)
+    assert(s2(0) == 0.0 && s2(1) == math.sin(0.0))
+    assert(s2(s2.length - 2) == 40.0 && s2(s2.length - 1) == math.sin(40.0))
+    // closed square ring: stays closed, corners rounded inward
+    val corners = Seq((0.0, 0.0), (10.0, 0.0), (10.0, 10.0), (0.0, 10.0), (0.0, 0.0))
+    val ring = corners.sliding(2).flatMap { case Seq((ax, ay), (bx, by)) =>
+      (0 until 10).flatMap(k => Seq(ax + (bx - ax) * k / 10.0, ay + (by - ay) * k / 10.0))
+    }.toArray ++ Array(0.0, 0.0)
+    val s3 = PathOps.smooth(ring, 0.25, 2)
+    val n = s3.length / 2
+    assert(n >= 16)
+    assert(s3(0) == s3(s3.length - 2) && s3(1) == s3(s3.length - 1), "ring must stay closed")
+    val reaches = (0 until n).exists(i => s3(i * 2) > 9.9 && s3(i * 2 + 1) > 9.9)
+    assert(!reaches, "expected corners rounded inward")
+  }
+
   // reference uniq-test.mjs:8-42 — all four option behaviors on the
   // [a, b, a, a] fixture, transcribed verbatim (document order = row id)
   test("-uniq option behaviors match the reference's uniq-test fixture") {
