@@ -68,6 +68,21 @@ object Points {
     df.withColumn("ax", col(xCol) * a + col(yCol) * b + tx)
       .withColumn("ay", col(xCol) * c + col(yCol) * d + ty)
 
+  /** The reference's `-affine rotate= scale= shift= anchor=` parameterization
+   * (`mapshaper-affine.mjs:getAffineTransform`): rotation is clockwise
+   * degrees about the anchor, then scale about it, then shift. Returns the
+   * (a, b, c, d, tx, ty) matrix for [[affine]]. */
+  def affineParams(rotateDeg: Double, scale: Double, shiftX: Double, shiftY: Double,
+                   anchorX: Double, anchorY: Double): (Double, Double, Double, Double, Double, Double) = {
+    val angle = rotateDeg * math.Pi / 180.0
+    val a = scale * math.cos(angle)
+    val b = -scale * math.sin(angle)
+    // x2 = a(x-ax) - b(y-ay) + sx + ax ; y2 = b(x-ax) + a(y-ay) + sy + ay
+    (a, -b, b, a,
+      -a * anchorX + b * anchorY + shiftX + anchorX,
+      -b * anchorX - a * anchorY + shiftY + anchorY)
+  }
+
   /** Bbox containment predicate (filter-geom): partition-prunable plain compare. */
   def inBBox(x: Column, y: Column, xmin: Double, ymin: Double, xmax: Double, ymax: Double): Column =
     x >= xmin && x <= xmax && y >= ymin && y <= ymax

@@ -155,6 +155,25 @@ class ReferenceParitySpec extends AnyFunSuite {
       Map(("inner", 3L) -> 1L, ("bar", 2L) -> 1L, ("foo", 1L) -> 2L, ("outer", 0L) -> 4L))
   }
 
+  // reference affine-test.mjs:51-77 — rotate-about-anchor and scale cases
+  test("-affine rotate/scale parameterization matches the reference's cases") {
+    val spark = SparkTestBase.spark
+    import spark.implicits._
+    // rotate=90 anchor=2,1: (2,2) -> (3,1)
+    val (a1, b1, c1, d1, tx1, ty1) = graft.operators.Points.affineParams(90, 1, 0, 0, 2, 1)
+    val r1 = graft.operators.Points.affine(
+      Seq((2.0, 2.0)).toDF("x", "y"), "x", "y", a1, b1, c1, d1, tx1, ty1)
+      .select("ax", "ay").head()
+    assert(math.abs(r1.getDouble(0) - 3.0) < 1e-12 && math.abs(r1.getDouble(1) - 1.0) < 1e-12)
+    // scale=2 about the bbox center (3,3): (2,2)->(1,1), (4,4)->(5,5)
+    val (a2, b2, c2, d2, tx2, ty2) = graft.operators.Points.affineParams(0, 2, 0, 0, 3, 3)
+    val r2 = graft.operators.Points.affine(
+      Seq((2.0, 2.0), (4.0, 4.0)).toDF("x", "y"), "x", "y", a2, b2, c2, d2, tx2, ty2)
+      .orderBy("x").select("ax", "ay").collect()
+    assert(r2(0).getDouble(0) == 1.0 && r2(0).getDouble(1) == 1.0)
+    assert(r2(1).getDouble(0) == 5.0 && r2(1).getDouble(1) == 5.0)
+  }
+
   // reference smooth-test.mjs:68-110 — smoothing invariants (straight line
   // stays straight, open endpoints pinned, closed rings stay closed with
   // rounded corners), checked against our Chaikin kernel
