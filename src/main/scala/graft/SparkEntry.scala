@@ -2768,7 +2768,7 @@ object SparkEntry {
          |crop AS (SELECT image_id,
          |    least(w, h) AS side, (w - least(w, h)) // 2 AS cx0, (h - least(w, h)) // 2 AS cy0
          |  FROM img)
-         |SELECT p.image_id, CAST(c.side AS BIGINT) AS side, sum(p.g) AS lum_sum
+         |SELECT p.image_id, CAST(c.side AS BIGINT) AS side, CAST(sum(p.g) AS BIGINT) AS lum_sum
          |FROM px p JOIN crop c ON p.image_id = c.image_id
          |  AND p.x >= c.cx0 AND p.x < c.cx0 + c.side
          |  AND p.y >= c.cy0 AND p.y < c.cy0 + c.side
@@ -3312,7 +3312,7 @@ object SparkEntry {
          |matches AS (SELECT image_id, count(*) AS n FROM hits
          |  WHERE crossings % 2 = 1 GROUP BY image_id)
          |SELECT e.cell_id AS grp, count(*) AS input_rows,
-         |  SUM(coalesce(m.n, 0)) AS output_rows
+         |  CAST(SUM(coalesce(m.n, 0)) AS BIGINT) AS output_rows
          |FROM enc e LEFT JOIN matches m USING (image_id)
          |GROUP BY 1 ORDER BY grp""".stripMargin,
 
