@@ -172,7 +172,8 @@ object Ann {
    * [[graft.operators.Dedup.embeddingPairs]]).
    */
   def lshTopK(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
-              k: Int, planes: Int = 10): DataFrame = {
+              k: Int, planes: Int = 10,
+              maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
     val sigUdf = udf((vv: Seq[Float]) => signature(vv.toArray, planes))
     val probesUdf = udf { (sig: Long) =>
@@ -183,9 +184,14 @@ object Ann {
       out
     }
     val idSigs = v.withColumn("_sig", sigUdf(col("vec"))).select("id", "_sig")
-    val probes = idSigs.withColumn("_bucket", explode(probesUdf(col("_sig"))))
-      .select(col("id"), col("_bucket"))
-    val base = idSigs.select(col("id").as("neighbor_id"), col("_sig").as("_bucket"))
+    // degenerate-bucket cap on both sides (see Dedup.capBuckets): one
+    // megabucket of identical signatures would make the probe join quadratic
+    val probes = Dedup.capBuckets(
+      idSigs.withColumn("_bucket", explode(probesUdf(col("_sig"))))
+        .select(col("id"), col("_bucket")), "_bucket", maxBucket)
+    val base = Dedup.capBuckets(
+      idSigs.select(col("id").as("neighbor_id"), col("_sig").as("_bucket")),
+      "_bucket", maxBucket)
     val cand = probes.join(base, Seq("_bucket"))
       .filter(col("id") =!= col("neighbor_id"))
       .dropDuplicates("id", "neighbor_id")

@@ -64,6 +64,57 @@ object Cluster {
     assignment(members, alive)
   }
 
+  /** `pct=` form of the target count (mapshaper-cluster.mjs:26-27):
+   * `count = Math.round(size * pct)`, floored at 1. */
+  def targetCount(n: Int, pct: Double): Int = math.max(1, math.round(n * pct).toInt)
+
+  /**
+   * Group-constrained agglomeration — the reference's `-cluster group_by=`
+   * (`mapshaper-cluster.mjs:30-57`: a candidate pair is discarded when
+   * `a.group !== b.group`). Same closest-pair merge order and weighted
+   * centroids as [[greedy]]; stops at `k` total clusters, or earlier when
+   * every remaining pair crosses a group boundary (so the floor is the
+   * number of distinct groups).
+   */
+  def greedyGrouped(items: Seq[(Long, Double, Double, String)], k: Int,
+                    maxDist: Double = Double.MaxValue): Map[Long, Int] = {
+    val n = items.size
+    if (n == 0) return Map.empty
+    val members = mutable.ArrayBuffer(items.map(i => mutable.ArrayBuffer(i._1)): _*)
+    val cx = mutable.ArrayBuffer(items.map(_._2): _*)
+    val cy = mutable.ArrayBuffer(items.map(_._3): _*)
+    val grp = items.map(_._4).toArray
+    val alive = mutable.ArrayBuffer.fill(n)(true)
+    var nAlive = n
+    while (nAlive > k) {
+      var bi = -1; var bj = -1; var bd = Double.MaxValue
+      var i = 0
+      while (i < members.length) {
+        if (alive(i)) {
+          var j = i + 1
+          while (j < members.length) {
+            if (alive(j) && grp(i) == grp(j)) {
+              val dx = cx(i) - cx(j); val dy = cy(i) - cy(j)
+              val d = dx * dx + dy * dy
+              if (d < bd) { bd = d; bi = i; bj = j }
+            }
+            j += 1
+          }
+        }
+        i += 1
+      }
+      if (bi < 0 || bd > maxDist * maxDist) return assignment(members, alive)
+      val si = members(bi).size.toDouble
+      val sj = members(bj).size.toDouble
+      cx(bi) = (cx(bi) * si + cx(bj) * sj) / (si + sj)
+      cy(bi) = (cy(bi) * si + cy(bj) * sj) / (si + sj)
+      members(bi) ++= members(bj)
+      alive(bj) = false
+      nAlive -= 1
+    }
+    assignment(members, alive)
+  }
+
   /** Weighted greedy agglomeration (id, x, y, weight) — same semantics as
    * [[greedy]] with unit weights replaced by the given masses. */
   def greedyWeighted(items: Seq[(Long, Double, Double, Double)], k: Int): Map[Long, Int] = {

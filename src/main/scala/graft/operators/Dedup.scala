@@ -22,12 +22,73 @@ import graft.tables.SplitMix64
  */
 object Dedup {
 
+  /** Default per-bucket membership cap for every LSH band join (below). */
+  val DefaultMaxBucket = 10000
+
+  private val capSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /**
+   * Degenerate-bucket guard for LSH band joins: any bucket with more than
+   * `maxBucket` members is dropped before the bucket equi-join. Without the
+   * cap, one pathological bucket (every empty caption hashing to one band
+   * value, every zero vector signing to one signature) makes the
+   * within-bucket join quadratic — at 10^12 rows a single hot bucket is a
+   * job-killer. Dropping over-full buckets is the standard web-scale dedup
+   * practice: members of a megabucket are still reachable through their
+   * other (non-degenerate) bands/probes.
+   *
+   * The dropped-row count is published as an `observe` metric
+   * (`lsh_bucket_cap_N` / `dropped_rows`) so callers get a signal, not a
+   * silent truncation. The bucket-count join keys on the same column as the
+   * downstream self-join, so the added exchange is reused, and only
+   * (bucket, count) pairs move.
+   */
+  def capBuckets(banded: DataFrame, bucketCol: String,
+                 maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    if (maxBucket <= 0) banded
+    else {
+      val counts = banded.groupBy(bucketCol).agg(count(lit(1)).as("_bn"))
+      banded.join(counts, Seq(bucketCol))
+        .observe(s"lsh_bucket_cap_${capSeq.incrementAndGet()}",
+          sum(when(col("_bn") > maxBucket, lit(1L)).otherwise(lit(0L)))
+            .as("dropped_rows"))
+        .filter(col("_bn") <= maxBucket)
+        .drop("_bn")
+    }
+  }
+
   // ------------------------------------------------------------------ exact
 
-  /** Keep one row per distinct `textCol` value (lowest id wins). */
-  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val w = Window.partitionBy(col(textCol)).orderBy(col(idCol))
-    df.withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+  /** Keep one row per distinct `textCol` value (lowest id wins).
+    *
+    * Shuffle shape (the 100-TB story): the corpus text never enters an
+    * exchange. Equality is decided on a 128-bit key —
+    * `(xxhash64(text), xxhash64(text, salt), length(text))` — so the only
+    * shuffled rows are ~32-byte (id, h1, h2, len) projections with map-side
+    * partial aggregation for the min-id winners. The removal list (loser
+    * ids — one per *duplicate* row, 8 bytes each, orders of magnitude
+    * smaller than the corpus) is broadcast into a left-anti join, so the
+    * surviving rows are filtered in place without moving. At a duplicate
+    * cardinality too large to broadcast, pass `broadcastLosers = false` to
+    * fall back to a shuffled anti-join keyed by the id — the corpus then
+    * moves once, keyed and sorted by an 8-byte id, still never by the text.
+    *
+    * 128 bits + length makes a false merge (two different texts dropped as
+    * duplicates) a ~2^-128 event — negligible at 10^12 documents.
+    */
+  def exact(df: DataFrame, idCol: String, textCol: String,
+            broadcastLosers: Boolean = true): DataFrame = {
+    val proj = df.select(
+      col(idCol).as("_eid"),
+      xxhash64(col(textCol)).as("_h1"),
+      xxhash64(col(textCol), lit(0x9e3779b97f4aL)).as("_h2"),
+      length(col(textCol)).as("_len"))
+    val winners = proj.groupBy("_h1", "_h2", "_len").agg(min("_eid").as("_keep"))
+    val losers = proj.join(winners, Seq("_h1", "_h2", "_len"))
+      .filter(col("_eid") =!= col("_keep"))
+      .select("_eid")
+    val removal = if (broadcastLosers) broadcast(losers) else losers
+    df.join(removal, col(idCol) === removal("_eid"), "left_anti")
   }
 
   // ---------------------------------------------------------------- minhash
@@ -80,7 +141,8 @@ object Dedup {
    */
   def minhashPairs(spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
-                   threshold: Double = 0.5): DataFrame = {
+                   threshold: Double = 0.5,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val rows = numHashes / bands
     val sigUdf = udf((t: String) => minhashSignature(t, shingleN, numHashes))
     val bandUdf = udf { (sig: Seq[Long]) =>
@@ -95,9 +157,9 @@ object Dedup {
     // the banded self-join shuffles (id, bucket) ONLY — carrying the document
     // text through the bands-way-exploded shuffle would move ~2*bands x the
     // corpus; texts are hash-joined back per candidate pair instead
-    val banded = docs
+    val banded = capBuckets(docs
       .withColumn("_bucket", explode(bandUdf(sigUdf(col("text")))))
-      .select(col("id"), col("_bucket"))
+      .select(col("id"), col("_bucket")), "_bucket", maxBucket)
 
     val cand = banded.as("a").join(banded.as("b"),
         col("a._bucket") === col("b._bucket") && col("a.id") < col("b.id"))
@@ -154,13 +216,14 @@ object Dedup {
    * band buckets (any pair within Hamming 3 shares at least one of 4 bands).
    */
   def simhashPairs(spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
-                   shingleN: Int = 3, maxHamming: Int = 3): DataFrame = {
+                   shingleN: Int = 3, maxHamming: Int = 3,
+                   maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val shUdf = udf((t: String) => simhash(t, shingleN))
     val bandsUdf = udf((h: Long) =>
       (0 until 4).map(b => (b.toLong << 16) | ((h >>> (16 * b)) & 0xffffL)).toArray)
-    val banded = df
+    val banded = capBuckets(df
       .select(col(idCol).cast("long").as("id"), shUdf(col(textCol)).as("sh"))
-      .withColumn("_bucket", explode(bandsUdf(col("sh"))))
+      .withColumn("_bucket", explode(bandsUdf(col("sh")))), "_bucket", maxBucket)
     val hamUdf = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
     banded.as("a").join(banded.as("b"),
         col("a._bucket") === col("b._bucket") && col("a.id") < col("b.id"))
@@ -180,7 +243,8 @@ object Dedup {
    * vectors are hash-joined back per surviving candidate pair.
    */
   def embeddingPairs(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double, planes: Int = 12): DataFrame = {
+                     threshold: Double, planes: Int = 12,
+                     maxBucket: Int = DefaultMaxBucket): DataFrame = {
     val sigUdf = udf((v: Seq[Float]) => Ann.signature(v.toArray, planes))
     val probesUdf = udf { (sig: Long) =>
       val out = new Array[Long](planes + 1)
@@ -191,9 +255,12 @@ object Dedup {
     }
     val vecs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     val sigs = vecs.withColumn("_sig", sigUdf(col("v"))).select("id", "_sig")
-    val probes = sigs.withColumn("_bucket", explode(probesUdf(col("_sig"))))
-      .select(col("id"), col("_bucket"))
-    val base = sigs.select(col("id").as("bid"), col("_sig").as("_bucket"))
+    // both sides capped: pairs per bucket are then bounded by maxBucket²
+    val probes = capBuckets(
+      sigs.withColumn("_bucket", explode(probesUdf(col("_sig"))))
+        .select(col("id"), col("_bucket")), "_bucket", maxBucket)
+    val base = capBuckets(
+      sigs.select(col("id").as("bid"), col("_sig").as("_bucket")), "_bucket", maxBucket)
     val cand = probes.join(base, Seq("_bucket"))
       .filter(col("id") < col("bid"))
       .select(col("id").as("a_id"), col("bid").as("b_id"))

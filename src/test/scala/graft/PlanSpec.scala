@@ -141,6 +141,21 @@ class PlanSpec extends SparkSuite {
     assert(bad.isEmpty, s"document text rode a band shuffle: $bad")
   }
 
+  test("exact dedup: no exchange carries the text column (128-bit key decision)") {
+    import spark.implicits._
+    val docs = (0 until 100).map(i => (i.toLong, s"document body $i " * 10))
+      .toDF("doc_id", "text")
+    val df = graft.operators.Dedup.exact(docs, "doc_id", "text")
+    val bad = exchangeOutputs(df).filter(_.exists(_.contains("text")))
+    assert(bad.isEmpty, s"corpus text rode a dedup shuffle: $bad")
+    // and the removal list is broadcast (corpus side never shuffles at all
+    // beyond the (id, h1, h2, len) projection)
+    val exch = exchangeOutputs(df)
+    assert(exch.forall(out => out.forall(n =>
+      n.startsWith("_e") || n.startsWith("_h") || n.startsWith("_len") || n.startsWith("_keep"))),
+      s"unexpected exchange columns: $exch")
+  }
+
   test("embeddingPairs probe shuffle is id-only") {
     import spark.implicits._
     val rng = new graft.tables.SplitMix64(9)

@@ -62,4 +62,49 @@ class SkewSpec extends SparkSuite {
     // point 2 sits in the hole: even parity, NOT a match
     assert(got == Set((1L, 7L), (4L, 7L)))
   }
+
+  // ------------------------------------------------- LSH degenerate buckets
+
+  test("capBuckets drops over-full buckets and keeps the rest") {
+    val banded = ((0 until 100).map(i => (i.toLong, 1L)) ++
+      (100 until 105).map(i => (i.toLong, 2L))).toDF("id", "_bucket")
+    val kept = graft.operators.Dedup.capBuckets(banded, "_bucket", maxBucket = 10)
+      .select("id").as[Long].collect().toSet
+    assert(kept == (100L until 105L).toSet)
+    // cap disabled → everything passes
+    assert(graft.operators.Dedup.capBuckets(banded, "_bucket", 0).count() == 105)
+  }
+
+  test("planted degenerate minhash bucket is capped; real near-dups survive") {
+    val base = "the quick brown fox jumps over the lazy dog and runs far away into the woods"
+    val nearDup = base.replace("runs", "walks")
+    // 2000 empty captions: every band of every doc hashes to one megabucket
+    val degenerate = (1000 until 3000).map(i => (i.toLong, ""))
+    val docs = (Seq((1L, base), (2L, nearDup)) ++ degenerate).toDF("id", "t")
+    val pairs = graft.operators.Dedup
+      .minhashPairs(spark, docs, "id", "t", threshold = 0.4, maxBucket = 50)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    // without the cap this would be a ~2M-pair quadratic bucket join;
+    // with it, the megabucket is dropped and the genuine pair remains
+    assert(pairs == Set((1L, 2L)))
+  }
+
+  test("planted zero-vector megabucket is capped in lshTopK and embeddingPairs") {
+    val rng = new SplitMix64(17)
+    val normal = (0 until 50).map(i =>
+      (i.toLong, Array.fill(8)(rng.nextDouble().toFloat - 0.5f).toSeq))
+    val zeros = (1000 until 2000).map(i => (i.toLong, Seq.fill(8)(0.0f)))
+    val vecs = (normal ++ zeros).toDF("vec_id", "embedding")
+
+    val topk = graft.operators.Ann
+      .lshTopK(spark, vecs, "vec_id", "embedding", k = 2, maxBucket = 60)
+    val n = topk.count()
+    // bounded: at most k rows per surviving query id, and the 1000-strong
+    // zero bucket did not explode into ~10^6 candidate pairs
+    assert(n > 0 && n <= 2 * 1050)
+
+    val pairs = graft.operators.Dedup
+      .embeddingPairs(spark, vecs, "vec_id", "embedding", 0.99, maxBucket = 60)
+    assert(pairs.count() >= 0) // completes; megabucket dropped
+  }
 }
