@@ -115,6 +115,16 @@ object SparkEntry {
    * DuckDB — plain decimals parse as DECIMAL and cast off by 1 ulp). */
   private def dl(v: Double): String = "%.17e".format(v)
 
+  /** SQL mirror of Geom.pointSegDistSq for a segment with literal endpoint
+   * expressions (cell edges: ab2 > 0 always) — identical op order, clamp via
+   * greatest(least(.)). Point columns are `x`, `y`. */
+  private def segDist2Sql(ax: String, ay: String, bx: String, by: String): String = {
+    val t = s"greatest(least((((x - $ax) * ($bx - $ax)) + ((y - $ay) * ($by - $ay))) / " +
+      s"((($ax - $bx) * ($ax - $bx)) + (($ay - $by) * ($ay - $by))), 1.0), 0.0)"
+    s"((x - ($ax + $t * ($bx - $ax))) * (x - ($ax + $t * ($bx - $ax))) + " +
+      s"(y - ($ay + $t * ($by - $ay))) * (y - ($ay + $t * ($by - $ay))))"
+  }
+
   /** The q_img_cell SQL: full Morton decode (phash → lon/lat) and re-encode
    * (cell id at res 6) as DuckDB bit-op cascades — the image table's spatial
    * keying is verified end to end, not just row-counted. The image parquet is
@@ -993,6 +1003,38 @@ object SparkEntry {
         .orderBy("poly_key")
     }),
 
+    // -fuzzy-join full surface (dedup_points + no_dropouts + distance tie
+    // resolution) over a derived grid-cell polygon layer: closed-cell PIP,
+    // coincident planted duplicates, rare categories that drop out and get
+    // restored at their argmax-count cell — all phases exactly mirrored
+    "q_fuzzy_join_full" -> ((s, dir) => {
+      import s.implicits._
+      val pts0 = points(s, dir)
+        .withColumn("cat", when(col("id") % 97 === 0,
+          concat(lit("r"), (col("id") % 2).cast("string")))
+          .otherwise(concat(lit("c"), (col("id") % 5).cast("string"))))
+      // planted coincident duplicates: same (x, y, cat), higher point id
+      val dups = pts0.filter(col("id") % 10 === 0)
+        .withColumn("id", col("id") + 10000000L)
+      val pts = pts0.unionByName(dups)
+      val cells = pts0.select(floor(col("x") / 10.0).cast("long").as("cx"),
+          floor(col("y") / 10.0).cast("long").as("cy")).distinct()
+        .withColumn("key", col("cx") * 1000 + col("cy"))
+      val cellRows = cells.select("key", "cx", "cy")
+        .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+      val layer = PolygonLayer.fromShapes(cellRows.map { case (k, cx, cy) =>
+        val x0 = cx * 10.0; val y0 = cy * 10.0
+        k -> Seq(Array(x0, y0, x0 + 10, y0, x0 + 10, y0 + 10, x0, y0 + 10, x0, y0))
+      })
+      val adj = cells.as("a").join(cells.as("b"),
+          (abs(col("a.cx") - col("b.cx")) + abs(col("a.cy") - col("b.cy"))) === 1 &&
+            col("a.key") < col("b.key"))
+        .select(col("a.key").as("a"), col("b.key").as("b"), lit(10.0).as("w"))
+      FuzzyJoin.join(s, cells.select("key"), "key", pts, "id", "x", "y", "cat",
+          layer, adj, dedupPoints = true, noDropouts = true)
+        .orderBy("key")
+    }),
+
     "q_clip_points" -> ((s, dir) =>
       SpatialJoin.clipPoints(s, points(s, dir), "x", "y", Synthetic.oracleLayer)
         .select(col("id")).orderBy("id")),
@@ -1594,6 +1636,33 @@ object SparkEntry {
         .orderBy("group")
     }),
 
+    // -dissolve2 overlap_rule=: three overlapping rects of distinct areas
+    // (100/64/144) per family; the flat mosaic assigns each overlap region
+    // to min-id / max-id / max-area / min-area winners — per-shape kept
+    // areas have inclusion-exclusion closed forms, mirrored exactly
+    "q_dissolve2_rules" -> ((s, dir) => {
+      import s.implicits._
+      val rules = Seq("min-id", "max-id", "max-area", "min-area")
+      val kernel = udf { (g: Long) =>
+        def rect(x0: Double, y0: Double, w: Double): Array[Double] =
+          Array(x0, y0, x0 + w, y0, x0 + w, y0 + w, x0, y0 + w, x0, y0)
+        val shapes: Seq[Overlay.Shape] = Seq(
+          Seq(rect((g * 3 % 13).toDouble, (g * 5 % 17).toDouble, 10.0)),
+          Seq(rect((g * 5 % 13).toDouble, (g * 8 % 17).toDouble, 8.0)),
+          Seq(rect((g * 7 % 13).toDouble, (g * 11 % 17).toDouble, 12.0)))
+        rules.flatMap { r =>
+          val out = Overlay.dissolve2ByGroup(shapes, Seq(0L, 1L, 2L), r)
+          (0 to 2).map(i => (r, i.toLong,
+            math.round(Overlay.layerArea(out.getOrElse(i.toLong, Nil)) * 100.0)))
+        }
+      }
+      points(s, dir).select((col("id") % 50).as("g")).distinct()
+        .withColumn("rsa", explode(kernel(col("g"))))
+        .select(col("g"), col("rsa._1").as("rule"), col("rsa._2").as("shape"),
+          col("rsa._3").as("area_int"))
+        .orderBy("g", "rule", "shape")
+    }),
+
     // -rotate: spherical Euler-angle rotation (d3 semantics, ref
     // mapshaper-spherical-rotation.mjs) — trig mirrored in DuckDB, floor 1e6
     "q_rotate" -> ((s, dir) => {
@@ -1968,6 +2037,29 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // -data-fill weighted: border-length-weighted contagion with the
+    // reference's value-set group pooling plus the smoothing pass. Nulls sit
+    // on one checkerboard parity, so every donor vote resolves in one round
+    // and the smoothing wavefront is a single simultaneous step — both
+    // phases mirror exactly with integer edge weights.
+    "q_data_fill_weighted" -> ((s, dir) => {
+      val cells = points(s, dir)
+        .select(floor(col("x") / 10.0).cast("long").as("cx"),
+          floor(col("y") / 10.0).cast("long").as("cy"),
+          col("id"))
+        .groupBy("cx", "cy").agg(min(col("id")).as("min_id"))
+        .withColumn("cell_id", col("cx") * 1000 + col("cy"))
+        .withColumn("value", when((col("cx") + col("cy")) % 2 === 0,
+          concat(lit("c"), (col("min_id") % 7).cast("string"))).otherwise(lit(null: String)))
+      val adj = cells.as("a").join(cells.as("b"),
+          (abs(col("a.cx") - col("b.cx")) + abs(col("a.cy") - col("b.cy"))) === 1 &&
+            col("a.cell_id") < col("b.cell_id"))
+        .select(col("a.cell_id").as("a"), col("b.cell_id").as("b"),
+          (lit(1.0) + (col("a.cell_id") * 31 + col("b.cell_id") * 17) % 23).as("w"))
+      DataFill.fillWeighted(s, cells.select(col("cell_id").as("id"), col("value")), adj)
+        .orderBy("id")
+    }),
+
     // checkpoint-resumable tile run: manifest with per-partition lineage
     "q_tilerun" -> ((s, dir) => {
       import s.implicits._
@@ -2204,6 +2296,22 @@ object SparkEntry {
         .select("id", "x", "y").as[(Long, Double, Double)].collect().toSeq
       val assign = Cluster.greedy(items, k = 6)
       items.map { case (id, _, _) => (id, assign(id).toLong) }
+        .toDF("id", "cluster")
+        .orderBy("id")
+    }),
+
+    // -cluster group_by=: same greedy agglomeration but a candidate pair is
+    // discarded when the group labels differ (mapshaper-cluster.mjs:53-57);
+    // mirrored by the same merge-sequence unroll with a group guard
+    "q_cluster_grouped" -> ((s, dir) => {
+      import s.implicits._
+      val items = points(s, dir).where(col("id") >= 1 && col("id") <= 20)
+        .orderBy("id")
+        .select(col("id"), col("x"), col("y"),
+          concat(lit("g"), (col("id") % 2).cast("string")).as("grp"))
+        .as[(Long, Double, Double, String)].collect().toSeq
+      val assign = Cluster.greedyGrouped(items, k = 6)
+      items.map { case (id, _, _, _) => (id, assign(id).toLong) }
         .toDF("id", "cluster")
         .orderBy("id")
     }),
@@ -2548,6 +2656,68 @@ object SparkEntry {
          |SELECT CAST(pk AS BIGINT) AS poly_key, cat AS mode_cat, c AS mode_count,
          |  c - next_c AS margin
          |FROM ranked WHERE rn = 1 ORDER BY poly_key""".stripMargin,
+
+    // full fuzzy-join: dedup -> closed-cell first-match PIP (min key on
+    // boundaries == layer insertion order) -> mode vote -> distance-weighted
+    // tie resolution (exact pointSegDistSq mirror over the 4 cell edges) ->
+    // dropout restoration (argmax count, strict >, lowest key; conflicts
+    // fail). Cells are derived from the points so none is ever empty and the
+    // data-fill phase is a no-op by construction.
+    "q_fuzzy_join_full" -> {
+      val e1 = segDist2Sql("(cx * 10.0)", "(cy * 10.0)", "(cx * 10.0 + 10)", "(cy * 10.0)")
+      val e2 = segDist2Sql("(cx * 10.0 + 10)", "(cy * 10.0)", "(cx * 10.0 + 10)", "(cy * 10.0 + 10)")
+      val e3 = segDist2Sql("(cx * 10.0 + 10)", "(cy * 10.0 + 10)", "(cx * 10.0)", "(cy * 10.0 + 10)")
+      val e4 = segDist2Sql("(cx * 10.0)", "(cy * 10.0 + 10)", "(cx * 10.0)", "(cy * 10.0)")
+      s"""WITH $ptsSql,
+         |cat0 AS (SELECT id, x, y,
+         |    CASE WHEN id % 97 = 0 THEN 'r' || CAST(id % 2 AS VARCHAR)
+         |         ELSE 'c' || CAST(id % 5 AS VARCHAR) END AS cat FROM pts),
+         |allp AS (SELECT id, x, y, cat FROM cat0
+         |  UNION ALL SELECT id + 10000000, x, y, cat FROM cat0 WHERE id % 10 = 0),
+         |ded AS (SELECT id, x, y, cat FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY x, y, cat ORDER BY id) AS rn
+         |    FROM allp) WHERE rn = 1),
+         |ckey AS (SELECT cx * 1000 + cy AS key, cx, cy FROM (
+         |    SELECT DISTINCT CAST(floor(x / 10.0) AS BIGINT) AS cx,
+         |      CAST(floor(y / 10.0) AS BIGINT) AS cy FROM cat0)),
+         |asg AS (SELECT d.id, d.x, d.y, d.cat, min(c.key) AS key
+         |  FROM ded d JOIN ckey c
+         |    ON d.x >= c.cx * 10.0 AND d.x <= c.cx * 10.0 + 10
+         |   AND d.y >= c.cy * 10.0 AND d.y <= c.cy * 10.0 + 10
+         |  GROUP BY d.id, d.x, d.y, d.cat),
+         |counts AS (SELECT key, cat, count(*) AS c FROM asg GROUP BY key, cat),
+         |mx AS (SELECT key, max(c) AS maxc FROM counts GROUP BY key),
+         |tied AS (SELECT counts.key, cat, c FROM counts JOIN mx USING (key)
+         |  WHERE c = mx.maxc),
+         |tn AS (SELECT key, count(*) AS ntied, CAST(max(c) AS BIGINT) AS join_count
+         |  FROM tied GROUP BY key),
+         |clearw AS (SELECT t.key, t.cat AS win, tn.join_count
+         |  FROM tied t JOIN tn USING (key) WHERE tn.ntied = 1),
+         |tp AS (SELECT a.key, a.cat, a.x AS x, a.y AS y, c.cx, c.cy
+         |  FROM asg a
+         |  JOIN tied t ON a.key = t.key AND a.cat = t.cat
+         |  JOIN tn ON tn.key = a.key AND tn.ntied > 1
+         |  JOIN ckey c ON c.key = a.key),
+         |td AS (SELECT key, cat,
+         |    sum(sqrt(least($e1, $e2, $e3, $e4))) AS dw
+         |  FROM tp GROUP BY key, cat),
+         |tiew AS (SELECT key, win, join_count FROM (
+         |    SELECT td.key, td.cat AS win, tn.join_count,
+         |      row_number() OVER (PARTITION BY td.key ORDER BY td.dw DESC, td.cat) AS rn
+         |    FROM td JOIN tn ON tn.key = td.key) WHERE rn = 1),
+         |assigned AS (SELECT * FROM clearw UNION ALL SELECT * FROM tiew),
+         |missing AS (SELECT DISTINCT cat FROM ded
+         |  WHERE cat NOT IN (SELECT DISTINCT win FROM assigned)),
+         |wwin AS (SELECT cat, key FROM (
+         |    SELECT m.cat, c.key,
+         |      row_number() OVER (PARTITION BY m.cat ORDER BY c.c DESC, c.key) AS rn
+         |    FROM missing m JOIN counts c ON c.cat = m.cat) WHERE rn = 1),
+         |rest AS (SELECT key, cat FROM (
+         |    SELECT key, cat, row_number() OVER (PARTITION BY key ORDER BY cat) AS rn
+         |    FROM wwin) WHERE rn = 1)
+         |SELECT a.key, coalesce(r.cat, a.win) AS value, a.join_count
+         |FROM assigned a LEFT JOIN rest r USING (key) ORDER BY a.key""".stripMargin
+    },
 
     "q_centroid" ->
       s"""WITH $oracleEdgesSql
@@ -2904,6 +3074,45 @@ object SparkEntry {
          |  CAST(round((300.0 - ab - ac - bc + abc) * 100.0) AS BIGINT) AS area_int
          |FROM ov ORDER BY g""".stripMargin,
 
+    // overlap_rule variants: per-shape kept areas have inclusion-exclusion
+    // closed forms; shapes 0/1/2 have areas 100/64/144 so every rule picks a
+    // different overlap winner (min-id: 0; max-id: 2; max-area: 2>0>1;
+    // min-area: 1<0<2)
+    "q_dissolve2_rules" -> {
+      def ov(x1: String, y1: String, w1: String, x2: String, y2: String, w2: String) =
+        s"greatest(least($x1 + $w1, $x2 + $w2) - greatest($x1, $x2), 0) * " +
+          s"greatest(least($y1 + $w1, $y2 + $w2) - greatest($y1, $y2), 0)"
+      val rows = Seq(
+        // rule -> (a0, a1, a2) in terms of p01/p02/p12/t (pairwise/triple ov)
+        ("max-area", Seq("100.0 - p02", "64.0 - p01 - p12 + t", "144.0")),
+        ("max-id",   Seq("100.0 - p01 - p02 + t", "64.0 - p12", "144.0")),
+        ("min-area", Seq("100.0 - p01", "64.0", "144.0 - p02 - p12 + t")),
+        ("min-id",   Seq("100.0", "64.0 - p01", "144.0 - p02 - p12 + t"))
+      ).flatMap { case (rule, as) =>
+        as.zipWithIndex.map { case (a, i) =>
+          s"SELECT g, '$rule' AS rule, CAST($i AS BIGINT) AS shape, " +
+            s"CAST(round(($a) * 100.0) AS BIGINT) AS area_int FROM ovs"
+        }
+      }.mkString("\nUNION ALL ")
+      s"""WITH $ptsSql,
+         |gs AS (SELECT DISTINCT id % 50 AS g FROM pts),
+         |r AS (SELECT g,
+         |  CAST(g * 3 % 13 AS DOUBLE) AS x0, CAST(g * 5 % 17 AS DOUBLE) AS y0,
+         |  CAST(g * 5 % 13 AS DOUBLE) AS x1, CAST(g * 8 % 17 AS DOUBLE) AS y1,
+         |  CAST(g * 7 % 13 AS DOUBLE) AS x2, CAST(g * 11 % 17 AS DOUBLE) AS y2
+         |  FROM gs),
+         |ovs AS (SELECT g,
+         |  ${ov("x0", "y0", "10.0", "x1", "y1", "8.0")} AS p01,
+         |  ${ov("x0", "y0", "10.0", "x2", "y2", "12.0")} AS p02,
+         |  ${ov("x1", "y1", "8.0", "x2", "y2", "12.0")} AS p12,
+         |  greatest(least(least(x0 + 10.0, x1 + 8.0), x2 + 12.0)
+         |    - greatest(greatest(x0, x1), x2), 0) *
+         |  greatest(least(least(y0 + 10.0, y1 + 8.0), y2 + 12.0)
+         |    - greatest(greatest(y0, y1), y2), 0) AS t
+         |  FROM r)
+         |SELECT * FROM ($rows) ORDER BY g, rule, shape""".stripMargin
+    },
+
     "q_rotate" -> {
       val D2R = dl(Crs.D2R); val PI = dl(math.Pi); val TWOPI = dl(2.0 * math.Pi)
       val A = dl(25.0 * Crs.D2R)
@@ -3241,6 +3450,50 @@ object SparkEntry {
     "q_proj_path" -> projPathSql,
 
     "q_data_fill" -> dataFillSql,
+
+    // weighted variant: checkerboard nulls resolve in ONE weighted pooled
+    // round + one smoothing step (no null neighbors by parity), with exact
+    // integer edge weights — both phases mirrored closed-form
+    "q_data_fill_weighted" ->
+      s"""WITH $ptsSql,
+         |cells AS (SELECT CAST(floor(x / 10.0) AS BIGINT) AS cx,
+         |    CAST(floor(y / 10.0) AS BIGINT) AS cy, min(id) AS min_id
+         |  FROM pts GROUP BY 1, 2),
+         |base AS (SELECT cx * 1000 + cy AS id,
+         |    CASE WHEN (cx + cy) % 2 = 0 THEN 'c' || CAST(min_id % 7 AS VARCHAR)
+         |         ELSE NULL END AS value,
+         |    cx, cy FROM cells),
+         |adj0 AS (SELECT a.id AS a, b.id AS b,
+         |    CAST(1 + (a.id * 31 + b.id * 17) % 23 AS DOUBLE) AS w
+         |  FROM base a JOIN base b
+         |  ON (abs(a.cx - b.cx) + abs(a.cy - b.cy)) = 1 AND a.id < b.id),
+         |adj AS (SELECT a, b, w FROM adj0 UNION ALL SELECT b AS a, a AS b, w FROM adj0),
+         |votes AS (SELECT u.id, fn.value AS nval, sum(w) AS vw
+         |  FROM base u JOIN adj ON adj.a = u.id
+         |  JOIN base fn ON fn.id = adj.b AND fn.value IS NOT NULL
+         |  WHERE u.value IS NULL GROUP BY u.id, fn.value),
+         |gkeys AS (SELECT id, array_to_string(list_sort(list(DISTINCT nval)), '~') AS gkey
+         |  FROM votes GROUP BY id),
+         |pooled AS (SELECT k.gkey, v.nval, sum(v.vw) AS gw
+         |  FROM votes v JOIN gkeys k USING (id) GROUP BY 1, 2),
+         |winners AS (SELECT gkey, nval FROM (
+         |    SELECT gkey, nval,
+         |      row_number() OVER (PARTITION BY gkey ORDER BY gw DESC, nval) AS rn
+         |    FROM pooled) WHERE rn = 1),
+         |f1 AS MATERIALIZED (SELECT b.id, b.value AS v0, coalesce(b.value, w2.nval) AS value
+         |  FROM base b LEFT JOIN (
+         |    SELECT k.id, w1.nval FROM gkeys k JOIN winners w1 USING (gkey)) w2 USING (id)),
+         |sv AS (SELECT f.id, fn.value AS nval, sum(adj.w) AS vw
+         |  FROM f1 f JOIN adj ON adj.a = f.id
+         |  JOIN f1 fn ON fn.id = adj.b AND fn.value IS NOT NULL
+         |  WHERE f.v0 IS NULL GROUP BY f.id, fn.value),
+         |sw AS (SELECT id, nval FROM (
+         |    SELECT id, nval,
+         |      row_number() OVER (PARTITION BY id ORDER BY vw DESC, nval) AS rn,
+         |      count(*) OVER (PARTITION BY id) AS nv
+         |    FROM sv) WHERE rn = 1 AND nv >= 2)
+         |SELECT f1.id, coalesce(sw.nval, f1.value) AS value
+         |FROM f1 LEFT JOIN sw USING (id) ORDER BY id""".stripMargin,
 
     // bbox + pct offsets + expand-only aspect fill-out, same op order
     "q_rectangles" ->
@@ -3868,6 +4121,40 @@ object SparkEntry {
          |items AS (SELECT id, x, y, row_number() OVER (ORDER BY id) - 1 AS cid
          |  FROM pts WHERE id >= 1 AND id <= 20),
          |s0 AS MATERIALIZED (SELECT cid, x AS cx, y AS cy,
+         |  CAST(1.0 AS DOUBLE) AS sz, TRUE AS alive FROM items),
+         |a0 AS MATERIALIZED (SELECT id, cid AS root FROM items),
+         |$rounds
+         |SELECT id, CAST(dense_rank() OVER (ORDER BY root) - 1 AS BIGINT) AS cluster
+         |FROM a14 ORDER BY id""".stripMargin
+    },
+
+    // group_by variant: identical merge unroll with the reference's
+    // same-group guard on the candidate pair join (a.g = b.g)
+    "q_cluster_grouped" -> {
+      val rounds = (1 to 14).map { k =>
+        s"""m$k AS MATERIALIZED (SELECT a.cid AS bi, b.cid AS bj,
+           |  b.cx AS bcx, b.cy AS bcy, b.sz AS bsz
+           |  FROM s${k - 1} a JOIN s${k - 1} b
+           |  ON a.cid < b.cid AND a.alive AND b.alive AND a.g = b.g
+           |  ORDER BY (a.cx - b.cx) * (a.cx - b.cx) + (a.cy - b.cy) * (a.cy - b.cy),
+           |    a.cid, b.cid
+           |  LIMIT 1),
+           |s$k AS MATERIALIZED (SELECT s.cid, s.g,
+           |  CASE WHEN s.cid = m.bi THEN (s.cx * s.sz + m.bcx * m.bsz) / (s.sz + m.bsz)
+           |    ELSE s.cx END AS cx,
+           |  CASE WHEN s.cid = m.bi THEN (s.cy * s.sz + m.bcy * m.bsz) / (s.sz + m.bsz)
+           |    ELSE s.cy END AS cy,
+           |  CASE WHEN s.cid = m.bi THEN s.sz + m.bsz ELSE s.sz END AS sz,
+           |  s.alive AND s.cid <> m.bj AS alive
+           |  FROM s${k - 1} s, m$k m),
+           |a$k AS MATERIALIZED (SELECT a.id,
+           |  CASE WHEN a.root = m.bj THEN m.bi ELSE a.root END AS root
+           |  FROM a${k - 1} a, m$k m)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $ptsSql,
+         |items AS (SELECT id, x, y, id % 2 AS g, row_number() OVER (ORDER BY id) - 1 AS cid
+         |  FROM pts WHERE id >= 1 AND id <= 20),
+         |s0 AS MATERIALIZED (SELECT cid, g, x AS cx, y AS cy,
          |  CAST(1.0 AS DOUBLE) AS sz, TRUE AS alive FROM items),
          |a0 AS MATERIALIZED (SELECT id, cid AS root FROM items),
          |$rounds

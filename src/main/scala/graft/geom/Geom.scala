@@ -187,6 +187,19 @@ object Geom {
     dx * dx + dy * dy
   }
 
+  /** Squared distance from p to segment (a, b) — clamped-projection form
+    * (reference `pointSegDistSq2`, mapshaper-basic-geom.mjs:272-279). */
+  @inline def pointSegDistSq(px: Double, py: Double,
+                             ax: Double, ay: Double, bx: Double, by: Double): Double = {
+    val ab2 = distanceSq(ax, ay, bx, by)
+    if (ab2 == 0) distanceSq(px, py, ax, ay)
+    else {
+      var t = ((px - ax) * (bx - ax) + (py - ay) * (by - ay)) / ab2
+      if (t < 0) t = 0 else if (t > 1) t = 1
+      distanceSq(px, py, ax + t * (bx - ax), ay + t * (by - ay))
+    }
+  }
+
   // ------------------------------------------------- 3D (spherical) metrics
   // lon/lat paths are simplified on the unit-Earth sphere: vertices are
   // converted to XYZ and the same Visvalingam/DP kernels run with these

@@ -448,26 +448,85 @@ object Overlay {
   /**
    * `-clean`: repair overlaps — every mosaic tile is assigned to exactly one
    * claiming shape (reference: mosaic round-trip,
-   * `src/commands/mapshaper-clean.mjs:18-112`; default overlap rule keeps the
-   * first/lowest shape). Gaps are left unfilled (gap-fill is an option in the
-   * reference, not the default). Returns the rebuilt shapes, index-aligned
-   * with the input (empty Seq where a shape lost all area).
+   * `src/commands/mapshaper-clean.mjs:18-112`). Gaps are left unfilled
+   * (gap-fill is an option in the reference, not the default). Returns the
+   * rebuilt shapes, index-aligned with the input (empty Seq where a shape
+   * lost all area).
+   *
+   * `overlapRule` resolves which claimant keeps an overlapped tile
+   * (`src/polygons/mapshaper-mosaic-index.mjs:485-500`): `min-id` (this
+   * library's historical first-wins default), `max-id`, `max-area` (the
+   * reference's own default), `min-area`. Ties keep the lower shape index —
+   * the reference replaces the incumbent only on strictly greater weight
+   * while scanning shapes in index order (`mapshaper-tile-shape-index
+   * .mjs:75-82`).
    */
-  def clean(shapes: Seq[Shape]): Seq[Seq[Array[Double]]] = {
+  def clean(shapes: Seq[Shape], overlapRule: String = "min-id"): Seq[Seq[Array[Double]]] = {
     val m = mosaic(shapes)
+    val weight = overlapWeight(shapes, overlapRule)
     val byShape = Array.fill(shapes.length)(mutable.ArrayBuffer.empty[Face])
     m.faces.foreach { f =>
+      var best = -1
       var i = 0
-      var assigned = false
-      while (i < shapes.length && !assigned) {
-        if (f.inLayer(i)) {
-          byShape(i) += f
-          assigned = true
-        }
+      while (i < shapes.length) {
+        if (f.inLayer(i) && (best == -1 || weight(i) > weight(best))) best = i
         i += 1
       }
+      if (best >= 0) byShape(best) += f
     }
     byShape.map(fs => dissolveFaces(fs.toSeq)).toSeq
+  }
+
+  /** Per-shape tile weight for an overlap rule (`mapshaper-mosaic-index
+   * .mjs:485-500`). */
+  private def overlapWeight(shapes: Seq[Shape], overlapRule: String): Int => Double =
+    overlapRule match {
+      case "min-id"   => i => -i.toDouble
+      case "max-id"   => i => i.toDouble
+      case "max-area" => val a = shapes.map(s => layerArea(s)).toArray; i => a(i)
+      case "min-area" => val a = shapes.map(s => layerArea(s)).toArray; i => -a(i)
+      case other => throw new IllegalArgumentException(s"Unknown overlap rule: $other")
+    }
+
+  /**
+   * Grouped robust dissolve — `-dissolve2 <field>` with `overlap_rule=` and
+   * `allow_overlaps` (`src/dissolve/mapshaper-polygon-dissolve2.mjs:68-90`):
+   * with a flat mosaic (the default), each overlapped tile goes to exactly
+   * one claiming shape per `overlapRule` before the per-group dissolve; with
+   * `allowOverlaps`, every group keeps every tile any of its shapes covers,
+   * so output groups may overlap (the reference's `flat: !opts
+   * .allow_overlaps`). Returns groupId -> dissolved rings.
+   */
+  def dissolve2ByGroup(shapes: Seq[Shape], groups: Seq[Long],
+                       overlapRule: String = "min-id",
+                       allowOverlaps: Boolean = false): Map[Long, Seq[Array[Double]]] = {
+    require(groups.length == shapes.length, "groups must align with shapes")
+    val m = mosaic(shapes)
+    val faceGroups = mutable.LinkedHashMap.empty[Long, mutable.ArrayBuffer[Face]]
+    if (allowOverlaps) {
+      m.faces.foreach { f =>
+        var i = 0
+        val seen = mutable.HashSet.empty[Long]
+        while (i < shapes.length) {
+          if (f.inLayer(i) && seen.add(groups(i)))
+            faceGroups.getOrElseUpdate(groups(i), mutable.ArrayBuffer.empty) += f
+          i += 1
+        }
+      }
+    } else {
+      val weight = overlapWeight(shapes, overlapRule)
+      m.faces.foreach { f =>
+        var best = -1
+        var i = 0
+        while (i < shapes.length) {
+          if (f.inLayer(i) && (best == -1 || weight(i) > weight(best))) best = i
+          i += 1
+        }
+        if (best >= 0)
+          faceGroups.getOrElseUpdate(groups(best), mutable.ArrayBuffer.empty) += f
+      }
+    }
+    faceGroups.iterator.map { case (g, fs) => g -> dissolveFaces(fs.toSeq) }.toMap
   }
 
   /** Merge selected faces by cancelling shared edges, reassembling rings. */

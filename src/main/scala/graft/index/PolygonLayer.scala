@@ -206,6 +206,41 @@ final class PolygonLayer(
   }
 
   /** Planar signed area of a shape = sum of its rings' signed areas. */
+  @transient private lazy val keyToShape: java.util.HashMap[Long, Int] = {
+    val m = new java.util.HashMap[Long, Int](numShapes * 2)
+    var s = 0
+    while (s < numShapes) {
+      if (!m.containsKey(shapeKeys(s))) m.put(shapeKeys(s), s)
+      s += 1
+    }
+    m
+  }
+
+  /** Unsigned distance from (x, y) to the nearest boundary segment of the
+    * shape with external key `key` — the reference's
+    * `geom.getPointToShapeDistance` (mapshaper-path-geom.mjs:53, min over
+    * all ring segments, holes included), used by `-fuzzy-join` tie
+    * resolution. Infinity when the key is unknown. */
+  def boundaryDistanceByKey(x: Double, y: Double, key: Long): Double = {
+    val s = keyToShape.getOrDefault(key, -1)
+    if (s < 0) return Double.PositiveInfinity
+    var best = Double.PositiveInfinity
+    var r = 0
+    while (r < numRings) {
+      if (ringShape(r) == s) {
+        var i = ringStart(r)
+        val end = ringStart(r + 1) - 1
+        while (i < end) {
+          val d = Geom.pointSegDistSq(x, y, xx(i), yy(i), xx(i + 1), yy(i + 1))
+          if (d < best) best = d
+          i += 1
+        }
+      }
+      r += 1
+    }
+    math.sqrt(best)
+  }
+
   def shapeArea(shape: Int): Double = {
     var sum = 0.0
     var r = 0

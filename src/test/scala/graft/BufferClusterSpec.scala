@@ -129,4 +129,28 @@ class BufferClusterSpec extends AnyFunSuite {
     val asg2 = Cluster.greedy(items, k = 1, maxDist = 5.0)
     assert(asg2.values.toSet.size == 3)
   }
+
+  test("group_by cluster never merges across groups; pct sets the target") {
+    // two interleaved groups: nearest raw pair (1,10) straddles the groups
+    // and must NOT merge
+    val items = Seq(
+      (1L, 0.0, 0.0, "g1"), (10L, 0.1, 0.0, "g2"),
+      (2L, 1.0, 0.0, "g1"), (11L, 1.1, 0.0, "g2"),
+      (3L, 50.0, 0.0, "g1"), (12L, 50.1, 0.0, "g2"))
+    val asg = Cluster.greedyGrouped(items, k = 4)
+    assert(asg.values.toSet.size == 4)
+    val byCluster = asg.groupBy(_._2).values.map(_.keys.toSet).toSet
+    // merges happened within groups only: {1,2} and {10,11}
+    assert(byCluster.contains(Set(1L, 2L)) && byCluster.contains(Set(10L, 11L)))
+    // floor: with k below the group count, stops at one cluster per group
+    val asg2 = Cluster.greedyGrouped(items, k = 1)
+    assert(asg2.values.toSet.size == 2)
+    assert(asg2(1L) == asg2(2L) && asg2(2L) == asg2(3L))
+    assert(asg2(10L) == asg2(11L) && asg2(11L) == asg2(12L))
+    assert(asg2(1L) != asg2(10L))
+    // pct -> Math.round(n * pct), floored at 1
+    assert(Cluster.targetCount(6, 0.5) == 3)
+    assert(Cluster.targetCount(5, 0.5) == 3) // JS Math.round half-up
+    assert(Cluster.targetCount(3, 0.01) == 1)
+  }
 }

@@ -34,6 +34,40 @@ class OverlaySpec extends AnyFunSuite {
     assert(math.abs(Overlay.layerArea(out2) - 4.0) < eps)
   }
 
+  test("clean overlap rules decide who keeps the overlap") {
+    // big A [0,10]x[0,10] (area 100) overlaps small B [5,0]x[15,8] (area 80)
+    val a = Seq(rect(0, 0, 10, 10))
+    val b = Seq(rect(5, 0, 15, 8))
+    def areas(rule: String): Seq[Double] =
+      Overlay.clean(Seq(a, b), rule).map(Overlay.layerArea)
+    // min-id (historical default): A keeps the 40-unit overlap
+    assert(areas("min-id").zip(Seq(100.0, 40.0)).forall { case (g, w) => math.abs(g - w) < eps })
+    // max-id: B keeps it
+    assert(areas("max-id").zip(Seq(60.0, 80.0)).forall { case (g, w) => math.abs(g - w) < eps })
+    // max-area (reference default): A (100) outweighs B (80)
+    assert(areas("max-area").zip(Seq(100.0, 40.0)).forall { case (g, w) => math.abs(g - w) < eps })
+    // min-area: B wins the overlap
+    assert(areas("min-area").zip(Seq(60.0, 80.0)).forall { case (g, w) => math.abs(g - w) < eps })
+    intercept[IllegalArgumentException](Overlay.clean(Seq(a, b), "bogus"))
+  }
+
+  test("dissolve2ByGroup: flat mosaic splits the overlap; allow_overlaps keeps it") {
+    // groups: shape0 (big) -> g1, shape1 (small) -> g2
+    val a = Seq(rect(0, 0, 10, 10))
+    val b = Seq(rect(5, 0, 15, 8))
+    val flat = Overlay.dissolve2ByGroup(Seq(a, b), Seq(1L, 2L), "max-area")
+    assert(math.abs(Overlay.layerArea(flat(1L)) - 100.0) < eps)
+    assert(math.abs(Overlay.layerArea(flat(2L)) - 40.0) < eps)
+    // total tiles partition the union exactly
+    assert(math.abs(flat.values.map(Overlay.layerArea).sum - 140.0) < eps)
+    val over = Overlay.dissolve2ByGroup(Seq(a, b), Seq(1L, 2L), allowOverlaps = true)
+    assert(math.abs(Overlay.layerArea(over(1L)) - 100.0) < eps)
+    assert(math.abs(Overlay.layerArea(over(2L)) - 80.0) < eps) // overlap retained
+    // same group: plain dissolve2 of the union
+    val one = Overlay.dissolve2ByGroup(Seq(a, b), Seq(7L, 7L))
+    assert(math.abs(Overlay.layerArea(one(7L)) - 140.0) < eps)
+  }
+
   test("erase: punches a hole (area + ring count)") {
     val out = Overlay.erase(Seq(Seq(rect(0, 0, 10, 10))), Seq(Seq(rect(4, 4, 6, 6))))
     assert(math.abs(Overlay.layerArea(out) - 96.0) < eps)
