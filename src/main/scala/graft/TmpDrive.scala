@@ -30,7 +30,7 @@ object TmpDrive {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = names.map(n => s"${q(n)}: ${q(SparkEntry.oracleSql(n))}")
+    val json = names.flatMap(n => SparkEntry.oracleSql.get(n).map(s => s"${q(n)}: ${q(s)}"))
       .mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
