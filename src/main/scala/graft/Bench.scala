@@ -178,7 +178,12 @@ object Bench {
     val tHi = rounds.map(_._2).min
     val nLogical = nImages * Rep
     val eff = (tLo / tHi) / (hiCores.toDouble / loCores)
-    val (t1, t4) = (measureAt(1, imagesPath), measureAt(4, imagesPath))
+    // same interleaved min-of-3 noise protocol as the contract 2->8 pair
+    // (a single measurement showed a 0.67-0.99 spread on the shared host)
+    val rounds14 = (1 to 3).map { _ =>
+      (measureAt(1, imagesPath), measureAt(4, imagesPath))
+    }
+    val (t1, t4) = (rounds14.map(_._1).min, rounds14.map(_._2).min)
     val eff14 = (t1 / t4) / 4.0
 
     // ---------- full-width throughput (child JVM) + per-operator timings ------

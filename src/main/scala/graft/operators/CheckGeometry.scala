@@ -36,13 +36,32 @@ object CheckGeometry {
    * Returns one row per intersecting pair: (id_a, id_b) with id_a < id_b.
    */
   def intersectingPairs(segs: DataFrame, idCol: String, cellSize: Double): DataFrame = {
+    // Supercover column walk: for each x-column the segment crosses, emit
+    // only the y-cells its span within that column touches — O(len/cell)
+    // candidate rows for a near-diagonal segment where a bbox cover would
+    // explode O((len/cell)²). A ±cellSize*1e-9 y-pad guards ulp
+    // disagreements between two segments about an intersection exactly on a
+    // row boundary (the column range needs no pad: floor(x/cell) of the
+    // same coordinate is identical on both sides).
     def cells(p: String): Column = {
-      val cx0 = floor(least(col(s"${p}x1"), col(s"${p}x2")) / cellSize).cast("long")
-      val cx1 = floor(greatest(col(s"${p}x1"), col(s"${p}x2")) / cellSize).cast("long")
-      val cy0 = floor(least(col(s"${p}y1"), col(s"${p}y2")) / cellSize).cast("long")
-      val cy1 = floor(greatest(col(s"${p}y1"), col(s"${p}y2")) / cellSize).cast("long")
-      flatten(transform(sequence(cx0, cx1), cx =>
-        transform(sequence(cy0, cy1), cy => cx * 4000037L + cy)))
+      val x1 = col(s"${p}x1"); val y1 = col(s"${p}y1")
+      val x2 = col(s"${p}x2"); val y2 = col(s"${p}y2")
+      val minx = least(x1, x2)
+      val maxx = greatest(x1, x2)
+      val cx0 = floor(minx / cellSize).cast("long")
+      val cx1 = floor(maxx / cellSize).cast("long")
+      val pad = cellSize * 1e-9
+      flatten(transform(sequence(cx0, cx1), cx => {
+        val xlo = greatest(minx, cx.cast("double") * cellSize)
+        val xhi = least(maxx, (cx.cast("double") + lit(1.0)) * cellSize)
+        def yAt(x: Column): Column = y1 + (x - x1) * (y2 - y1) / (x2 - x1)
+        val vertical = x1 === x2
+        val ya = when(vertical, least(y1, y2)).otherwise(least(yAt(xlo), yAt(xhi)))
+        val yb = when(vertical, greatest(y1, y2)).otherwise(greatest(yAt(xlo), yAt(xhi)))
+        val cy0 = floor((ya - pad) / cellSize).cast("long")
+        val cy1 = floor((yb + pad) / cellSize).cast("long")
+        transform(sequence(cy0, cy1), cy => cx * 4000037L + cy)
+      }))
     }
     val base = segs.select(col(idCol).as("sid"),
       col("x1"), col("y1"), col("x2"), col("y2"))

@@ -420,6 +420,10 @@ object Grids {
         placed += 1
       }
     }
+    if (placed < n)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dotFillEven: placed $placed of $n dots before the probe budget ran " +
+          s"out (evenness=$ev) — result is truncated, not a full fill")
     out.result()
   }
 

@@ -165,11 +165,13 @@ object Uniq {
             maxCount: Int = 1, invert: Boolean = false,
             index: Boolean = false): DataFrame = {
     val w = Window.partitionBy(keyCols.map(col): _*).orderBy(orderCols: _*)
-    val withIdx = df.withColumn("index", row_number().over(w))
-    if (index) withIdx
+    // collision-safe working column: a user column named `index` must
+    // survive non-index mode and only be replaced when index=true
+    val withIdx = df.withColumn("_uniq_idx", row_number().over(w))
+    if (index) withIdx.drop("index").withColumnRenamed("_uniq_idx", "index")
     else {
-      val keep = col("index") <= maxCount
-      withIdx.filter(if (invert) !keep else keep).drop("index")
+      val keep = col("_uniq_idx") <= maxCount
+      withIdx.filter(if (invert) !keep else keep).drop("_uniq_idx")
     }
   }
 }

@@ -75,6 +75,89 @@ object KmlIO {
     }
   }
 
+  // ------------------------------------------------------------------ export
+
+  private def xmlEscape(s: String): String =
+    s.flatMap {
+      case '&' => "&amp;"
+      case '<' => "&lt;"
+      case '>' => "&gt;"
+      case '"' => "&quot;"
+      case c => c.toString
+    }
+
+  private def coordString(flat: Array[Double]): String =
+    flat.grouped(2).map(p => s"${p(0)},${p(1)}").mkString(" ")
+
+  private def kmlDoc(placemarks: Seq[String]): Array[Byte] =
+    ("""<?xml version="1.0" encoding="UTF-8"?>""" + "\n" +
+      """<kml xmlns="http://www.opengis.net/kml/2.2"><Document>""" + "\n" +
+      placemarks.mkString("\n") + "\n</Document></kml>\n")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Point placemarks → KML bytes — the reference's `-o format=kml` write
+    * path (`/root/reference/src/kml/kml-export.mjs:7-24`: GeoJSON → tokml
+    * Placemarks; same Document/Placemark/Point shape). */
+  def writePoints(points: Seq[KmlPoint]): Array[Byte] =
+    kmlDoc(points.map(p =>
+      s"<Placemark><name>${xmlEscape(p.name)}</name>" +
+        s"<Point><coordinates>${p.lon},${p.lat}</coordinates></Point></Placemark>"))
+
+  /** Polygon placemarks → KML bytes. Rings are classified outer/inner by
+    * even-odd containment within the shape (a ring inside an odd number of
+    * the shape's other rings is a hole), matching the import's parity
+    * semantics. */
+  def writePolygons(layer: PolygonLayer): Array[Byte] = {
+    val pms = (0 until layer.numShapes).map { s =>
+      val ringIdx = (0 until layer.numRings).filter(layer.ringShape(_) == s)
+      val flats = ringIdx.map { r =>
+        val st = layer.ringStart(r); val n = layer.ringStart(r + 1) - st
+        val flat = new Array[Double](n * 2)
+        var i = 0
+        while (i < n) {
+          flat(i * 2) = layer.xx(st + i); flat(i * 2 + 1) = layer.yy(st + i)
+          i += 1
+        }
+        flat
+      }
+      val isHole = flats.indices.map { i =>
+        var depth = 0
+        flats.indices.foreach { j =>
+          if (i != j) {
+            val o = flats(j)
+            val n = o.length / 2
+            val xs = Array.tabulate(n)(k => o(k * 2))
+            val ys = Array.tabulate(n)(k => o(k * 2 + 1))
+            if (graft.geom.Geom.pointInRing(flats(i)(0), flats(i)(1), xs, ys, 0, n)
+                == graft.geom.Geom.IN) depth += 1
+          }
+        }
+        depth % 2 == 1
+      }
+      val outer = flats.indices.filter(!isHole(_)).map(i =>
+        s"<outerBoundaryIs><LinearRing><coordinates>${coordString(flats(i))}" +
+          "</coordinates></LinearRing></outerBoundaryIs>")
+      val inner = flats.indices.filter(isHole(_)).map(i =>
+        s"<innerBoundaryIs><LinearRing><coordinates>${coordString(flats(i))}" +
+          "</coordinates></LinearRing></innerBoundaryIs>")
+      s"<Placemark><name>shape-${layer.shapeKeys(s)}</name><Polygon>" +
+        (outer ++ inner).mkString + "</Polygon></Placemark>"
+    }
+    kmlDoc(pms)
+  }
+
+  /** Wrap KML bytes as a KMZ (zip with a `doc.kml` entry — kml-export
+    * .mjs:15-17). */
+  def kmzFromKml(kmlBytes: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val zos = new java.util.zip.ZipOutputStream(bos)
+    zos.putNextEntry(new java.util.zip.ZipEntry("doc.kml"))
+    zos.write(kmlBytes)
+    zos.closeEntry()
+    zos.close()
+    bos.toByteArray
+  }
+
   /** All Polygon placemarks as a PolygonLayer (outer + inner rings). */
   def readPolygons(kmlBytes: Array[Byte]): PolygonLayer = {
     val doc = parseDoc(new ByteArrayInputStream(kmlBytes))

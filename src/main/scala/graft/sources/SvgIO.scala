@@ -22,7 +22,8 @@ object SvgIO {
   final case class Feature(kind: String, parts: Seq[Array[Double]], attrs: Map[String, String])
 
   private val ElemRe = """<(path|polygon|polyline|rect|line|circle|ellipse)\b([^>]*?)/?>""".r
-  private val AttrRe = """([\w:-]+)\s*=\s*"([^"]*)"""".r
+  // both quote styles are valid XML: x="1" and x='1'
+  private val AttrRe = """([\w:-]+)\s*=\s*(?:"([^"]*)"|'([^']*)')""".r
   private val NumRe = """[-+]?(?:\d+\.?\d*|\.\d+)(?:[eE][-+]?\d+)?""".r
 
   /** Curve flattening steps (fixed — deterministic output). */
@@ -31,7 +32,8 @@ object SvgIO {
   def read(svg: String): Seq[Feature] =
     ElemRe.findAllMatchIn(svg).map { m =>
       val tag = m.group(1)
-      val attrs = AttrRe.findAllMatchIn(m.group(2)).map(a => a.group(1) -> a.group(2)).toMap
+      val attrs = AttrRe.findAllMatchIn(m.group(2))
+        .map(a => a.group(1) -> Option(a.group(2)).getOrElse(a.group(3))).toMap
       def d(name: String, dflt: Double = 0.0): Double =
         attrs.get(name).map(_.toDouble).getOrElse(dflt)
       tag match {

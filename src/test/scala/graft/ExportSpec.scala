@@ -94,6 +94,15 @@ class ExportSpec extends SparkSuite {
     assert(close(back(1).head, inner))
   }
 
+  test("svg import accepts single-quoted attributes") {
+    val feats = SvgIO.read("""<svg><rect x='1' y='2' width='3' height='4'/>
+      |<line x1="0" y1='0' x2='5' y2="5"/></svg>""".stripMargin)
+    assert(feats.length == 2)
+    val r = feats.head.parts.head
+    assert(r.toSeq.take(4) == Seq(1.0, 2.0, 4.0, 2.0)) // x, y, x+w, y
+    assert(feats(1).parts.head.toSeq == Seq(0.0, 0.0, 5.0, 5.0))
+  }
+
   test("svg import: relative commands, H/V, curves, shape elements") {
     // relative path: m 1 1 l 2 0 0 2 z -> triangle-ish closed subpath
     val p = SvgIO.parsePathData("m 1 1 l 2 0 0 2 z")

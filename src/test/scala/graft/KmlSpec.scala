@@ -38,4 +38,25 @@ class KmlSpec extends AnyFunSuite {
     assert(layer.findShapes(1, 1).contains(0))
     assert(!layer.findShapes(5, 5).contains(0)) // in the hole
   }
+
+  test("write -> read round-trip: points, and polygons with holes, plus KMZ") {
+    val pts = Seq(KmlIO.KmlPoint("a & b", 1.25, -2.5), KmlIO.KmlPoint("<c>", 30.0, 40.0))
+    assert(KmlIO.readPoints(KmlIO.writePoints(pts)) == pts)
+
+    val layer = graft.index.PolygonLayer.fromShapes(Seq(
+      7L -> Seq(
+        Array(0.0, 0, 10, 0, 10, 10, 0, 10, 0, 0),  // outer
+        Array(4.0, 4, 6, 4, 6, 6, 4, 6, 4, 4)),     // hole
+      9L -> Seq(Array(20.0, 0, 25, 0, 25, 5, 20, 5, 20, 0))))
+    val kml = new String(KmlIO.writePolygons(layer), "UTF-8")
+    assert(kml.contains("outerBoundaryIs") && kml.contains("innerBoundaryIs"))
+    val back = KmlIO.readPolygons(KmlIO.writePolygons(layer))
+    assert(back.numShapes == 2 && back.numRings == 3)
+    assert(back.findShapes(1, 1).nonEmpty)
+    assert(back.findShapes(5, 5).isEmpty)   // hole preserved
+    assert(back.findShapes(22, 2).nonEmpty) // second shape
+    // KMZ wrap/unwrap
+    val kmz = KmlIO.kmzFromKml(KmlIO.writePolygons(layer))
+    assert(KmlIO.readPolygons(KmlIO.kmlFromKmz(kmz)).numRings == 3)
+  }
 }

@@ -102,6 +102,37 @@ class LinesFurnitureSpec extends SparkSuite {
     assert(CheckGeometry.intersectionCount(segs, "sid", 100.0) == 1)
   }
 
+  test("-check-geometry supercover walk matches brute force on diagonal fans") {
+    // long near-diagonal segments at a small cellSize: bbox cover would emit
+    // O((len/cell)^2) candidates; the column walk stays linear AND complete
+    val rng = new graft.tables.SplitMix64(5)
+    val segs = (1 to 40).map { i =>
+      (i.toLong, rng.nextDouble() * 20, rng.nextDouble() * 20,
+        rng.nextDouble() * 20 + 30, rng.nextDouble() * 20 + 28)
+    }.toDF("sid", "x1", "y1", "x2", "y2")
+    val got = CheckGeometry.intersectingPairs(segs, "sid", cellSize = 0.5)
+      .as[(Long, Long)].collect().toSet
+    val rows = segs.as[(Long, Double, Double, Double, Double)].collect()
+    def orient(ax: Double, ay: Double, bx: Double, by: Double, px: Double, py: Double) =
+      (bx - ax) * (py - ay) - (by - ay) * (px - ax)
+    val brute = (for {
+      a <- rows; b <- rows if a._1 < b._1
+      shares = (a._2, a._3) == (b._2, b._3) || (a._2, a._3) == (b._4, b._5) ||
+        (a._4, a._5) == (b._2, b._3) || (a._4, a._5) == (b._4, b._5)
+      o1 = orient(a._2, a._3, a._4, a._5, b._2, b._3)
+      o2 = orient(a._2, a._3, a._4, a._5, b._4, b._5)
+      o3 = orient(b._2, b._3, b._4, b._5, a._2, a._3)
+      o4 = orient(b._2, b._3, b._4, b._5, a._4, a._5)
+      if !shares && o1 * o2 <= 0 && o3 * o4 <= 0 &&
+        math.min(a._2, a._4) <= math.max(b._2, b._4) &&
+        math.min(b._2, b._4) <= math.max(a._2, a._4) &&
+        math.min(a._3, a._5) <= math.max(b._3, b._5) &&
+        math.min(b._3, b._5) <= math.max(a._3, a._5) &&
+        !(o1 == 0 && o2 == 0)
+    } yield (a._1, b._1)).toSet
+    assert(got == brute && brute.nonEmpty)
+  }
+
   test("-check-geometry: cell partitioning does not double-count straddling pairs") {
     // long segments spanning many cells at cellSize=1
     val segs = Seq(

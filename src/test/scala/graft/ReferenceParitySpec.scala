@@ -222,6 +222,15 @@ class ReferenceParitySpec extends AnyFunSuite {
     assert(idx == Seq(1, 1, 2, 3))
     // invert -> the removed side: rows 2, 3
     assert(ids(graft.operators.Uniq(df, Seq("foo"), Seq(col("id")), invert = true)) == Seq(2L, 3L))
+    // a pre-existing user column named `index` survives non-index mode...
+    val withUser = df.withColumn("index", col("id") * 10)
+    val kept = graft.operators.Uniq(withUser, Seq("foo"), Seq(col("id")))
+      .orderBy("id").select("index").as[Long].collect().toSeq
+    assert(kept == Seq(0L, 10L))
+    // ...and is replaced by the occurrence index only when index=true
+    val replaced = graft.operators.Uniq(withUser, Seq("foo"), Seq(col("id")), index = true)
+      .orderBy("id").select("index").as[Int].collect().toSeq
+    assert(replaced == Seq(1, 1, 2, 3))
   }
 
   // reference point-grid-test.mjs:57-110 — rows/cols margins + world default
