@@ -1741,6 +1741,46 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // azimuthal catalog + spherical pre-clip: each projection keeps only the
+    // points within its default clip angle of its center (the reference's
+    // getDefaultClipAngle), then projects — trig mirrored, floor-guarded
+    "q_proj_azimuthal" -> ((s, dir) => {
+      import graft.geom.Crs
+      val pts = points(s, dir)
+        .withColumn("lon", col("x") * 3.6 - 180.0)
+        .withColumn("lat", col("y") * 1.7 - 85.0)
+      def leg(name: String, proj: Crs.Proj): DataFrame = {
+        val fwd = Proj.forward(col("lon"), col("lat"), proj)
+        pts.where(SphericalClip.pointKeep(col("lon"), col("lat"), Crs.clipSpec(proj)))
+          .select(col("id"), lit(name).as("proj"),
+            floor(fwd(0) * 1000.0).cast("long").as("px_int"),
+            floor(fwd(1) * 1000.0).cast("long").as("py_int"))
+      }
+      leg("gnom", Crs.Gnomonic(40.0, -100.0))
+        .unionByName(leg("laea", Crs.Laea(-20.0, 60.0)))
+        .unionByName(leg("ortho", Crs.Orthographic(15.0, 30.0)))
+        .orderBy("proj", "id")
+    }),
+
+    // rotated-antimeridian path cut (Mercator lon0=150 cuts at lon=-30):
+    // per part, the vertex count and the exact interpolated first latitude
+    "q_proj_cut" -> ((s, dir) => {
+      val verts = points(s, dir).where(col("id") >= 1 && col("id") <= 300)
+        .select((col("id") % 30).as("pid"), col("id"),
+          (col("x") * 3.6 - 180.0).as("lon"), (col("y") * 1.7 - 85.0).as("lat"))
+      val paths = verts
+        .groupBy("pid")
+        .agg(sort_array(collect_list(struct(col("id"), col("lon"), col("lat")))).as("vs"))
+        .select(col("pid"),
+          flatten(transform(col("vs"), v => array(v.getField("lon"), v.getField("lat")))).as("path"))
+      SphericalClip.prepare(paths, "pid", "path",
+          graft.geom.Crs.clipSpec(graft.geom.Crs.Mercator(150.0)))
+        .select(col("id").as("pid"), col("part").cast("long").as("part"),
+          (size(col("path")) / 2).cast("long").as("n_vertices"),
+          floor(element_at(col("path"), 2) * 1000000.0).cast("long").as("lat0_int"))
+        .orderBy("pid", "part")
+    }),
+
     // distributed clip/erase of a target LAYER vs a clip LAYER — per-target
     // areas have the inclusion-exclusion closed form |T ∩ (A∪B∪C)|
     "q_clip_layer" -> ((s, dir) => {
@@ -3247,6 +3287,96 @@ object SparkEntry {
          |  FROM r)
          |SELECT * FROM ($rows) ORDER BY g, rule, shape""".stripMargin
     },
+
+    // azimuthal triple: per projection, the clip-angle filter and the
+    // spherical forward are mirrored with the same constant folding and
+    // left-associated op order as the Scala kernels
+    "q_proj_azimuthal" -> {
+      val D2R = dl(Crs.D2R)
+      def leg(name: String, lat0: Double, lon0: Double, angle: Double,
+              xExpr: String => String, yExpr: String => String): String = {
+        val sinP0 = dl(math.sin(lat0 * Crs.D2R))
+        val cosP0 = dl(math.cos(lat0 * Crs.D2R))
+        val thr = dl(math.cos(angle * Crs.D2R))
+        val lam = s"((lon - ${dl(lon0)}) * $D2R)"
+        val phi = s"(lat * $D2R)"
+        // shared trig sub-terms, spelled exactly like the Scala kernels
+        val core = s"($cosP0 * sin($phi) - $sinP0 * cos($phi) * cos($lam))"
+        val keep = s"$sinP0 * sin($phi) + $cosP0 * cos($phi) * cos($lam) >= $thr"
+        s"""SELECT id, '$name' AS proj,
+           |  CAST(floor((${xExpr(lam)}) * 1000.0) AS BIGINT) AS px_int,
+           |  CAST(floor((${yExpr(core)}) * 1000.0) AS BIGINT) AS py_int
+           |FROM ll WHERE $keep""".stripMargin
+      }
+      val R = dl(Crs.A)
+      def trig(lat0: Double, lon0: Double): (String, String, String, String) = {
+        val sinP0 = dl(math.sin(lat0 * Crs.D2R))
+        val cosP0 = dl(math.cos(lat0 * Crs.D2R))
+        (sinP0, cosP0, s"((lon - ${dl(lon0)}) * $D2R)", s"(lat * $D2R)")
+      }
+      def orthoLeg =
+        leg("ortho", 15.0, 30.0, 89.85,
+          lam => s"$R * cos(lat * $D2R) * sin($lam)",
+          core => s"$R * $core")
+      def gnomLeg = {
+        val (sinP0, cosP0, lam, phi) = trig(40.0, -100.0)
+        val cosC = s"($sinP0 * sin($phi) + $cosP0 * cos($phi) * cos($lam))"
+        leg("gnom", 40.0, -100.0, 60.0,
+          l => s"$R * cos(lat * $D2R) * sin($l) / $cosC",
+          core => s"$R * $core / $cosC")
+      }
+      def laeaLeg = {
+        val (sinP0, cosP0, lam, phi) = trig(-20.0, 60.0)
+        val k = s"sqrt(2.0 / (1.0 + $sinP0 * sin($phi) + $cosP0 * cos($phi) * cos($lam)))"
+        leg("laea", -20.0, 60.0, 179.0,
+          l => s"$R * $k * cos(lat * $D2R) * sin($l)",
+          core => s"$R * $k * $core")
+      }
+      s"""WITH $ptsSql,
+         |ll AS (SELECT id, x * 3.6 - 180.0 AS lon, y * 1.7 - 85.0 AS lat FROM pts)
+         |SELECT * FROM (
+         |$gnomLeg
+         |UNION ALL
+         |$laeaLeg
+         |UNION ALL
+         |$orthoLeg
+         |) ORDER BY proj, id""".stripMargin
+    },
+
+    // antimeridian path cut: crossings, part ids, vertex counts, and the
+    // exact linear-interpolated cut latitudes — pure arithmetic mirror
+    "q_proj_cut" ->
+      s"""WITH $ptsSql,
+         |v AS (SELECT id % 30 AS pid, id, x * 3.6 - 180.0 AS lon, y * 1.7 - 85.0 AS lat
+         |  FROM pts WHERE id >= 1 AND id <= 300),
+         |o AS (SELECT pid, id, lon, lat,
+         |  row_number() OVER (PARTITION BY pid ORDER BY id) AS seq FROM v),
+         |seg AS (SELECT a.pid, a.seq, a.lon AS lon1, a.lat AS lat1,
+         |    b.lon AS lon2, b.lat AS lat2,
+         |    CASE WHEN (a.lon - (-30.0) > 0 AND b.lon - (-30.0) < 0)
+         |      OR (a.lon - (-30.0) < 0 AND b.lon - (-30.0) > 0) THEN 1 ELSE 0 END AS crossing
+         |  FROM o a JOIN o b ON a.pid = b.pid AND b.seq = a.seq + 1),
+         |cr AS (SELECT pid, seq,
+         |    lat1 + ((-30.0) - lon1) / (lon2 - lon1) * (lat2 - lat1) AS clat,
+         |    row_number() OVER (PARTITION BY pid ORDER BY seq) AS cnum
+         |  FROM seg WHERE crossing = 1),
+         |pv AS (SELECT o.pid, o.seq, o.lat,
+         |    CAST(coalesce(SUM(s.crossing) OVER (PARTITION BY o.pid ORDER BY o.seq), 0)
+         |      AS BIGINT) AS part
+         |  FROM o LEFT JOIN seg s ON s.pid = o.pid AND s.seq = o.seq - 1),
+         |mx AS (SELECT pid, max(part) AS maxp FROM pv GROUP BY pid),
+         |parts AS (SELECT pid, part, count(*) AS norig,
+         |    min(CASE WHEN seq = (SELECT min(seq) FROM pv p2
+         |      WHERE p2.pid = pv.pid AND p2.part = pv.part) THEN lat END) AS lat_first
+         |  FROM pv GROUP BY pid, part)
+         |SELECT p.pid, p.part,
+         |  CAST(p.norig + (CASE WHEN p.part > 0 THEN 1 ELSE 0 END)
+         |    + (CASE WHEN p.part < m.maxp THEN 1 ELSE 0 END) AS BIGINT) AS n_vertices,
+         |  CAST(floor((CASE WHEN p.part = 0 THEN p.lat_first ELSE c.clat END)
+         |    * 1000000.0) AS BIGINT) AS lat0_int
+         |FROM parts p JOIN mx m USING (pid)
+         |LEFT JOIN cr c ON c.pid = p.pid AND c.cnum = p.part
+         |ORDER BY p.pid, p.part""".stripMargin,
 
     "q_rotate" -> {
       val D2R = dl(Crs.D2R); val PI = dl(math.Pi); val TWOPI = dl(2.0 * math.Pi)

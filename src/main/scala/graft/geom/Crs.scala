@@ -292,6 +292,124 @@ object Crs {
         (math.atan(math.exp(y / radius)) * 2.0 - math.Pi / 2.0) * R2D)
   }
 
+  /** Orthographic, spherical (Snyder 1987 eq. 20-3/20-4) — hemisphere view;
+    * the domain boundary is handled by [[clipSpec]] (clip angle 89.85°, the
+    * reference's default, `src/crs/mapshaper-proj-extents.mjs:256`). */
+  final case class Orthographic(lat0Deg: Double, lon0Deg: Double, radius: Double = A)
+      extends Proj {
+    private val phi0 = lat0Deg * D2R
+    private val sinP0 = math.sin(phi0)
+    private val cosP0 = math.cos(phi0)
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = latDeg * D2R
+      val lam = (lonDeg - lon0Deg) * D2R
+      (radius * math.cos(phi) * math.sin(lam),
+        radius * (cosP0 * math.sin(phi) - sinP0 * math.cos(phi) * math.cos(lam)))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val rho = math.sqrt(x * x + y * y)
+      if (rho == 0) return (lon0Deg, lat0Deg)
+      val c = math.asin(math.min(1.0, rho / radius))
+      val cosC = math.cos(c); val sinC = math.sin(c)
+      val phi = math.asin(cosC * sinP0 + y * sinC * cosP0 / rho)
+      val lam = math.atan2(x * sinC, rho * cosC * cosP0 - y * sinC * sinP0)
+      (lon0Deg + lam * R2D, phi * R2D)
+    }
+  }
+
+  /** Gnomonic, spherical (Snyder eq. 22-4/22-5); clip angle 60°. */
+  final case class Gnomonic(lat0Deg: Double, lon0Deg: Double, radius: Double = A)
+      extends Proj {
+    private val phi0 = lat0Deg * D2R
+    private val sinP0 = math.sin(phi0)
+    private val cosP0 = math.cos(phi0)
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = latDeg * D2R
+      val lam = (lonDeg - lon0Deg) * D2R
+      val cosC = sinP0 * math.sin(phi) + cosP0 * math.cos(phi) * math.cos(lam)
+      (radius * math.cos(phi) * math.sin(lam) / cosC,
+        radius * (cosP0 * math.sin(phi) - sinP0 * math.cos(phi) * math.cos(lam)) / cosC)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val rho = math.sqrt(x * x + y * y)
+      if (rho == 0) return (lon0Deg, lat0Deg)
+      val c = math.atan2(rho, radius)
+      val cosC = math.cos(c); val sinC = math.sin(c)
+      val phi = math.asin(cosC * sinP0 + y * sinC * cosP0 / rho)
+      val lam = math.atan2(x * sinC, rho * cosC * cosP0 - y * sinC * sinP0)
+      (lon0Deg + lam * R2D, phi * R2D)
+    }
+  }
+
+  /** Lambert azimuthal equal-area, spherical (Snyder eq. 24-2); clip 179°. */
+  final case class Laea(lat0Deg: Double, lon0Deg: Double, radius: Double = A)
+      extends Proj {
+    private val phi0 = lat0Deg * D2R
+    private val sinP0 = math.sin(phi0)
+    private val cosP0 = math.cos(phi0)
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val phi = latDeg * D2R
+      val lam = (lonDeg - lon0Deg) * D2R
+      val k = math.sqrt(2.0 / (1.0 + sinP0 * math.sin(phi) + cosP0 * math.cos(phi) * math.cos(lam)))
+      (radius * k * math.cos(phi) * math.sin(lam),
+        radius * k * (cosP0 * math.sin(phi) - sinP0 * math.cos(phi) * math.cos(lam)))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val rho = math.sqrt(x * x + y * y)
+      if (rho == 0) return (lon0Deg, lat0Deg)
+      val c = 2.0 * math.asin(math.min(1.0, rho / (2.0 * radius)))
+      val cosC = math.cos(c); val sinC = math.sin(c)
+      val phi = math.asin(cosC * sinP0 + y * sinC * cosP0 / rho)
+      val lam = math.atan2(x * sinC, rho * cosC * cosP0 - y * sinC * sinP0)
+      (lon0Deg + lam * R2D, phi * R2D)
+    }
+  }
+
+  // -------------------------------------------- spherical pre-clip domains
+
+  /** Pre-projection clipping requirement of a projection — the reference's
+    * proj-extents tables (`src/crs/mapshaper-proj-extents.mjs:207-262`):
+    * restricted-range CRSs clamp to a bbox; azimuthal projections clip to a
+    * small circle around the projection center; rotated normal-aspect
+    * projections cut at the rotated antimeridian. */
+  sealed trait ClipSpec
+  /** Clamp coordinates into [minLon, minLat, maxLon, maxLat]. */
+  final case class ClampBBox(minLon: Double, minLat: Double,
+                             maxLon: Double, maxLat: Double) extends ClipSpec
+  /** Keep only content within `angleDeg` great-circle degrees of center. */
+  final case class ClipCircle(lon0Deg: Double, lat0Deg: Double,
+                              angleDeg: Double) extends ClipSpec
+  /** Split paths crossing the rotated antimeridian lon0±180 before
+    * projecting. */
+  final case class CutAtAntimeridian(cutLonDeg: Double) extends ClipSpec
+  case object NoClip extends ClipSpec
+
+  /** Wrap a longitude into (-180, 180]. */
+  def wrapLon(lon: Double): Double = {
+    var l = lon
+    while (l <= -180.0) l += 360.0
+    while (l > 180.0) l -= 360.0
+    l
+  }
+
+  /** The reference's default clip/clamp/cut rule per projection
+    * (getClampBBox / getDefaultClipAngle / insertPreProjectionCuts). */
+  def clipSpec(proj: Proj): ClipSpec = proj match {
+    case Mercator(lon0, _) =>
+      if (lon0 != 0.0) CutAtAntimeridian(wrapLon(lon0 + 180.0))
+      else ClampBBox(-180, -89, 180, 89)
+    case _: Lcc => ClampBBox(-180, -89, 180, 89)
+    case Orthographic(lat0, lon0, _) => ClipCircle(lon0, lat0, 89.85)
+    case Gnomonic(lat0, lon0, _) => ClipCircle(lon0, lat0, 60.0)
+    case Laea(lat0, lon0, _) => ClipCircle(lon0, lat0, 179.0)
+    case Stereographic(lat0, lon0, _) => ClipCircle(lon0, lat0, 142.0)
+    case Robinson(lon0, _) if lon0 != 0 => CutAtAntimeridian(wrapLon(lon0 + 180.0))
+    case Mollweide(lon0, _) if lon0 != 0 => CutAtAntimeridian(wrapLon(lon0 + 180.0))
+    case Sinusoidal(lon0, _) if lon0 != 0 => CutAtAntimeridian(wrapLon(lon0 + 180.0))
+    case EqualEarth(lon0, _) if lon0 != 0 => CutAtAntimeridian(wrapLon(lon0 + 180.0))
+    case _ => NoClip
+  }
+
   /** Sinusoidal (Sanson–Flamsteed), spherical: x = Rλcosφ, y = Rφ. */
   final case class Sinusoidal(lon0Deg: Double = 0.0, radius: Double = A) extends Proj {
     def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
@@ -614,6 +732,9 @@ object Crs {
       case "moll" => Mollweide(d("lon_0", 0))
       case "sinu" => Sinusoidal(d("lon_0", 0))
       case "stere" => Stereographic(d("lat_0", 90.0), d("lon_0", 0))
+      case "ortho" => Orthographic(d("lat_0", 0), d("lon_0", 0))
+      case "gnom" => Gnomonic(d("lat_0", 0), d("lon_0", 0))
+      case "laea" => Laea(d("lat_0", 0), d("lon_0", 0))
       case "eqearth" => EqualEarth(d("lon_0", 0))
       case "longlat" | "latlong" | "lonlat" => Longlat
       case other => throw new IllegalArgumentException(s"unsupported +proj=$other")

@@ -208,4 +208,95 @@ class WorldProjSpec extends AnyFunSuite {
     val again = Crs.projectPathDensified(path, p, interval)
     assert(out.sameElements(again))
   }
+
+  test("orthographic / gnomonic / laea: round-trips, properties, parser") {
+    // round-trip within each projection's domain
+    val center = (30.0, 15.0)
+    val near = for {
+      lon <- Seq(0.0, 25.0, 60.0); lat <- Seq(-20.0, 10.0, 45.0)
+    } yield (lon, lat)
+    val ortho = Crs.Orthographic(center._2, center._1)
+    val gnom = Crs.Gnomonic(center._2, center._1)
+    val laea = Crs.Laea(center._2, center._1)
+    near.foreach { case (lon, lat) =>
+      Seq[Crs.Proj](ortho, gnom, laea).foreach { p =>
+        val (x, y) = p.forward(lon, lat)
+        val (lon2, lat2) = p.inverse(x, y)
+        assert(math.abs(lon2 - lon) < 1e-7 && math.abs(lat2 - lat) < 1e-7,
+          s"$p ($lon,$lat)")
+      }
+    }
+    // laea is equal-area
+    assertEqualArea(Crs.Laea(0.0, 0.0))
+    // orthographic: the center projects to the origin; 90°-distant points to radius R
+    assert(ortho.forward(30.0, 15.0) == ((0.0, 0.0)))
+    val (ex, ey) = ortho.forward(120.0, 0.0) // 90° east of center at equator... not exactly 90° away
+    assert(math.sqrt(ex * ex + ey * ey) <= R + 1e-6)
+    // gnomonic maps great circles to straight lines: three points on the
+    // equator (a great circle) must be collinear
+    val g = Seq((-130.0, 0.0), (-100.0, 0.0), (-70.0, 0.0)).map {
+      case (lo, la) => Crs.Gnomonic(40.0, -100.0).forward(lo, la)
+    }
+    val cross = (g(1)._1 - g(0)._1) * (g(2)._2 - g(0)._2) -
+      (g(1)._2 - g(0)._2) * (g(2)._1 - g(0)._1)
+    assert(math.abs(cross) / (R * R) < 1e-6, s"collinearity: $cross")
+    // parser
+    assert(Crs.fromProj4("+proj=ortho +lat_0=15 +lon_0=30") == ortho)
+    assert(Crs.fromProj4("+proj=gnom +lat_0=15 +lon_0=30") == gnom)
+    assert(Crs.fromProj4("+proj=laea +lat_0=15 +lon_0=30") == laea)
+  }
+
+  test("clipSpec: clamp / circle / antimeridian-cut table") {
+    assert(Crs.clipSpec(Crs.Mercator()) == Crs.ClampBBox(-180, -89, 180, 89))
+    assert(Crs.clipSpec(Crs.Mercator(150.0)) == Crs.CutAtAntimeridian(-30.0))
+    assert(Crs.clipSpec(Crs.Orthographic(15, 30)) == Crs.ClipCircle(30, 15, 89.85))
+    assert(Crs.clipSpec(Crs.Gnomonic(40, -100)) == Crs.ClipCircle(-100, 40, 60.0))
+    assert(Crs.clipSpec(Crs.Laea(-20, 60)) == Crs.ClipCircle(60, -20, 179.0))
+    assert(Crs.clipSpec(Crs.Robinson(100.0)) == Crs.CutAtAntimeridian(-80.0))
+    assert(Crs.clipSpec(Crs.Robinson()) == Crs.NoClip)
+  }
+
+  test("cutAtLon splits at exact interpolated crossings") {
+    import graft.operators.SphericalClip
+    val path = Array(-40.0, 0.0, -20.0, 10.0, -35.0, 20.0)
+    val parts = SphericalClip.cutAtLon(path, -30.0)
+    assert(parts.length == 3)
+    // crossing 1: t = (-30 - -40)/(-20 - -40) = 0.5 -> lat 5
+    assert(parts(0).toSeq == Seq(-40.0, 0.0, -30.0, 5.0))
+    assert(parts(1).head == -30.0 && parts(1)(1) == 5.0)
+    // crossing 2: t = (-30 - -20)/(-35 - -20) = 2/3 -> lat 10 + 2/3*10
+    val lat2 = 10.0 + (-30.0 - -20.0) / (-35.0 - -20.0) * 10.0
+    assert(parts(1).toSeq == Seq(-30.0, 5.0, -20.0, 10.0, -30.0, lat2))
+    assert(parts(2).toSeq == Seq(-30.0, lat2, -35.0, 20.0))
+    // no crossing -> one part, unchanged
+    assert(SphericalClip.cutAtLon(Array(1.0, 2.0, 3.0, 4.0), -30.0).map(_.toSeq) ==
+      Seq(Seq(1.0, 2.0, 3.0, 4.0)))
+  }
+
+  test("clipPathToCircle keeps inside sub-paths with boundary points on the circle") {
+    import graft.operators.SphericalClip
+    // path passing through the orthographic far side: center (30,15), 89.85°
+    val path = Array(30.0, 15.0, 120.0, 0.0, -150.0, -15.0, 150.0, 80.0)
+    val parts = SphericalClip.clipPathToCircle(path, 30.0, 15.0, 89.85)
+    assert(parts.nonEmpty)
+    val cosLimit = math.cos(89.85 * Crs.D2R)
+    parts.foreach { p =>
+      var i = 0
+      while (i + 1 < p.length) {
+        val c = SphericalClip.cosAngular(p(i), p(i + 1), 30.0, 15.0)
+        assert(c >= cosLimit - 1e-9, s"vertex outside: ${p(i)},${p(i + 1)}")
+        i += 2
+      }
+    }
+    // boundary vertices sit on the circle (bisection tol)
+    val ends = parts.flatMap(p => Seq((p(0), p(1)), (p(p.length - 2), p(p.length - 1))))
+    val onBoundary = ends.filter { case (x, y) =>
+      math.abs(SphericalClip.cosAngular(x, y, 30.0, 15.0) - cosLimit) < 1e-8
+    }
+    assert(onBoundary.nonEmpty)
+    // fully-inside path untouched
+    val inside = Array(30.0, 15.0, 40.0, 20.0)
+    assert(SphericalClip.clipPathToCircle(inside, 30.0, 15.0, 89.85).map(_.toSeq) ==
+      Seq(inside.toSeq))
+  }
 }
