@@ -1744,6 +1744,29 @@ object SparkEntry {
     // azimuthal catalog + spherical pre-clip: each projection keeps only the
     // points within its default clip angle of its center (the reference's
     // getDefaultClipAngle), then projects — trig mirrored, floor-guarded
+    // world catalog, second batch: equirectangular (lat_ts), cylindrical
+    // equal-area, Natural Earth polynomial, Winkel tripel — cm-exact mirrors
+    "q_proj_world2" -> ((s, dir) => {
+      import graft.geom.Crs
+      val pts = points(s, dir)
+        .withColumn("lon", col("x") * 3.6 - 180.0)
+        .withColumn("lat", col("y") * 1.7 - 85.0)
+      val fq = Proj.forward(col("lon"), col("lat"), Crs.fromProj4("+proj=eqc +lat_ts=30"))
+      val fc = Proj.forward(col("lon"), col("lat"), Crs.fromProj4("+proj=cea +lat_ts=30"))
+      val fn = Proj.forward(col("lon"), col("lat"), Crs.fromProj4("+proj=natearth"))
+      val fw = Proj.forward(col("lon"), col("lat"), Crs.fromProj4("+proj=wintri"))
+      pts.select(col("id"),
+          floor(fq(0) * 100.0).cast("long").as("eqc_x"),
+          floor(fq(1) * 100.0).cast("long").as("eqc_y"),
+          floor(fc(0) * 100.0).cast("long").as("cea_x"),
+          floor(fc(1) * 100.0).cast("long").as("cea_y"),
+          floor(fn(0) * 100.0).cast("long").as("ne_x"),
+          floor(fn(1) * 100.0).cast("long").as("ne_y"),
+          floor(fw(0) * 100.0).cast("long").as("wt_x"),
+          floor(fw(1) * 100.0).cast("long").as("wt_y"))
+        .orderBy("id")
+    }),
+
     "q_proj_azimuthal" -> ((s, dir) => {
       import graft.geom.Crs
       val pts = points(s, dir)
@@ -3286,6 +3309,42 @@ object SparkEntry {
          |    - greatest(greatest(y0, y1), y2), 0) AS t
          |  FROM r)
          |SELECT * FROM ($rows) ORDER BY g, rule, shape""".stripMargin
+    },
+
+    // world batch 2 — same constant-folded op order as the Scala kernels
+    "q_proj_world2" -> {
+      val D2R = dl(Crs.D2R)
+      val R = dl(Crs.A)
+      val cosTs = dl(math.cos(30.0 * Crs.D2R))
+      val cosPhi1 = dl(2.0 / math.Pi)
+      val lam = s"(lon * $D2R)" // lon0 = 0: (lonDeg - 0.0) stays lonDeg... see note
+      val phi = s"(lat * $D2R)"
+      // NOTE: Scala computes (lonDeg - lon0Deg) with lon0Deg = 0.0 — the
+      // subtraction by zero is exact, so the mirror may fold it away
+      val nePoly =
+        s"(${dl(0.8707)} - ${dl(0.131979)} * phi2 + phi4 * (${dl(-0.013791)} " +
+          s"+ phi4 * (${dl(0.003971)} * phi2 - ${dl(0.001529)} * phi4)))"
+      val neY =
+        s"(${dl(1.007226)} + phi2 * (${dl(0.015085)} + phi4 * (${dl(-0.044475)} " +
+          s"+ ${dl(0.028874)} * phi2 - ${dl(0.005916)} * phi4)))"
+      val sinca = "(CASE WHEN alpha = 0.0 THEN 1.0 ELSE sin(alpha) / alpha END)"
+      s"""WITH $ptsSql,
+         |ll AS (SELECT id, x * 3.6 - 180.0 AS lon, y * 1.7 - 85.0 AS lat FROM pts),
+         |t1 AS (SELECT id, lon, lat, (lon - 0.0) * $D2R AS lam, $phi AS phiv,
+         |  $phi * $phi AS phi2 FROM ll),
+         |t2 AS (SELECT *, phi2 * phi2 AS phi4,
+         |  acos(cos(phiv) * cos(lam / 2.0)) AS alpha FROM t1)
+         |SELECT id,
+         |  CAST(floor((lam * $cosTs * $R) * 100.0) AS BIGINT) AS eqc_x,
+         |  CAST(floor((phiv * $R) * 100.0) AS BIGINT) AS eqc_y,
+         |  CAST(floor((lam * $cosTs * $R) * 100.0) AS BIGINT) AS cea_x,
+         |  CAST(floor((sin(phiv) / $cosTs * $R) * 100.0) AS BIGINT) AS cea_y,
+         |  CAST(floor(($R * lam * $nePoly) * 100.0) AS BIGINT) AS ne_x,
+         |  CAST(floor(($R * phiv * $neY) * 100.0) AS BIGINT) AS ne_y,
+         |  CAST(floor(($R * 0.5 * (lam * $cosPhi1
+         |    + 2.0 * cos(phiv) * sin(lam / 2.0) / $sinca)) * 100.0) AS BIGINT) AS wt_x,
+         |  CAST(floor(($R * 0.5 * (phiv + sin(phiv) / $sinca)) * 100.0) AS BIGINT) AS wt_y
+         |FROM t2 ORDER BY id""".stripMargin
     },
 
     // azimuthal triple: per projection, the clip-angle filter and the

@@ -365,6 +365,109 @@ object Crs {
     }
   }
 
+  /** Equirectangular / plate carrée (+proj=eqc, lat_ts): x = Rλ'cosφ₁,
+    * y = Rφ. */
+  final case class Equirectangular(latTsDeg: Double = 0.0, lon0Deg: Double = 0.0,
+                                   radius: Double = A) extends Proj {
+    private val cosTs = math.cos(latTsDeg * D2R)
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) =
+      ((lonDeg - lon0Deg) * D2R * cosTs * radius, latDeg * D2R * radius)
+    def inverse(x: Double, y: Double): (Double, Double) =
+      (lon0Deg + x / (cosTs * radius) * R2D, y / radius * R2D)
+  }
+
+  /** Lambert cylindrical equal-area (+proj=cea, lat_ts): x = Rλ'cosφₜ,
+    * y = R sinφ / cosφₜ (Snyder eq. 10-1/10-2). */
+  final case class CylindricalEqualArea(latTsDeg: Double = 0.0, lon0Deg: Double = 0.0,
+                                        radius: Double = A) extends Proj {
+    private val cosTs = math.cos(latTsDeg * D2R)
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) =
+      ((lonDeg - lon0Deg) * D2R * cosTs * radius,
+        math.sin(latDeg * D2R) / cosTs * radius)
+    def inverse(x: Double, y: Double): (Double, Double) =
+      (lon0Deg + x / (cosTs * radius) * R2D,
+        math.asin(math.max(-1.0, math.min(1.0, y * cosTs / radius))) * R2D)
+  }
+
+  /** Natural Earth I — the Šavrič–Jenny–Patterson–Hurni (2011) polynomial
+    * pseudocylindrical (the published d3-geo `naturalEarth1Raw`
+    * coefficients; public formula). Inverse by the published fixed-point
+    * iteration, fixed 25 rounds (deterministic). */
+  final case class NaturalEarth(lon0Deg: Double = 0.0, radius: Double = A) extends Proj {
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val lam = (lonDeg - lon0Deg) * D2R
+      val phi = latDeg * D2R
+      val phi2 = phi * phi
+      val phi4 = phi2 * phi2
+      (radius * lam * (0.8707 - 0.131979 * phi2 + phi4 *
+        (-0.013791 + phi4 * (0.003971 * phi2 - 0.001529 * phi4))),
+        radius * phi * (1.007226 + phi2 * (0.015085 + phi4 *
+          (-0.044475 + 0.028874 * phi2 - 0.005916 * phi4))))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val yr = y / radius
+      var phi = yr
+      var i = 0
+      while (i < 25) {
+        val phi2 = phi * phi
+        val phi4 = phi2 * phi2
+        val f = phi * (1.007226 + phi2 * (0.015085 + phi4 *
+          (-0.044475 + 0.028874 * phi2 - 0.005916 * phi4))) - yr
+        val fp = 1.007226 + phi2 * (0.015085 * 3 + phi4 *
+          (-0.044475 * 7 + 0.028874 * 9 * phi2 - 0.005916 * 11 * phi4))
+        phi -= f / fp
+        i += 1
+      }
+      val phi2 = phi * phi
+      val phi4 = phi2 * phi2
+      val lam = x / radius / (0.8707 - 0.131979 * phi2 + phi4 *
+        (-0.013791 + phi4 * (0.003971 * phi2 - 0.001529 * phi4)))
+      (lon0Deg + lam * R2D, phi * R2D)
+    }
+  }
+
+  /** Winkel tripel (standard parallel acos(2/π), the common form):
+    * the arithmetic mean of equirectangular(φ₁) and Aitoff. Inverse by 2-D
+    * Newton with finite differences, fixed 30 rounds (no closed form). */
+  final case class WinkelTripel(lon0Deg: Double = 0.0, radius: Double = A) extends Proj {
+    private val cosPhi1 = 2.0 / math.Pi
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val lam = (lonDeg - lon0Deg) * D2R
+      val phi = latDeg * D2R
+      val alpha = math.acos(math.cos(phi) * math.cos(lam / 2.0))
+      val sinca = if (alpha == 0.0) 1.0 else math.sin(alpha) / alpha
+      (radius * 0.5 * (lam * cosPhi1 + 2.0 * math.cos(phi) * math.sin(lam / 2.0) / sinca),
+        radius * 0.5 * (phi + math.sin(phi) / sinca))
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      var lam = x / (radius * cosPhi1)
+      var phi = y / radius
+      val d = 1e-7
+      var i = 0
+      while (i < 30) {
+        val (fx, fy) = forwardRad(lam, phi)
+        val (fxl, fyl) = forwardRad(lam + d, phi)
+        val (fxp, fyp) = forwardRad(lam, phi + d)
+        val ex = fx - x; val ey = fy - y
+        val a = (fxl - fx) / d; val b = (fxp - fx) / d
+        val c = (fyl - fy) / d; val e = (fyp - fy) / d
+        val det = a * e - b * c
+        if (det != 0.0) {
+          lam -= (ex * e - ey * b) / det
+          phi -= (ey * a - ex * c) / det
+        }
+        i += 1
+      }
+      (lon0Deg + lam * R2D, phi * R2D)
+    }
+    private def forwardRad(lam: Double, phi: Double): (Double, Double) = {
+      val alpha = math.acos(math.cos(phi) * math.cos(lam / 2.0))
+      val sinca = if (alpha == 0.0) 1.0 else math.sin(alpha) / alpha
+      (radius * 0.5 * (lam * cosPhi1 + 2.0 * math.cos(phi) * math.sin(lam / 2.0) / sinca),
+        radius * 0.5 * (phi + math.sin(phi) / sinca))
+    }
+  }
+
   // -------------------------------------------- spherical pre-clip domains
 
   /** Pre-projection clipping requirement of a projection — the reference's
@@ -735,6 +838,10 @@ object Crs {
       case "ortho" => Orthographic(d("lat_0", 0), d("lon_0", 0))
       case "gnom" => Gnomonic(d("lat_0", 0), d("lon_0", 0))
       case "laea" => Laea(d("lat_0", 0), d("lon_0", 0))
+      case "eqc" => Equirectangular(d("lat_ts", 0), d("lon_0", 0))
+      case "cea" => CylindricalEqualArea(d("lat_ts", 0), d("lon_0", 0))
+      case "natearth" => NaturalEarth(d("lon_0", 0))
+      case "wintri" => WinkelTripel(d("lon_0", 0))
       case "eqearth" => EqualEarth(d("lon_0", 0))
       case "longlat" | "latlong" | "lonlat" => Longlat
       case other => throw new IllegalArgumentException(s"unsupported +proj=$other")

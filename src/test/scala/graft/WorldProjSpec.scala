@@ -246,6 +246,30 @@ class WorldProjSpec extends AnyFunSuite {
     assert(Crs.fromProj4("+proj=laea +lat_0=15 +lon_0=30") == laea)
   }
 
+  test("eqc / cea / natural earth / winkel tripel: properties and round-trips") {
+    roundTrip(Crs.Equirectangular(30.0))
+    roundTrip(Crs.CylindricalEqualArea(30.0))
+    assertEqualArea(Crs.CylindricalEqualArea(30.0))
+    // natural earth: equator scale is the published 0.8707 coefficient
+    val ne = Crs.NaturalEarth()
+    val (nx, nyv) = ne.forward(90.0, 0.0)
+    assert(math.abs(nx - R * (90.0 * Crs.D2R) * 0.8707) < 1e-6 && nyv == 0.0)
+    roundTrip(ne, tol = 1e-6)
+    // winkel tripel: on the equator α = λ/2, so x = R/2 (2λ/π + λ), y = 0
+    val wt = Crs.WinkelTripel()
+    val lam = 60.0 * Crs.D2R
+    val (wx, wy) = wt.forward(60.0, 0.0)
+    assert(math.abs(wx - R / 2.0 * (2.0 * lam / math.Pi + lam)) < 1e-6)
+    assert(math.abs(wy) < 1e-6)
+    // Newton inverse converges over the globe
+    roundTrip(wt, tol = 1e-5)
+    // parser
+    assert(Crs.fromProj4("+proj=eqc +lat_ts=30") == Crs.Equirectangular(30.0))
+    assert(Crs.fromProj4("+proj=cea +lat_ts=30") == Crs.CylindricalEqualArea(30.0))
+    assert(Crs.fromProj4("+proj=natearth") == ne)
+    assert(Crs.fromProj4("+proj=wintri") == wt)
+  }
+
   test("clipSpec: clamp / circle / antimeridian-cut table") {
     assert(Crs.clipSpec(Crs.Mercator()) == Crs.ClampBBox(-180, -89, 180, 89))
     assert(Crs.clipSpec(Crs.Mercator(150.0)) == Crs.CutAtAntimeridian(-30.0))
