@@ -191,6 +191,37 @@ object SparkEntry {
        |WHERE rnk <= 3 ORDER BY id, rnk""".stripMargin
   }
 
+  /** Shared audio sample CTE chain: PCM16 values re-synthesized from the
+   * generator formula (`Audio.sampleAt`: SplitMix64 finalizer over
+   * i·(2³²+1)+n, via the same HUGEINT 32-bit-limb wrap-multiplies as the
+   * image chain). Exposes `aud(audio_id, n_samples)` and
+   * `smp(audio_id, n_samples, n, v)`. */
+  private def audioSmpCtes(idLimit: Int): String =
+    s"""aud AS (SELECT audio_id, n_samples, CAST(substr(audio_id, 4, 12) AS BIGINT) AS i
+       |  FROM read_parquet('/root/repo/data/audio_sf0.01.parquet/*.parquet')
+       |  WHERE CAST(substr(audio_id, 4, 12) AS BIGINT) < $idLimit),
+       |ns AS (SELECT n FROM generate_series(0, 1198) t(n)),
+       |sn AS (SELECT audio_id, i, n_samples, n FROM aud JOIN ns ON ns.n < aud.n_samples),
+       |st AS (SELECT audio_id, n_samples, n,
+       |  CAST((CAST(i AS HUGEINT) * 4294967297 + n + CAST('11400714819323198485' AS HUGEINT))
+       |    % 18446744073709551616 AS UBIGINT) AS z0 FROM sn),
+       |x1s AS (SELECT audio_id, n_samples, n, xor(z0, z0 >> 30) AS a1 FROM st),
+       |l1 AS (SELECT audio_id, n_samples, n, a1 >> 32 AS ahi, a1 & 4294967295 AS alo FROM x1s),
+       |z1s AS (SELECT audio_id, n_samples, n,
+       |  CAST((CAST(alo * 484763065 AS HUGEINT) +
+       |    CAST((alo * 3210233709) % 4294967296 + (ahi * 484763065) % 4294967296 AS HUGEINT)
+       |      % 4294967296 * 4294967296) % 18446744073709551616 AS UBIGINT) AS z1
+       |  FROM l1),
+       |x2s AS (SELECT audio_id, n_samples, n, xor(z1, z1 >> 27) AS a2 FROM z1s),
+       |l2 AS (SELECT audio_id, n_samples, n, a2 >> 32 AS ahi, a2 & 4294967295 AS alo FROM x2s),
+       |z2s AS (SELECT audio_id, n_samples, n,
+       |  CAST((CAST(alo * 321982955 AS HUGEINT) +
+       |    CAST((alo * 2496678331) % 4294967296 + (ahi * 321982955) % 4294967296 AS HUGEINT)
+       |      % 4294967296 * 4294967296) % 18446744073709551616 AS UBIGINT) AS z2
+       |  FROM l2),
+       |smp AS (SELECT audio_id, n_samples, n,
+       |  CAST((xor(z2, z2 >> 31) >> 4) % 4001 AS BIGINT) - 2000 AS v FROM z2s)""".stripMargin
+
   /** SQL mirror of Geom.pointSegDistSq for a segment with literal endpoint
    * expressions (cell edges: ab2 > 0 always) — identical op order, clamp via
    * greatest(least(.)). Point columns are `x`, `y`. */
@@ -205,10 +236,15 @@ object SparkEntry {
    * unrolled with 32-bit-limb wrap-multiplies in HUGEINT), 8x8 cell means,
    * sequential list_sum, sign-mapped UBIGINT bit pack — parameterized by
    * the id slice. Exposes CTEs `img`, `px`, `bits` (UBIGINT `ub`), `means`. */
-  private def ahashCtes(idLimit: Int): String =
+  private def ahashCtes(idLimit: Int): String = ahashChain(
     s"""img AS (SELECT image_id, w, h, CAST(substr(image_id, 4, 12) AS BIGINT) AS i
        |  FROM read_parquet('/root/repo/data/images_sf0.01.parquet/*.parquet')
-       |  WHERE fmt = 'png' AND CAST(substr(image_id, 4, 12) AS BIGINT) < $idLimit),
+       |  WHERE fmt = 'png' AND CAST(substr(image_id, 4, 12) AS BIGINT) < $idLimit)""".stripMargin)
+
+  /** Same chain over any `img(image_id, w, h, i)` CTE (i = generator seed) —
+   * lets the video mirror hash PNG frames by their frame seed. */
+  private def ahashChain(imgCte: String): String =
+    s"""$imgCte,
        |ns AS (SELECT n FROM generate_series(0, 1088) t(n)),
        |pxn AS (SELECT image_id, i, w, h, n FROM img JOIN ns ON ns.n < img.w * img.h),
        |st AS (SELECT image_id, w, h, n,
@@ -910,6 +946,20 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  private def audioDf(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll(".*/", "")
+    val path = graft.tables.Audio.ensureParquet(s, "/root/repo/data", tag,
+      graft.tables.Audio.rowsForSf(dir))
+    s.read.parquet(path)
+  }
+
+  private def videoDf(s: SparkSession, dir: String): DataFrame = {
+    val tag = dir.replaceAll(".*/", "")
+    val path = graft.tables.Video.ensureParquet(s, "/root/repo/data", tag,
+      graft.tables.Video.rowsForSf(dir))
+    s.read.parquet(path)
+  }
+
   /** Flagship query on sf=0.001: image table → cell ids → broadcast PIP join →
    * per-polygon counts + caption sample. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
@@ -1477,6 +1527,33 @@ object SparkEntry {
         .toDF("image_id", "side", "lum_sum")
         .orderBy("image_id")
     }),
+
+    // audio features through the REAL JDK WAV codec: PCM16 is lossless, so
+    // the DuckDB oracle re-synthesizes every sample from the SplitMix64
+    // generator and recomputes the integer features exactly — the decode
+    // path is inside the verified loop (the audio analog of q_img_ahash)
+    "q_audio_features" -> ((s, dir) =>
+      AudioOps.features(s, audioDf(s, dir)
+          .where(substring(col("audio_id"), 4, 12).cast("long") < 300)).toDF()
+        .select(col("audio_id"), col("n_samples"), col("duration_ms"),
+          col("zero_crossings"), col("peak").cast("long").as("peak"), col("energy"))
+        .orderBy("audio_id")),
+
+    // segment edit end-to-end: decode -> middle-half slice -> WAV re-encode
+    // -> decode again; segment energy mirrors the generator closed-form
+    "q_audio_segment" -> ((s, dir) =>
+      AudioOps.middleSegment(s, audioDf(s, dir)
+          .where(substring(col("audio_id"), 4, 12).cast("long") < 300))
+        .select("audio_id", "seg_from", "seg_len", "seg_energy")
+        .orderBy("audio_id")),
+
+    // video frame sampling: container seek + real PNG decode per sampled
+    // frame; ahash/mean re-derived by the oracle from the frame seed
+    // (vi·100000 + frame) through the same generator chain as q_img_ahash
+    "q_video_frames" -> ((s, dir) =>
+      VideoOps.sampleFrames(s, videoDf(s, dir)
+          .where(substring(col("video_id"), 4, 12).cast("long") < 150), stride = 2)
+        .orderBy("video_id", "frame")),
 
     // PSNR vs re-render: the PNG path is lossless (decoded pixels == the
     // generator formula, psnr sentinel 999.0) and the JPEG path must stay
@@ -3168,6 +3245,54 @@ object SparkEntry {
         |    ELSE CAST(ub AS BIGINT) END AS ahash FROM bits)
         |SELECT base.image_id, base.w, base.h, base.fmt, ah.ahash AS ahash_png
         |FROM base LEFT JOIN ah USING (image_id) ORDER BY image_id""".stripMargin,
+
+    "q_video_frames" -> {
+      val imgCte =
+        """vid AS (SELECT video_id, w, h, n_frames, CAST(substr(video_id, 4, 12) AS BIGINT) AS vi
+          |  FROM read_parquet('/root/repo/data/video_sf0.01.parquet/*.parquet')
+          |  WHERE CAST(substr(video_id, 4, 12) AS BIGINT) < 150),
+          |fr AS (SELECT video_id, w, h, f.f AS frame, vi * 100000 + f.f AS i
+          |  FROM vid JOIN generate_series(0, 8) f(f)
+          |  ON f.f < vid.n_frames AND f.f % 2 = 0),
+          |img AS (SELECT video_id || '#' || CAST(frame AS VARCHAR) AS image_id, w, h, i
+          |  FROM fr)""".stripMargin
+      s"""WITH ${ahashChain(imgCte)},
+         |keyed AS (SELECT fr.video_id, CAST(fr.frame AS BIGINT) AS frame,
+         |    fr.video_id || '#' || CAST(fr.frame AS VARCHAR) AS image_id FROM fr)
+         |SELECT k.video_id, k.frame,
+         |  CASE WHEN b.ub >= 9223372036854775808
+         |    THEN CAST(CAST(b.ub AS HUGEINT) - 18446744073709551616 AS BIGINT)
+         |    ELSE CAST(b.ub AS BIGINT) END AS ahash,
+         |  CAST(floor(mn.mean_g * 1000.0) AS BIGINT) AS mean_g_int
+         |FROM keyed k
+         |JOIN bits b USING (image_id) JOIN means mn USING (image_id)
+         |ORDER BY k.video_id, k.frame""".stripMargin
+    },
+
+    "q_audio_features" ->
+      s"""WITH ${audioSmpCtes(300)},
+         |zc0 AS (SELECT audio_id, n, v,
+         |    lag(v) OVER (PARTITION BY audio_id ORDER BY n) AS pv FROM smp),
+         |zc AS (SELECT audio_id,
+         |    CAST(SUM(CASE WHEN pv IS NOT NULL AND (pv < 0) <> (v < 0)
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+         |    CAST(max(abs(v)) AS BIGINT) AS peak,
+         |    CAST(SUM(v * v) AS BIGINT) AS energy
+         |  FROM zc0 GROUP BY audio_id)
+         |SELECT a.audio_id, a.n_samples,
+         |  CAST(a.n_samples AS BIGINT) * 1000 // 8000 AS duration_ms,
+         |  z.zero_crossings, z.peak, z.energy
+         |FROM aud a JOIN zc z USING (audio_id) ORDER BY a.audio_id""".stripMargin,
+
+    "q_audio_segment" ->
+      s"""WITH ${audioSmpCtes(300)},
+         |seg AS (SELECT audio_id, n_samples, n, v FROM smp
+         |  WHERE n >= n_samples // 4 AND n < n_samples // 4 + n_samples // 2)
+         |SELECT audio_id,
+         |  CAST(min(n) AS BIGINT) AS seg_from,
+         |  CAST(count(*) AS BIGINT) AS seg_len,
+         |  CAST(SUM(v * v) AS BIGINT) AS seg_energy
+         |FROM seg GROUP BY audio_id ORDER BY audio_id""".stripMargin,
 
     // PNG rows are lossless by construction; the JPEG round trip must hold
     // >= 40 dB (deterministic image family; observed floor ~48.5 dB)
