@@ -1821,6 +1821,40 @@ object SparkEntry {
     // azimuthal catalog + spherical pre-clip: each projection keeps only the
     // points within its default clip angle of its center (the reference's
     // getDefaultClipAngle), then projects — trig mirrored, floor-guarded
+    // -each feature-proxy getters: area / perimeter / compactness /
+    // width / height evaluated by higher-order Column folds over the flat
+    // ring built in-plan; the oracle recomputes the closed forms
+    "q_each_geom" -> ((s, dir) => {
+      import graft.functions.FeatureExprs._
+      val rects = points(s, dir).select((col("id") % 40).as("g")).distinct()
+        .withColumn("w", (col("g") % 7 + 2).cast("double"))
+        .withColumn("h", (col("g") % 5 + 3).cast("double"))
+        .withColumn("ring", array(
+          lit(0.0), lit(0.0), col("w"), lit(0.0), col("w"), col("h"),
+          lit(0.0), col("h"), lit(0.0), lit(0.0)))
+      rects.select(col("g"),
+          floor(ringSignedArea(col("ring")) * 100.0).cast("long").as("area_int"),
+          floor(ringPerimeter(col("ring")) * 100.0).cast("long").as("perim_int"),
+          floor(compactness(col("ring")) * 1000000000.0).cast("long").as("compact_int"),
+          bboxWidth(col("ring")).cast("long").as("bw"),
+          bboxHeight(col("ring")).cast("long").as("bh"),
+          bboxContainsPoint(col("ring"), lit(1.0), lit(3.5)).as("contains_p"))
+        .orderBy("g")
+    }),
+
+    // format_dms / parse_dms / round helpers: string-exact DMS formatting
+    // (integer millisecond-of-arc arithmetic) and its parse round trip
+    "q_each_dms" -> ((s, dir) => {
+      import graft.functions.FeatureExprs._
+      points(s, dir)
+        .withColumn("lon", col("x") * 3.6 - 180.0)
+        .select(col("id"),
+          formatDmsUdf(col("lon")).as("dms"),
+          floor(parseDmsUdf(formatDmsUdf(col("lon"))) * 1000000.0).cast("long").as("back_int"),
+          roundTo(col("lon"), 2).as("lon_r2"))
+        .orderBy("id")
+    }),
+
     // world catalog, second batch: equirectangular (lat_ts), cylindrical
     // equal-area, Natural Earth polynomial, Winkel tripel — cm-exact mirrors
     "q_proj_world2" -> ((s, dir) => {
@@ -3435,6 +3469,44 @@ object SparkEntry {
          |  FROM r)
          |SELECT * FROM ($rows) ORDER BY g, rule, shape""".stripMargin
     },
+
+    // feature getters: closed forms over the same integer-valued rects
+    "q_each_geom" -> {
+      val PI = dl(math.Pi)
+      s"""WITH $ptsSql,
+         |gs AS (SELECT DISTINCT id % 40 AS g FROM pts),
+         |r AS (SELECT g, CAST(g % 7 + 2 AS DOUBLE) AS w, CAST(g % 5 + 3 AS DOUBLE) AS h
+         |  FROM gs),
+         |m AS (SELECT g, w, h, w * h AS area, 2 * w + 2 * h AS p FROM r)
+         |SELECT g,
+         |  CAST(floor(area * 100.0) AS BIGINT) AS area_int,
+         |  CAST(floor(p * 100.0) AS BIGINT) AS perim_int,
+         |  CAST(floor(area * $PI * 4.0 / (p * p) * 1000000000.0) AS BIGINT) AS compact_int,
+         |  CAST(w AS BIGINT) AS bw, CAST(h AS BIGINT) AS bh,
+         |  h >= 3.5 AS contains_p
+         |FROM m ORDER BY g""".stripMargin
+    },
+
+    // DMS: integer milliarcsecond split -> exact string; parse re-derives
+    // the decimal degrees from the very string components
+    "q_each_dms" ->
+      s"""WITH $ptsSql,
+         |ll AS (SELECT id, x * 3.6 - 180.0 AS lon FROM pts),
+         |t AS (SELECT id, lon,
+         |  CAST(floor(abs(lon) * 3600000.0 + 0.5) AS BIGINT) AS r FROM ll),
+         |u AS (SELECT id, lon,
+         |  (r // 60000) // 60 AS d, (r // 60000) % 60 AS m,
+         |  printf('%.3f', CAST(r % 60000 AS DOUBLE) / 1000.0) AS secs FROM t),
+         |v AS (SELECT id, lon,
+         |  (CASE WHEN lon < 0 THEN '-' ELSE '' END) || CAST(d AS VARCHAR) || '°'
+         |    || CAST(m AS VARCHAR) || CHR(39) || secs AS dms,
+         |  CAST(d AS DOUBLE) + CAST(m AS DOUBLE) / 60
+         |    + CAST(secs AS DOUBLE) / 3600 AS mag FROM u)
+         |SELECT id, dms,
+         |  CAST(floor((CASE WHEN lon < 0 THEN -mag ELSE mag END) * 1000000.0) AS BIGINT)
+         |    AS back_int,
+         |  floor(lon * 100.0 + 0.5) / 100.0 AS lon_r2
+         |FROM v ORDER BY id""".stripMargin,
 
     // world batch 2 — same constant-folded op order as the Scala kernels
     "q_proj_world2" -> {
