@@ -59,11 +59,14 @@ object OracleGuard {
       }
 
   /** Run the lint over every oracle-backed query; throws naming each
-    * offending (query, column) so the gate fails before the dump is written. */
-  def check(spark: org.apache.spark.sql.SparkSession, sfDir: String): Unit = {
+    * offending (query, column). `schemaOf` supplies the Spark result schema
+    * — Verify passes a dumped-parquet reader (cheap footer read, no query
+    * recompute); tests pass the live builders. Queries whose schema is
+    * unavailable (builder/dump failed) are reported by the caller's own
+    * error path, not silently linted-around. */
+  def check(schemaOf: String => Option[StructType]): Unit = {
     val bad = SparkEntry.oracleSql.toSeq.sortBy(_._1).flatMap { case (qn, sql) =>
-      scala.util.Try(SparkEntry.queries(qn)(spark, sfDir).schema).toOption
-        .map(violations(qn, sql, _)).getOrElse(Nil)
+      schemaOf(qn).map(violations(qn, sql, _)).getOrElse(Nil)
     }
     if (bad.nonEmpty)
       throw new IllegalStateException(

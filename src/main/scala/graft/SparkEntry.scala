@@ -1181,6 +1181,11 @@ object SparkEntry {
 
     // -fuzzy-join full surface (dedup_points + no_dropouts + distance tie
     // resolution) over a derived grid-cell polygon layer: closed-cell PIP,
+    // FIXTURE INVARIANT: the mirror has no data-fill phase, which is exact
+    // because no cell can lose ALL its points to boundary first-match —
+    // derived coords first land exactly on a 10-grid line at id 10000
+    // (48271·id ≡ 0 mod 10^4), outside the sf0.01 gate range, and at higher
+    // SFs every cell holds many interior points.
     // coincident planted duplicates, rare categories that drop out and get
     // restored at their argmax-count cell — all phases exactly mirrored
     "q_fuzzy_join_full" -> ((s, dir) => {
@@ -4659,7 +4664,10 @@ object SparkEntry {
     },
 
     // group_by variant: identical merge unroll with the reference's
-    // same-group guard on the candidate pair join (a.g = b.g)
+    // same-group guard on the candidate pair join (a.g = b.g). UNROLL
+    // INVARIANT: every m$k must be non-empty (an empty candidate CTE would
+    // cross-join s$k to zero rows) — holds because 2 groups x 10 items
+    // admit up to 18 same-group merges and the unroll stops at 14.
     "q_cluster_grouped" -> {
       val rounds = (1 to 14).map { k =>
         s"""m$k AS MATERIALIZED (SELECT a.cid AS bi, b.cid AS bj,

@@ -15,7 +15,6 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    OracleGuard.check(spark, sfDir) // HUGEINT trap → fail loudly, not a red row
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
@@ -23,6 +22,13 @@ object Verify {
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    // HUGEINT trap → fail loudly before the driver's compare, using the
+    // dumped parquet schemas (footer read — no query recompute); queries
+    // that failed to dump are already reported above
+    OracleGuard.check(name =>
+      if (new java.io.File(s"$outDir/$name/_SUCCESS").exists())
+        Some(spark.read.parquet(s"$outDir/$name").schema)
+      else None)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -24,19 +24,23 @@ object FeatureExprs {
   private def yAt(ring: Column, i: Column): Column = element_at(ring, (i * 2 + 2).cast("int"))
 
   /** Signed shoelace area of a closed flat ring (feature-proxy `area` /
-    * `planarArea`). Sequential fold — mirrorable. */
+    * `planarArea`). Sequential fold — mirrorable. Degenerate rings
+    * (< 2 points — sequence(0, n-2) would run descending and index 0) → 0. */
   def ringSignedArea(ring: Column): Column =
-    aggregate(sequence(lit(0), nPoints(ring) - 2), lit(0.0),
-      (acc, i) => acc + (xAt(ring, i) * yAt(ring, i + 1) - xAt(ring, i + 1) * yAt(ring, i))) / 2.0
+    when(size(ring) < 4, lit(0.0)).otherwise(
+      aggregate(sequence(lit(0), nPoints(ring) - 2), lit(0.0),
+        (acc, i) => acc + (xAt(ring, i) * yAt(ring, i + 1) - xAt(ring, i + 1) * yAt(ring, i))) / 2.0)
 
-  /** Perimeter of a closed flat ring (feature-proxy `perimeter`/`length`). */
+  /** Perimeter of a closed flat ring (feature-proxy `perimeter`/`length`);
+    * 0 for degenerate rings. */
   def ringPerimeter(ring: Column): Column =
-    aggregate(sequence(lit(0), nPoints(ring) - 2), lit(0.0),
-      (acc, i) => {
-        val dx = xAt(ring, i + 1) - xAt(ring, i)
-        val dy = yAt(ring, i + 1) - yAt(ring, i)
-        acc + sqrt(dx * dx + dy * dy)
-      })
+    when(size(ring) < 4, lit(0.0)).otherwise(
+      aggregate(sequence(lit(0), nPoints(ring) - 2), lit(0.0),
+        (acc, i) => {
+          val dx = xAt(ring, i + 1) - xAt(ring, i)
+          val dy = yAt(ring, i + 1) - yAt(ring, i)
+          acc + sqrt(dx * dx + dy * dy)
+        }))
 
   /** Polsby–Popper compactness |A|·4π/P² (feature-proxy `compactness`,
     * reference mapshaper-polygon-geom.mjs:10-13; 0 for degenerate rings). */
@@ -49,18 +53,21 @@ object FeatureExprs {
     transform(sequence(lit(0), nPoints(ring) - 1),
       i => element_at(ring, (i * 2 + 1 + odd).cast("int")))
 
-  /** Feature-proxy `width` (bbox x-extent). */
+  /** Feature-proxy `width` (bbox x-extent); NULL for an empty ring. */
   def bboxWidth(ring: Column): Column =
-    array_max(coords(ring, 0)) - array_min(coords(ring, 0))
+    when(size(ring) < 2, lit(null).cast("double")).otherwise(
+      array_max(coords(ring, 0)) - array_min(coords(ring, 0)))
 
-  /** Feature-proxy `height` (bbox y-extent). */
+  /** Feature-proxy `height` (bbox y-extent); NULL for an empty ring. */
   def bboxHeight(ring: Column): Column =
-    array_max(coords(ring, 1)) - array_min(coords(ring, 1))
+    when(size(ring) < 2, lit(null).cast("double")).otherwise(
+      array_max(coords(ring, 1)) - array_min(coords(ring, 1)))
 
-  /** Feature-proxy `bboxContainsPoint`. */
+  /** Feature-proxy `bboxContainsPoint`; false for an empty ring. */
   def bboxContainsPoint(ring: Column, px: Column, py: Column): Column =
-    px >= array_min(coords(ring, 0)) && px <= array_max(coords(ring, 0)) &&
-      py >= array_min(coords(ring, 1)) && py <= array_max(coords(ring, 1))
+    when(size(ring) < 2, lit(false)).otherwise(
+      px >= array_min(coords(ring, 0)) && px <= array_max(coords(ring, 0)) &&
+        py >= array_min(coords(ring, 1)) && py <= array_max(coords(ring, 1)))
 
   /** The reference's `round(v, digits)` helper (roundToDigits2,
     * mapshaper-rounding.mjs:18-24): JS Math.round = floor(v·k + 0.5). */

@@ -483,8 +483,11 @@ object Crs {
   final case class ClipCircle(lon0Deg: Double, lat0Deg: Double,
                               angleDeg: Double) extends ClipSpec
   /** Split paths crossing the rotated antimeridian lon0±180 before
-    * projecting. */
-  final case class CutAtAntimeridian(cutLonDeg: Double) extends ClipSpec
+    * projecting; `alsoClamp` carries the CRS's coordinate-range clamp when
+    * it has one (rotated Mercator both cuts AND clamps — the reference
+    * applies getClampBBox independently of the cut). */
+  final case class CutAtAntimeridian(cutLonDeg: Double,
+                                     alsoClamp: Option[ClampBBox] = None) extends ClipSpec
   case object NoClip extends ClipSpec
 
   /** Wrap a longitude into (-180, 180]. */
@@ -499,7 +502,8 @@ object Crs {
     * (getClampBBox / getDefaultClipAngle / insertPreProjectionCuts). */
   def clipSpec(proj: Proj): ClipSpec = proj match {
     case Mercator(lon0, _) =>
-      if (lon0 != 0.0) CutAtAntimeridian(wrapLon(lon0 + 180.0))
+      if (lon0 != 0.0)
+        CutAtAntimeridian(wrapLon(lon0 + 180.0), Some(ClampBBox(-180, -89, 180, 89)))
       else ClampBBox(-180, -89, 180, 89)
     case _: Lcc => ClampBBox(-180, -89, 180, 89)
     case Orthographic(lat0, lon0, _) => ClipCircle(lon0, lat0, 89.85)

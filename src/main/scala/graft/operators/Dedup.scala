@@ -78,11 +78,14 @@ object Dedup {
     */
   def exact(df: DataFrame, idCol: String, textCol: String,
             broadcastLosers: Boolean = true): DataFrame = {
+    // length(NULL) is NULL and the 3-key join is not null-safe — coalesce to
+    // a sentinel so NULL-text rows form one dedup group (the window form's
+    // partitionBy semantics)
     val proj = df.select(
       col(idCol).as("_eid"),
       xxhash64(col(textCol)).as("_h1"),
       xxhash64(col(textCol), lit(0x9e3779b97f4aL)).as("_h2"),
-      length(col(textCol)).as("_len"))
+      coalesce(length(col(textCol)), lit(-1)).as("_len"))
     val winners = proj.groupBy("_h1", "_h2", "_len").agg(min("_eid").as("_keep"))
     val losers = proj.join(winners, Seq("_h1", "_h2", "_len"))
       .filter(col("_eid") =!= col("_keep"))

@@ -40,7 +40,7 @@ object SphericalClip {
   def pointKeep(lon: Column, lat: Column, spec: Crs.ClipSpec): Column = spec match {
     case Crs.ClipCircle(lon0, lat0, angle) =>
       cosAngularCol(lon, lat, lon0, lat0) >= lit(math.cos(angle * Crs.D2R))
-    case Crs.ClampBBox(_, _, _, _) | Crs.CutAtAntimeridian(_) | Crs.NoClip => lit(true)
+    case Crs.ClampBBox(_, _, _, _) | Crs.CutAtAntimeridian(_, _) | Crs.NoClip => lit(true)
   }
 
   /** Clamp a flat lon/lat path into a bbox (the reference's clampDataset —
@@ -130,6 +130,25 @@ object SphericalClip {
           cur += bx; cur += by
           if (isIn) flush() // leaving the circle
           else have = true  // entering: boundary point starts the new part
+        } else if (!isIn) {
+          // both endpoints outside: the segment may still dip through the
+          // circle — probe 15 interior samples (the reference's densified
+          // clip polygon has comparable resolution); on a hit, bisect both
+          // crossings around it and emit the interior sliver
+          var hit = -1.0
+          var k = 1
+          while (k < 16 && hit < 0) {
+            val t = k / 16.0
+            if (in(x1 + t * (x2 - x1), y1 + t * (y2 - y1))) hit = t
+            k += 1
+          }
+          if (hit >= 0) {
+            val mx = x1 + hit * (x2 - x1); val my = y1 + hit * (y2 - y1)
+            val (ex, ey) = boundary(x1, y1, mx, my) // entry
+            val (lx, ly) = boundary(mx, my, x2, y2) // exit
+            cur += ex; cur += ey; cur += lx; cur += ly
+            flush()
+          }
         }
       }
       i += 2
@@ -144,7 +163,10 @@ object SphericalClip {
               spec: Crs.ClipSpec): DataFrame = {
     val fn: Seq[Double] => Seq[Seq[Double]] = spec match {
       case b: Crs.ClampBBox => p => Seq(clampPath(p.toArray, b).toSeq)
-      case Crs.CutAtAntimeridian(cut) => p => cutAtLon(p.toArray, cut).map(_.toSeq)
+      case Crs.CutAtAntimeridian(cut, clamp) => p => {
+        val base = clamp.map(b => clampPath(p.toArray, b)).getOrElse(p.toArray)
+        cutAtLon(base, cut).map(_.toSeq)
+      }
       case Crs.ClipCircle(lon0, lat0, a) =>
         p => clipPathToCircle(p.toArray, lon0, lat0, a).map(_.toSeq)
       case Crs.NoClip => p => Seq(p)

@@ -134,14 +134,32 @@ object KmlIO {
         }
         depth % 2 == 1
       }
-      val outer = flats.indices.filter(!isHole(_)).map(i =>
-        s"<outerBoundaryIs><LinearRing><coordinates>${coordString(flats(i))}" +
-          "</coordinates></LinearRing></outerBoundaryIs>")
-      val inner = flats.indices.filter(isHole(_)).map(i =>
-        s"<innerBoundaryIs><LinearRing><coordinates>${coordString(flats(i))}" +
-          "</coordinates></LinearRing></innerBoundaryIs>")
-      s"<Placemark><name>shape-${layer.shapeKeys(s)}</name><Polygon>" +
-        (outer ++ inner).mkString + "</Polygon></Placemark>"
+      // valid KML: a Polygon has exactly ONE outerBoundaryIs — multi-part
+      // shapes become a MultiGeometry of Polygons, each hole attached to
+      // the outer ring that contains its first vertex
+      val outerIdx = flats.indices.filter(!isHole(_))
+      val holeIdx = flats.indices.filter(isHole(_))
+      def containsPt(ringI: Int, px: Double, py: Double): Boolean = {
+        val o = flats(ringI)
+        val n = o.length / 2
+        val xs = Array.tabulate(n)(k => o(k * 2))
+        val ys = Array.tabulate(n)(k => o(k * 2 + 1))
+        graft.geom.Geom.pointInRing(px, py, xs, ys, 0, n) != graft.geom.Geom.OUT
+      }
+      val holeOwner: Map[Int, Int] = holeIdx.flatMap(hi =>
+        outerIdx.find(oi => containsPt(oi, flats(hi)(0), flats(hi)(1))).map(hi -> _)).toMap
+      val polys = outerIdx.map { oi =>
+        val myHoles = holeIdx.filter(hi => holeOwner.get(hi).contains(oi))
+        "<Polygon><outerBoundaryIs><LinearRing><coordinates>" +
+          coordString(flats(oi)) + "</coordinates></LinearRing></outerBoundaryIs>" +
+          myHoles.map(hi =>
+            s"<innerBoundaryIs><LinearRing><coordinates>${coordString(flats(hi))}" +
+              "</coordinates></LinearRing></innerBoundaryIs>").mkString +
+          "</Polygon>"
+      }
+      val geom = if (polys.length == 1) polys.head
+        else s"<MultiGeometry>${polys.mkString}</MultiGeometry>"
+      s"<Placemark><name>shape-${layer.shapeKeys(s)}</name>$geom</Placemark>"
     }
     kmlDoc(pms)
   }

@@ -59,4 +59,23 @@ class KmlSpec extends AnyFunSuite {
     val kmz = KmlIO.kmzFromKml(KmlIO.writePolygons(layer))
     assert(KmlIO.readPolygons(KmlIO.kmlFromKmz(kmz)).numRings == 3)
   }
+
+  test("multi-part shapes export as MultiGeometry with one outer per Polygon") {
+    val layer = graft.index.PolygonLayer.fromShapes(Seq(
+      3L -> Seq(
+        Array(0.0, 0, 10, 0, 10, 10, 0, 10, 0, 0),  // part 1 outer
+        Array(2.0, 2, 4, 2, 4, 4, 2, 4, 2, 2),      // hole in part 1
+        Array(20.0, 0, 30, 0, 30, 10, 20, 10, 20, 0)))) // part 2 outer (disjoint)
+    val kml = new String(KmlIO.writePolygons(layer), "UTF-8")
+    assert(kml.contains("<MultiGeometry>"))
+    assert(kml.split("<Polygon>").length - 1 == 2) // one Polygon per outer
+    // every Polygon has exactly one outerBoundaryIs; the hole sits with part 1
+    val poly1 = kml.substring(kml.indexOf("<Polygon>"), kml.indexOf("</Polygon>"))
+    assert(poly1.split("<outerBoundaryIs>").length - 1 == 1)
+    assert(poly1.contains("innerBoundaryIs"))
+    val back = KmlIO.readPolygons(KmlIO.writePolygons(layer))
+    assert(back.numRings == 3)
+    assert(back.findShapes(1, 1).nonEmpty && back.findShapes(3, 3).isEmpty &&
+      back.findShapes(25, 5).nonEmpty)
+  }
 }

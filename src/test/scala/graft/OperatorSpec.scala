@@ -120,6 +120,10 @@ class OperatorSpec extends SparkSuite {
     val df = Seq((3L, "aaa"), (1L, "aaa"), (2L, "bbb")).toDF("id", "t")
     val out = Dedup.exact(df, "id", "t").select("id").as[Long].collect().toSet
     assert(out == Set(1L, 2L))
+    // NULL texts form ONE dedup group (window-partition semantics)
+    val withNulls = Seq((5L, null), (4L, null), (6L, "x")).toDF("id", "t")
+    val out2 = Dedup.exact(withNulls, "id", "t").select("id").as[Long].collect().toSet
+    assert(out2 == Set(4L, 6L))
   }
 
   test("minhash finds near-duplicate pairs and skips distinct docs") {

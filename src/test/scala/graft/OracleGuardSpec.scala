@@ -38,6 +38,7 @@ class OracleGuardSpec extends SparkSuite {
   }
 
   test("every shipped oracle is HUGEINT-clean against its Spark schema") {
-    OracleGuard.check(spark, Sf)
+    OracleGuard.check(name =>
+      scala.util.Try(SparkEntry.queries(name)(spark, Sf).schema).toOption)
   }
 }

@@ -272,7 +272,19 @@ class WorldProjSpec extends AnyFunSuite {
 
   test("clipSpec: clamp / circle / antimeridian-cut table") {
     assert(Crs.clipSpec(Crs.Mercator()) == Crs.ClampBBox(-180, -89, 180, 89))
-    assert(Crs.clipSpec(Crs.Mercator(150.0)) == Crs.CutAtAntimeridian(-30.0))
+    assert(Crs.clipSpec(Crs.Mercator(150.0)) ==
+      Crs.CutAtAntimeridian(-30.0, Some(Crs.ClampBBox(-180, -89, 180, 89))))
+    // rotated Mercator both cuts AND clamps: a lat-90 vertex must come out
+    // clamped to 89, not reach the projection as log(tan(pi/2)) = Inf
+    locally {
+      val spark = SparkTestBase.spark
+      import spark.implicits._
+      val paths = Seq((1L, Seq(-40.0, 88.0, -20.0, 90.0))).toDF("pid", "path")
+      val parts = graft.operators.SphericalClip
+        .prepare(paths, "pid", "path", Crs.clipSpec(Crs.Mercator(150.0)))
+        .select("path").as[Seq[Double]].collect()
+      assert(parts.flatten.grouped(2).forall(p => p(1) <= 89.0))
+    }
     assert(Crs.clipSpec(Crs.Orthographic(15, 30)) == Crs.ClipCircle(30, 15, 89.85))
     assert(Crs.clipSpec(Crs.Gnomonic(40, -100)) == Crs.ClipCircle(-100, 40, 60.0))
     assert(Crs.clipSpec(Crs.Laea(-20, 60)) == Crs.ClipCircle(60, -20, 179.0))
