@@ -1728,13 +1728,30 @@ object SparkEntry {
     // -cluster: greedy centroid agglomeration of the oracle layer (k=3)
     // (rows-only; the greedy kernel is exactly oracle-verified by
     // q_cluster_greedy)
+    // -snap: ulp-scaled lattice quantization (interval 2^ceil(log2 max)/2^51)
+    // — output is the exact integer lattice index per coordinate, through
+    // the real Geom.snap kernel (rint half-even mirrored by a CASE)
+    "q_snap" -> ((s, dir) => {
+      val pts = points(s, dir)
+      val mx = pts.agg(max(greatest(abs(col("x")), abs(col("y"))))).head().getDouble(0)
+      val ival = graft.geom.Geom.snapInterval(mx)
+      val kUdf = udf((v: Double) => (graft.geom.Geom.snap(v, ival) / ival).toLong)
+      pts.select(col("id"), kUdf(col("x")).as("kx"), kUdf(col("y")).as("ky"))
+        .orderBy("id")
+    }),
+
+    // cluster over the oracle layer's 8 shape centroids: the centroids are
+    // the q_centroid edge-sum mirror (un-floored) and 8 -> 3 clusters is a
+    // 5-round merge unroll — fully oracle-backed
     "q_cluster" -> ((s, dir) => {
       import s.implicits._
       val cents = Points.centroids(s, Synthetic.oracleLayer)
         .select("poly_key", "cx", "cy").collect()
         .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2))).toSeq
       val asg = Cluster.greedy(cents, k = 3)
-      asg.toSeq.sortBy(_._1).toDF("poly_key", "cluster_id")
+      asg.toSeq.sortBy(_._1).map { case (k, c) => (k, c.toLong) }
+        .toDF("poly_key", "cluster_id")
+        .orderBy("poly_key")
     }),
 
     // polygon->polygon join, FULLY DISTRIBUTED (cell-join candidates +
@@ -4661,6 +4678,63 @@ object SparkEntry {
          |$rounds
          |SELECT id, CAST(dense_rank() OVER (ORDER BY root) - 1 AS BIGINT) AS cluster
          |FROM a14 ORDER BY id""".stripMargin
+    },
+
+    // lattice indices: interval re-derived from the data max; rint's
+    // half-even tie handled by the parity CASE (f odd -> f+1)
+    "q_snap" ->
+      s"""WITH $ptsSql,
+         |mx AS (SELECT max(greatest(abs(x), abs(y))) AS m FROM pts),
+         |iv AS (SELECT power(2.0, ceil(ln(m) / ln(2.0))) / power(2.0, 51.0) AS ival
+         |  FROM mx),
+         |r AS (SELECT id, x / ival AS rx, y / ival AS ry FROM pts, iv)
+         |SELECT id,
+         |  CAST(CASE WHEN rx - floor(rx) > 0.5 THEN floor(rx) + 1
+         |            WHEN rx - floor(rx) < 0.5 THEN floor(rx)
+         |            ELSE floor(rx) + abs(CAST(floor(rx) AS BIGINT)) % 2 END AS BIGINT) AS kx,
+         |  CAST(CASE WHEN ry - floor(ry) > 0.5 THEN floor(ry) + 1
+         |            WHEN ry - floor(ry) < 0.5 THEN floor(ry)
+         |            ELSE floor(ry) + abs(CAST(floor(ry) AS BIGINT)) % 2 END AS BIGINT) AS ky
+         |FROM r ORDER BY id""".stripMargin,
+
+    // 8 shape centroids (exact edge-sum mirror, un-floored) agglomerated to
+    // 3 clusters: 5 unrolled merge rounds. Merge-order ties are generic
+    // (distinct centroid distances); output carries ids only.
+    "q_cluster" -> {
+      val rounds = (1 to 5).map { k =>
+        s"""m$k AS MATERIALIZED (SELECT a.cid AS bi, b.cid AS bj,
+           |  b.cx AS bcx, b.cy AS bcy, b.sz AS bsz
+           |  FROM s${k - 1} a JOIN s${k - 1} b ON a.cid < b.cid AND a.alive AND b.alive
+           |  ORDER BY (a.cx - b.cx) * (a.cx - b.cx) + (a.cy - b.cy) * (a.cy - b.cy),
+           |    a.cid, b.cid
+           |  LIMIT 1),
+           |s$k AS MATERIALIZED (SELECT s.cid,
+           |  CASE WHEN s.cid = m.bi THEN (s.cx * s.sz + m.bcx * m.bsz) / (s.sz + m.bsz)
+           |    ELSE s.cx END AS cx,
+           |  CASE WHEN s.cid = m.bi THEN (s.cy * s.sz + m.bcy * m.bsz) / (s.sz + m.bsz)
+           |    ELSE s.cy END AS cy,
+           |  CASE WHEN s.cid = m.bi THEN s.sz + m.bsz ELSE s.sz END AS sz,
+           |  s.alive AND s.cid <> m.bj AS alive
+           |  FROM s${k - 1} s, m$k m),
+           |a$k AS MATERIALIZED (SELECT a.pk,
+           |  CASE WHEN a.root = m.bj THEN m.bi ELSE a.root END AS root
+           |  FROM a${k - 1} a, m$k m)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $oracleEdgesSql,
+         |cent AS (SELECT pk,
+         |  sum((ex1 + ex2) * (ex1 * ey2 - ex2 * ey1))
+         |    / (3.0 * sum(ex1 * ey2 - ex2 * ey1)) AS cx,
+         |  sum((ey1 + ey2) * (ex1 * ey2 - ex2 * ey1))
+         |    / (3.0 * sum(ex1 * ey2 - ex2 * ey1)) AS cy
+         |  FROM edges GROUP BY pk),
+         |items AS (SELECT pk, cx, cy, row_number() OVER (ORDER BY pk) - 1 AS cid FROM cent),
+         |s0 AS MATERIALIZED (SELECT cid, cx, cy, CAST(1.0 AS DOUBLE) AS sz, TRUE AS alive
+         |  FROM items),
+         |a0 AS MATERIALIZED (SELECT pk, cid AS root FROM items),
+         |$rounds
+         |SELECT CAST(pk AS BIGINT) AS poly_key,
+         |  CAST(dense_rank() OVER (ORDER BY root) - 1 AS BIGINT) AS cluster_id
+         |FROM a5 ORDER BY poly_key""".stripMargin
     },
 
     // group_by variant: identical merge unroll with the reference's
