@@ -1489,8 +1489,13 @@ object SparkEntry {
 
     // decode -> luma grid -> blur + bilinear downsample per image (the raster
     // toolbox on the binary payload; deterministic quantized outputs)
+    // raster stage over the lossless slice: decode -> luma (grayscale, so
+    // luma == g exactly) -> separable box blur -> 8x8 bilinear resample ->
+    // mean + center, every double op mirrored
     "q_img_raster" -> ((s, dir) =>
-      Multimodal.rasterStage(s, imagesDf(s, dir).limit(300))
+      Multimodal.rasterStage(s, imagesDf(s, dir)
+          .where(col("fmt") === "png" &&
+            substring(col("image_id"), 4, 12).cast("long") < 300))
         .orderBy("image_id")),
 
     // full 500-row feature slice: decoded dims verified for BOTH codecs
@@ -3301,6 +3306,59 @@ object SparkEntry {
         |    ELSE CAST(ub AS BIGINT) END AS ahash FROM bits)
         |SELECT base.image_id, base.w, base.h, base.fmt, ah.ahash AS ahash_png
         |FROM base LEFT JOIN ah USING (image_id) ORDER BY image_id""".stripMargin,
+
+    // decode -> luma -> boxBlur(1) (separable, edge-clamped, (l+c+r)/3 in
+    // the kernel's summation order) -> 8x8 bilinear (edge-clamped taps) ->
+    // mean (sequential list_sum == Array.sum) + center, half-up rounding
+    "q_img_raster" -> {
+      def clampX(e: String) = s"least(greatest($e, 0), o.w - 1)"
+      def clampY(e: String) = s"least(greatest($e, 0), o.h - 1)"
+      s"""WITH ${ahashChain(
+        """img AS (SELECT image_id, w, h, CAST(substr(image_id, 4, 12) AS BIGINT) AS i
+          |  FROM read_parquet('/root/repo/data/images_sf0.01.parquet/*.parquet')
+          |  WHERE fmt = 'png' AND CAST(substr(image_id, 4, 12) AS BIGINT) < 300)""".stripMargin)},
+         |lum AS (SELECT image_id, w, h, x, y, CAST(g AS DOUBLE) AS v FROM px),
+         |hb AS (SELECT a.image_id, a.w, a.h, a.x, a.y, (l.v + a.v + r.v) / 3.0 AS v
+         |  FROM lum a
+         |  JOIN lum l ON l.image_id = a.image_id AND l.y = a.y
+         |    AND l.x = greatest(a.x - 1, 0)
+         |  JOIN lum r ON r.image_id = a.image_id AND r.y = a.y
+         |    AND r.x = least(a.x + 1, a.w - 1)),
+         |vb AS (SELECT a.image_id, a.w, a.h, a.x, a.y, (u.v + a.v + d.v) / 3.0 AS v
+         |  FROM hb a
+         |  JOIN hb u ON u.image_id = a.image_id AND u.x = a.x
+         |    AND u.y = greatest(a.y - 1, 0)
+         |  JOIN hb d ON d.image_id = a.image_id AND d.x = a.x
+         |    AND d.y = least(a.y + 1, a.h - 1)),
+         |op AS (SELECT img.image_id, img.w, img.h, ox.i AS ox, oy.i AS oy,
+         |    (CAST(ox.i AS DOUBLE) + 0.5) * (CAST(img.w AS DOUBLE) / 8.0) - 0.5 AS fx,
+         |    (CAST(oy.i AS DOUBLE) + 0.5) * (CAST(img.h AS DOUBLE) / 8.0) - 0.5 AS fy
+         |  FROM img CROSS JOIN range(0, 8) ox(i) CROSS JOIN range(0, 8) oy(i)),
+         |ot AS (SELECT *, CAST(floor(fx) AS BIGINT) AS x0, CAST(floor(fy) AS BIGINT) AS y0,
+         |    fx - floor(fx) AS tx, fy - floor(fy) AS ty FROM op),
+         |tp AS (SELECT o.image_id, o.ox, o.oy, o.tx, o.ty,
+         |    v00.v AS v00, v10.v AS v10, v01.v AS v01, v11.v AS v11
+         |  FROM ot o
+         |  JOIN vb v00 ON v00.image_id = o.image_id
+         |    AND v00.x = ${clampX("o.x0")} AND v00.y = ${clampY("o.y0")}
+         |  JOIN vb v10 ON v10.image_id = o.image_id
+         |    AND v10.x = ${clampX("o.x0 + 1")} AND v10.y = ${clampY("o.y0")}
+         |  JOIN vb v01 ON v01.image_id = o.image_id
+         |    AND v01.x = ${clampX("o.x0")} AND v01.y = ${clampY("o.y0 + 1")}
+         |  JOIN vb v11 ON v11.image_id = o.image_id
+         |    AND v11.x = ${clampX("o.x0 + 1")} AND v11.y = ${clampY("o.y0 + 1")}),
+         |ov AS (SELECT image_id, ox, oy,
+         |    (v00 * (1 - tx) + v10 * tx) * (1 - ty)
+         |      + (v01 * (1 - tx) + v11 * tx) * ty AS val FROM tp),
+         |agg AS (SELECT image_id,
+         |    list_sum(list(val ORDER BY oy * 8 + ox)) AS tot,
+         |    min(CASE WHEN ox = 4 AND oy = 4 THEN val END) AS center
+         |  FROM ov GROUP BY image_id)
+         |SELECT a2.image_id, i2.w, i2.h,
+         |  CAST(floor(tot / 64 * 1000.0 + 0.5) AS BIGINT) AS mean_luma_q,
+         |  CAST(floor(center * 1000.0 + 0.5) AS BIGINT) AS blur_center_q
+         |FROM agg a2 JOIN img i2 USING (image_id) ORDER BY a2.image_id""".stripMargin
+    },
 
     "q_video_frames" -> {
       val imgCte =

@@ -3,7 +3,13 @@ package graft
 import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
 
-/** Throwaway: dump selected queries + oracle SQL for the authoring loop. */
+/** Oracle-authoring harness (dev tool, not part of the driver contract):
+  * dumps a SELECTED subset of `SparkEntry.queries` + their oracle SQL so a
+  * new mirror can be iterated against `tools/check_oracle.py` without paying
+  * for the full gate. Usage:
+  * `sbt "runMain graft.TmpDrive <sfDir> <outDir> q_a q_b"` then
+  * `python3 tools/check_oracle.py <sfDir> <outDir>`. Every new oracle this
+  * round went through this loop before entering the gate. */
 object TmpDrive {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
