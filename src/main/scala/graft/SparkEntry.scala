@@ -3313,10 +3313,7 @@ object SparkEntry {
     "q_img_raster" -> {
       def clampX(e: String) = s"least(greatest($e, 0), o.w - 1)"
       def clampY(e: String) = s"least(greatest($e, 0), o.h - 1)"
-      s"""WITH ${ahashChain(
-        """img AS (SELECT image_id, w, h, CAST(substr(image_id, 4, 12) AS BIGINT) AS i
-          |  FROM read_parquet('/root/repo/data/images_sf0.01.parquet/*.parquet')
-          |  WHERE fmt = 'png' AND CAST(substr(image_id, 4, 12) AS BIGINT) < 300)""".stripMargin)},
+      s"""WITH ${ahashCtes(300)},
          |lum AS (SELECT image_id, w, h, x, y, CAST(g AS DOUBLE) AS v FROM px),
          |hb AS (SELECT a.image_id, a.w, a.h, a.x, a.y, (l.v + a.v + r.v) / 3.0 AS v
          |  FROM lum a

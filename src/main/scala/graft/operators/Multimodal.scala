@@ -166,7 +166,10 @@ object Multimodal {
         val g = toLumaGrid(bytes, Raster.Georef(0, 0, 1))
         val small = Raster.resampleBilinear(Raster.boxBlur(g, blurRadius), outW, outH)
         val mean = small.values.sum / small.values.length
-        (id, g.w, g.h, math.round(mean * 1000), math.round(small(outW / 2, outH / 2) * 1000))
+        // floor(x·1000 + 0.5) in plain double arithmetic (not Math.round,
+        // which rounds exactly): bit-identical to the SQL oracle's mirror
+        (id, g.w, g.h, math.floor(mean * 1000 + 0.5).toLong,
+          math.floor(small(outW / 2, outH / 2) * 1000 + 0.5).toLong)
       })
       .toDF("image_id", "w", "h", "mean_luma_q", "blur_center_q")
   }
