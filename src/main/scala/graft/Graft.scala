@@ -270,4 +270,48 @@ object Graft {
       min_by(org.apache.spark.sql.functions.col(valueCol), orderCol).as("first"),
       max_by(org.apache.spark.sql.functions.col(valueCol), orderCol).as("last"))
   }
+
+  // ------------------------------------------------------ round-4 surface
+
+  /** -fuzzy-join full surface (dedup_points, distance ties, data-fill,
+    * no_dropouts). */
+  def fuzzyJoin(spark: SparkSession, polygons: DataFrame, keyCol: String,
+                points: DataFrame, pid: String, x: String, y: String, value: String,
+                layer: PolygonLayer, adjacency: DataFrame,
+                dedupPoints: Boolean = false, noDropouts: Boolean = false,
+                contiguous: Boolean = false): DataFrame =
+    FuzzyJoin.join(spark, polygons, keyCol, points, pid, x, y, value,
+      layer, adjacency, dedupPoints, noDropouts, contiguous)
+  /** -data-fill weighted= / contiguous (border-length contagion). */
+  def dataFillWeighted(spark: SparkSession, features: DataFrame, adjacency: DataFrame,
+                       weightCol: Option[String] = None,
+                       contiguous: Boolean = false): DataFrame =
+    DataFill.fillWeighted(spark, features, adjacency,
+      weightCol = weightCol, contiguous = contiguous)
+  /** -clean / -dissolve2 with overlap_rule= and allow_overlaps. */
+  def cleanWithRule(shapes: Seq[Overlay.Shape], overlapRule: String): Seq[Seq[Array[Double]]] =
+    Overlay.clean(shapes, overlapRule)
+  def dissolve2ByGroup(shapes: Seq[Overlay.Shape], groups: Seq[Long],
+                       overlapRule: String = "min-id",
+                       allowOverlaps: Boolean = false): Map[Long, Seq[Array[Double]]] =
+    Overlay.dissolve2ByGroup(shapes, groups, overlapRule, allowOverlaps)
+  /** -cluster group_by= / pct=. */
+  def clusterGrouped(items: Seq[(Long, Double, Double, String)], k: Int): Map[Long, Int] =
+    Cluster.greedyGrouped(items, k)
+  /** -snap (ulp-scaled lattice quantization). */
+  def snap(v: Double, interval: Double): Double = graft.geom.Geom.snap(v, interval)
+  def snapInterval(maxAbsCoord: Double): Double = graft.geom.Geom.snapInterval(maxAbsCoord)
+  /** -proj pre-projection domain handling (clamp / antimeridian cut /
+    * clip circle) for any catalog projection. */
+  def preProjectionClip(paths: DataFrame, idCol: String, pathCol: String,
+                        proj: Crs.Proj): DataFrame =
+    SphericalClip.prepare(paths, idCol, pathCol, Crs.clipSpec(proj))
+  /** KML export (Placemark document; KMZ wrap). */
+  def writeKmlPolygons(layer: PolygonLayer): Array[Byte] = sources.KmlIO.writePolygons(layer)
+  def writeKmz(kml: Array[Byte]): Array[Byte] = sources.KmlIO.kmzFromKml(kml)
+  /** Audio/video multimodal stages (real JDK codecs). */
+  def audioFeatures(spark: SparkSession, audio: DataFrame): DataFrame =
+    AudioOps.features(spark, audio).toDF()
+  def videoFrameSamples(spark: SparkSession, video: DataFrame, stride: Int): DataFrame =
+    VideoOps.sampleFrames(spark, video, stride)
 }
