@@ -81,4 +81,49 @@ class GraftApiSpec extends SparkSuite {
     val feats = Graft.readSvg(svg)
     assert(feats.length == 1 && feats.head.attrs("fill") == "red")
   }
+
+  test("round-4 facade surface: rules, weighted fill, clip, KML, audio/video") {
+    import spark.implicits._
+    def rect(x1: Double, y1: Double, x2: Double, y2: Double): Array[Double] =
+      Array(x1, y1, x2, y1, x2, y2, x1, y2, x1, y1)
+
+    // -dissolve2 overlap_rule through the facade
+    val byRule = Graft.dissolve2ByGroup(
+      Seq(Seq(rect(0, 0, 10, 10)), Seq(rect(5, 0, 15, 8))), Seq(1L, 2L), "max-area")
+    assert(math.abs(graft.geom.Overlay.layerArea(byRule(1L)) - 100.0) < 1e-9)
+
+    // -data-fill weighted
+    val filled = Graft.dataFillWeighted(spark,
+      Seq((1L, "a"), (2L, null)).toDF("id", "value"),
+      Seq((1L, 2L, 3.0)).toDF("a", "b", "w"))
+    assert(filled.orderBy("id").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "a")))
+
+    // -cluster group_by= and -snap
+    val cg = Graft.clusterGrouped(
+      Seq((1L, 0.0, 0.0, "g"), (2L, 1.0, 0.0, "g"), (3L, 0.5, 0.0, "h")), k = 2)
+    assert(cg(1L) == cg(2L) && cg(1L) != cg(3L))
+    val iv = Graft.snapInterval(100.0)
+    assert(Graft.snap(50.0 + iv / 4, iv) == 50.0)
+
+    // pre-projection clip (ortho circle) through the facade
+    val clipped = Graft.preProjectionClip(
+      Seq((1L, Seq(30.0, 15.0, -150.0, -15.0))).toDF("pid", "path"),
+      "pid", "path", graft.geom.Crs.Orthographic(15.0, 30.0))
+    assert(clipped.count() >= 1)
+
+    // KML/KMZ export
+    val layer = graft.index.PolygonLayer.fromShapes(Seq(1L -> Seq(rect(0, 0, 5, 5))))
+    val kmz = Graft.writeKmz(Graft.writeKmlPolygons(layer))
+    assert(graft.sources.KmlIO.readPolygons(graft.sources.KmlIO.kmlFromKmz(kmz)).numShapes == 1)
+
+    // audio + video stages
+    val a = graft.tables.Audio.row(1L)
+    val af = Graft.audioFeatures(spark, Seq((a.audio_id, a.bytes)).toDF("audio_id", "bytes"))
+    assert(af.select("n_samples").head().getInt(0) == a.n_samples)
+    val v = graft.tables.Video.row(1L)
+    val vf = Graft.videoFrameSamples(spark,
+      Seq((v.video_id, v.bytes)).toDF("video_id", "bytes"), stride = 2)
+    assert(vf.count() == (0 until v.n_frames by 2).length)
+  }
 }
