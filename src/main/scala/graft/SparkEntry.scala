@@ -1577,22 +1577,24 @@ object SparkEntry {
           (col("psnr_db") >= 40.0).as("high_fidelity"))
         .orderBy("image_id")),
 
-    // -simplify: Visvalingam thresholds per ring + global retained-pct filter
-    // (rows-only: approxQuantile interval; the KERNEL is exactly oracle-
-    // verified by q_simplify_vis)
+    // -simplify: WEIGHTED Visvalingam thresholds per path + global
+    // retained-pct cutoff as an EXACT distributed rank-select (not the
+    // approx sketch) — the full pipeline (weighted metric, monotonic clamp,
+    // sqrt*0.65 scaling, global quantile, >= filter) is mirrored in SQL by
+    // a 14-round removal unroll partitioned per path
     "q_simplify" -> ((s, dir) => {
-      import s.implicits._
-      val layer = Synthetic.polygonLayer(64, seed = 42L)
-      val rings = (0 until layer.numRings).map { r =>
-        val st = layer.ringStart(r); val e = layer.ringStart(r + 1)
-        val flat = new Array[Double]((e - st) * 2)
-        var i = st
-        while (i < e) { flat((i - st) * 2) = layer.xx(i); flat((i - st) * 2 + 1) = layer.yy(i); i += 1 }
-        (r.toLong, flat)
-      }.toDF("ring_id", "ring")
-      SimplifyOp.simplify(s, rings, "ring", pct = 0.5)
-        .select(col("ring_id"), col("n_before"), col("n_after"))
-        .orderBy("ring_id")
+      val paths = points(s, dir).where(col("id") >= 1 && col("id") <= 128)
+        .withColumn("g", floor((col("id") - 1) / 16).cast("long"))
+        .groupBy("g")
+        .agg(array_sort(collect_list(struct(col("id"), col("x"), col("y")))).as("pts"))
+        .select(col("g"),
+          flatten(transform(col("pts"),
+            p => array(p.getField("x"), p.getField("y")))).as("ring"))
+      SimplifyOp.simplify(s, paths, "ring", pct = 0.5,
+          method = graft.geom.Simplify.WeightedVisvalingam, exactPct = true)
+        .select(col("g"), col("n_before"), col("n_after"),
+          floor(col("interval") * 1000000000.0).cast("long").as("interval_int"))
+        .orderBy("g")
     }),
 
     // -clip bbox2= fast path: rectangle clip of polygon rings
@@ -1802,20 +1804,24 @@ object SparkEntry {
     }),
 
     // -alpha-shapes: DISTRIBUTED alpha complex (cell-partitioned Delaunay,
-    // rows-only here; the Delaunay/alpha-edge kernel is exactly oracle-
-    // verified by q_alpha_edges)
-    // circumcenter-owned triangles, global edge parity); only the O(perimeter)
-    // boundary is collected for ring assembly
+    // circumcenter-owned triangles, global edge parity, driver ring assembly
+    // over the O(perimeter) boundary) — mirrored END TO END by brute-force
+    // empty-circumcircle Delaunay + radius filter + parity + a recursive-CTE
+    // connected-components labeling of the boundary graph (each component is
+    // one assembled ring: every boundary vertex has degree 2 on this fixture)
     "q_alpha_shape" -> ((s, dir) => {
       import s.implicits._
-      val rings = AlphaShape.distributedRings(s, points(s, dir), "x", "y", alpha = 6.0)
+      val rings = AlphaShape.distributedRings(s,
+        points(s, dir).where(col("id") >= 1 && col("id") <= 120), "x", "y", alpha = 8.0)
       rings.zipWithIndex.map { case (r, i) =>
-        val n = r.length / 2
-        val rx = Array.tabulate(n)(j => r(j * 2))
-        val ry = Array.tabulate(n)(j => r(j * 2 + 1))
-        (i.toLong, n.toLong,
-          math.floor(math.abs(graft.geom.Geom.signedRingArea(rx, ry, 0, n)) * 1000.0).toLong)
-      }.toDF("ring_id", "n_vertices", "area_int").orderBy("ring_id")
+        var mx = Double.MaxValue; var my = Double.MaxValue
+        var j = 0
+        while (j + 1 < r.length) {
+          mx = math.min(mx, r(j)); my = math.min(my, r(j + 1)); j += 2
+        }
+        (i.toLong, (r.length / 2 - 1).toLong, // closing vertex repeated
+          math.floor(mx * 1000.0).toLong, math.floor(my * 1000.0).toLong)
+      }.toDF("ring_id", "n_vertices", "minx_int", "miny_int").orderBy("ring_id")
     }),
 
     // -point-grid: generated square grid (distributed, codegen arithmetic)
@@ -4700,6 +4706,49 @@ object SparkEntry {
          |SELECT u AS a_id, v AS b_id FROM ed
          |GROUP BY u, v HAVING count(*) = 1 ORDER BY a_id, b_id""".stripMargin,
 
+    // -alpha-shapes end to end: brute-force Delaunay (strict empty
+    // circumcircle over all triples) + the kernel's circumcenter/radius
+    // arithmetic + boundary parity + recursive-CTE component labeling of the
+    // boundary graph; on this fixture every boundary vertex has degree 2, so
+    // components == assembled rings, component edge count == ring vertex
+    // count, and the (minx, miny, n) ring sort matches assembleSorted
+    "q_alpha_shape" ->
+      s"""WITH RECURSIVE $ptsSql,
+         |p AS (SELECT id, x, y FROM pts WHERE id >= 1 AND id <= 120),
+         |tri AS (SELECT a.id AS ia, b.id AS ib, c.id AS ic,
+         |    a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by, c.x AS cx, c.y AS cy,
+         |    2.0 * (a.x * (b.y - c.y) + b.x * (c.y - a.y) + c.x * (a.y - b.y)) AS d
+         |  FROM p a JOIN p b ON a.id < b.id JOIN p c ON b.id < c.id),
+         |ccs AS (SELECT ia, ib, ic, ax, ay,
+         |    ax * ax + ay * ay AS a2, bx * bx + by * by AS b2, cx * cx + cy * cy AS c2,
+         |    (a2 * (by - cy) + b2 * (cy - ay) + c2 * (ay - by)) / d AS ux,
+         |    (a2 * (cx - bx) + b2 * (ax - cx) + c2 * (bx - ax)) / d AS uy
+         |  FROM tri WHERE d <> 0),
+         |del AS (SELECT ia, ib, ic, ux, uy, ax, ay FROM ccs
+         |  WHERE NOT EXISTS (SELECT 1 FROM p
+         |    WHERE p.id <> ccs.ia AND p.id <> ccs.ib AND p.id <> ccs.ic
+         |      AND (p.x - ux) * (p.x - ux) + (p.y - uy) * (p.y - uy)
+         |        < (ax - ux) * (ax - ux) + (ay - uy) * (ay - uy))),
+         |kept AS (SELECT ia, ib, ic FROM del
+         |  WHERE sqrt((ux - ax) * (ux - ax) + (uy - ay) * (uy - ay)) <= 8.0),
+         |ed AS (SELECT least(ia, ib) AS u, greatest(ia, ib) AS v FROM kept
+         |  UNION ALL SELECT least(ib, ic), greatest(ib, ic) FROM kept
+         |  UNION ALL SELECT least(ia, ic), greatest(ia, ic) FROM kept),
+         |bnd AS (SELECT u, v FROM ed GROUP BY u, v HAVING count(*) = 1),
+         |und AS (SELECT u, v FROM bnd UNION ALL SELECT v AS u, u AS v FROM bnd),
+         |verts AS (SELECT DISTINCT u FROM und),
+         |reach AS (SELECT u AS s, u AS t FROM verts
+         |  UNION
+         |  SELECT r.s, e.v AS t FROM reach r JOIN und e ON r.t = e.u),
+         |roots AS (SELECT s, min(t) AS root FROM reach GROUP BY s),
+         |comp AS (SELECT r.root, count(*) AS nv, min(p.x) AS minx, min(p.y) AS miny
+         |  FROM roots r JOIN p ON r.s = p.id GROUP BY r.root)
+         |SELECT CAST(row_number() OVER (ORDER BY minx, miny, nv) - 1 AS BIGINT) AS ring_id,
+         |  CAST(nv AS BIGINT) AS n_vertices,
+         |  CAST(floor(minx * 1000.0) AS BIGINT) AS minx_int,
+         |  CAST(floor(miny * 1000.0) AS BIGINT) AS miny_int
+         |FROM comp ORDER BY ring_id""".stripMargin,
+
     // -cluster greedy agglomeration unrolled: each round merges the closest
     // alive pair (ties -> lexicographic scan order, mirroring the kernel's
     // strict-< scan), weighted-centroid arithmetic in identical op order;
@@ -4859,6 +4908,56 @@ object SparkEntry {
          |SELECT CAST(vi AS BIGINT) AS vi,
          |  CAST(floor(sqrt(t) * $c65 * 1000000000.0) AS BIGINT) AS thr_int
          |FROM thr ORDER BY vi""".stripMargin
+    },
+
+    // -simplify end to end: weighted-Visvalingam removal loop unrolled (14
+    // rounds, partitioned per path; metric = (1 - 0.7*cos)*area in identical
+    // IEEE op order; tie rule (v, idx) = the MinHeap's lexicographic order),
+    // prefix-max monotonic clamp, sqrt*0.65 scaling, EXACT global rank-select
+    // cutoff (k = floor((1-pct)*n)), and the >= retention filter
+    "q_simplify" -> {
+      val c65 = dl(0.65)
+      val c07 = dl(0.7)
+      val rounds = (1 to 14).map { k =>
+        s"""a$k AS (SELECT g, idx, x, y,
+           |  lag(x) OVER (PARTITION BY g ORDER BY idx) AS px,
+           |  lag(y) OVER (PARTITION BY g ORDER BY idx) AS py,
+           |  lead(x) OVER (PARTITION BY g ORDER BY idx) AS nx,
+           |  lead(y) OVER (PARTITION BY g ORDER BY idx) AS ny
+           |  FROM s${k - 1} WHERE alive),
+           |v$k AS (SELECT g, idx,
+           |  (1.0 - CASE WHEN sqrt((px - x) * (px - x) + (py - y) * (py - y))
+           |              * sqrt((x - nx) * (x - nx) + (y - ny) * (y - ny)) > 0
+           |    THEN least(CAST(1.0 AS DOUBLE), greatest(CAST(-1.0 AS DOUBLE),
+           |      ((px - x) * (nx - x) + (py - y) * (ny - y))
+           |      / (sqrt((px - x) * (px - x) + (py - y) * (py - y))
+           |         * sqrt((x - nx) * (x - nx) + (y - ny) * (y - ny)))))
+           |    ELSE 0.0 END * $c07)
+           |  * abs(((py - ny) * (x - nx) + (y - ny) * (nx - px)) / 2.0) AS v
+           |  FROM a$k WHERE px IS NOT NULL AND nx IS NOT NULL),
+           |m$k AS MATERIALIZED (SELECT g, idx AS rem, v FROM (
+           |  SELECT g, idx, v, row_number() OVER (PARTITION BY g ORDER BY v, idx) AS rn
+           |  FROM v$k) WHERE rn = 1),
+           |s$k AS MATERIALIZED (SELECT s.g, s.idx, s.x, s.y,
+           |  s.alive AND s.idx <> m.rem AS alive
+           |  FROM s${k - 1} s JOIN m$k m ON s.g = m.g)""".stripMargin
+      }.mkString(",\n")
+      val rec = (1 to 14).map(k => s"SELECT $k AS k, g, rem, v FROM m$k")
+        .mkString("\nUNION ALL ")
+      s"""WITH $ptsSql,
+         |s0 AS MATERIALIZED (SELECT CAST((id - 1) // 16 AS BIGINT) AS g,
+         |  row_number() OVER (PARTITION BY (id - 1) // 16 ORDER BY id) - 1 AS idx,
+         |  x, y, TRUE AS alive
+         |  FROM pts WHERE id >= 1 AND id <= 128),
+         |$rounds,
+         |rec AS ($rec),
+         |thr AS (SELECT g, rem AS vi, max(v) OVER (PARTITION BY g ORDER BY k) AS t FROM rec),
+         |thrs AS (SELECT g, vi, sqrt(t) * $c65 AS z FROM thr),
+         |iv AS (SELECT z AS iv FROM thrs ORDER BY z LIMIT 1 OFFSET 56)
+         |SELECT g, CAST(16 AS BIGINT) AS n_before,
+         |  CAST(2 + sum(CASE WHEN z >= iv THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+         |  CAST(floor(iv * 1000000000.0) AS BIGINT) AS interval_int
+         |FROM thrs, iv GROUP BY g, iv ORDER BY g""".stripMargin
     },
 
     // -densify: per-segment j/k insertion, exact mirror

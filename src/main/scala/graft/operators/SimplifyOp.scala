@@ -34,7 +34,8 @@ object SimplifyOp {
    * Output: input columns + n_before, n_after, interval.
    */
   def simplify(spark: SparkSession, rings: DataFrame, ringCol: String, pct: Double,
-               method: Simplify.Method = Simplify.WeightedVisvalingam): DataFrame = {
+               method: Simplify.Method = Simplify.WeightedVisvalingam,
+               exactPct: Boolean = false): DataFrame = {
     val withThr = withThresholds(rings, ringCol, method).cache()
     // global interval: (1-pct) quantile over interior (finite) thresholds
     val interior = withThr
@@ -42,6 +43,7 @@ object SimplifyOp {
       .filter(!col("z").isNaN && col("z") =!= Double.PositiveInfinity)
     val interval =
       if (pct >= 1.0) 0.0
+      else if (exactPct) exactRankSelect(spark, interior, pct)
       else interior.stat.approxQuantile("z", Array(1.0 - pct), 1e-4).headOption.getOrElse(0.0)
     val filterUdf = udf { (flat: Seq[Double], thr: Seq[Double]) =>
       val kept = Array.newBuilder[Double]
@@ -58,6 +60,23 @@ object SimplifyOp {
       .withColumn("n_after", (size(col("simplified")) / 2).cast("long"))
       .withColumn("interval", lit(interval))
       .drop("thresholds")
+  }
+
+  /**
+   * Exact (1-pct) quantile of a single-column DataFrame of doubles: the
+   * k-th smallest value at k = floor((1-pct)*n). The sort is a distributed
+   * range sort; `zipWithIndex` adds one count job; only ONE value reaches
+   * the driver — the exact counterpart of the `percentile_approx` sketch,
+   * for when the cutoff persisted downstream (LOD manifests) must be
+   * reproducible bit-for-bit across runs and cluster sizes.
+   */
+  private def exactRankSelect(spark: SparkSession, values: DataFrame, pct: Double): Double = {
+    import spark.implicits._
+    val n = values.count()
+    if (n == 0) return 0.0
+    val k = math.min(n - 1, math.floor((1.0 - pct) * n).toLong)
+    values.orderBy("z").select("z").as[Double].rdd
+      .zipWithIndex().filter(_._2 == k).map(_._1).first()
   }
 
   /**
