@@ -120,8 +120,13 @@ object Graft {
     Crs.geodesicInverse(lat1, lon1, lat2, lon2)
   def rotation(a: Double, b: Double, c: Double): Crs.Proj = Crs.Rotation(a, b, c)
   /** -proj <name-or-+proj-string>: PROJ.4-style front-end (robinson, moll,
-   * sinu, eqearth, stere, merc, aea, lcc, utm, aeqd, longlat + aliases). */
+   * sinu, eqearth, stere, merc, aea, lcc, utm, aeqd, longlat, dymaxion /
+   * dymaxion2 polyhedral + aliases). */
   def projection(spec: String): Crs.Proj = Crs.fromProj4(spec)
+  /** Fuller Airocean icosahedral unfolding (`-proj dymaxion`); gnomonic
+   * facet variant via `facets = "gnomonic"` (`dymaxion2`). */
+  def dymaxion(facets: String = "fuller"): Crs.Proj =
+    Crs.DymaxionProj(gnomonicFacets = facets == "gnomonic")
   /** -proj: adds array<double>[x, y] via the codegen forward transform. */
   def project(df: DataFrame, lonCol: String, latCol: String, proj: Crs.Proj,
               out: String = "xy"): DataFrame = {

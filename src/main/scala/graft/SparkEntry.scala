@@ -2180,6 +2180,30 @@ object SparkEntry {
     // full CRS set (Albers equal-area, Lambert conformal conic, per-row-zone
     // UTM, azimuthal equidistant): codegen forward transforms, every value
     // DuckDB-mirrored at cm precision (floor * 100)
+    // -proj dymaxion (polyhedral catalog tail): global spherical rotation,
+    // icosahedral face find over the 24 airocean faces (incl. the three
+    // splits, derived — not hardcoded — on both sides), and the face-local
+    // Gray-Fuller facet transform. The planar unfolding matrices have no SQL
+    // mirror and are pinned by PolyhedralSpec's shared-edge invariant.
+    // Bounded 1500-row catalog fixture: the engine is a JVM singleton, the
+    // UDF row is (face_id, local_x, local_y).
+    "q_dymaxion" -> ((s, dir) => {
+      val fl = udf { (lon: Double, lat: Double) =>
+        graft.geom.Dymaxion.fuller
+          .faceLocal(lon * math.Pi / 180.0, lat * math.Pi / 180.0)
+          .map { case (fid, gx, gy) => Array(fid.toDouble, gx, gy) }.orNull
+      }
+      points(s, dir)
+        .withColumn("lon", col("x") * 3.6 - 180.0)
+        .withColumn("lat", col("y") * 1.7 - 85.0)
+        .withColumn("r", fl(col("lon"), col("lat")))
+        .select(col("id"),
+          element_at(col("r"), 1).cast("long").as("face_id"),
+          floor(element_at(col("r"), 2) * 1000000.0).cast("long").as("gx_int"),
+          floor(element_at(col("r"), 3) * 1000000.0).cast("long").as("gy_int"))
+        .orderBy("id")
+    }),
+
     "q_proj_crs" -> ((s, dir) => {
       val pts = points(s, dir)
         .withColumn("lon", col("x") * 3.6 - 180.0)
@@ -3271,6 +3295,167 @@ object SparkEntry {
          |FROM ll ORDER BY id""".stripMargin,
 
     "q_proj_crs" -> projCrsSql,
+
+    // -proj dymaxion: rotation -> face find -> Gray-Fuller, with the whole
+    // icosahedron DERIVED in SQL (vertices from atan(0.5), spherical
+    // centroids, the three airocean splits incl. the 14/19 shared great-
+    // circle midpoint) — only the 20 vertex-index triples are literal.
+    // Face pick = min id among faces whose every edge-plane test passes at
+    // the kernel's -1e-12 tolerance (the engine scans in id order).
+    "q_dymaxion" -> {
+      val sqrt3 = dl(math.sqrt(3))
+      val gz = dl(math.sqrt(5 + 2 * math.sqrt(5)) / math.sqrt(15))
+      val gel = dl(math.sqrt(8) / math.sqrt(5 + math.sqrt(5)))
+      val gdve = dl(math.sqrt(3 + math.sqrt(5)) / math.sqrt(5 + math.sqrt(5)))
+      val r0 = dl(-83.65929); val r1 = dl(25.44458); val r2 = dl(-87.45184)
+      val idx = Seq((0, 3, 11), (0, 5, 3), (0, 7, 5), (0, 9, 7), (0, 11, 9),
+        (2, 11, 3), (3, 4, 2), (4, 3, 5), (5, 6, 4), (6, 5, 7),
+        (7, 8, 6), (8, 7, 9), (9, 10, 8), (10, 9, 11), (11, 2, 10),
+        (1, 2, 4), (1, 4, 6), (1, 6, 8), (1, 8, 10), (1, 10, 2))
+      val facesValues = idx.zipWithIndex.map { case ((a, b, c), f) =>
+        s"($f,0,$a),($f,1,$b),($f,2,$c)"
+      }.mkString(",")
+      s"""WITH $ptsSql,
+         |verts AS (
+         |  SELECT 0 AS vid, CAST(0.0 AS DOUBLE) AS lon, CAST(90.0 AS DOUBLE) AS lat
+         |  UNION ALL SELECT 1, 0.0, -90.0
+         |  UNION ALL SELECT i + 2, CAST(((i * 36 + 180) % 360) - 180 AS DOUBLE),
+         |    CASE WHEN i % 2 = 1 THEN atan(${dl(0.5)}) * 180.0 / pi()
+         |         ELSE -(atan(${dl(0.5)}) * 180.0 / pi()) END
+         |  FROM generate_series(0, 9) t(i)),
+         |fidx(fid, slot, vid) AS (VALUES $facesValues),
+         |f20 AS (SELECT f.fid, f.slot, v.lon, v.lat FROM fidx f JOIN verts v USING (vid)),
+         |fvec AS (SELECT fid, slot, lon, lat,
+         |    cos(lat * pi() / 180.0) * cos(lon * pi() / 180.0) AS vx,
+         |    sin(lon * pi() / 180.0) * cos(lat * pi() / 180.0) AS vy,
+         |    sin(lat * pi() / 180.0) AS vz
+         |  FROM f20),
+         |csum AS (SELECT fid, sum(vx) AS sx, sum(vy) AS sy, sum(vz) AS sz FROM fvec GROUP BY fid),
+         |sites20 AS (SELECT fid,
+         |    atan2(sy / sqrt(sx*sx + sy*sy + sz*sz), sx / sqrt(sx*sx + sy*sy + sz*sz)) * 180.0 / pi() AS slon,
+         |    asin(greatest(CAST(-1.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+         |      sz / sqrt(sx*sx + sy*sy + sz*sz)))) * 180.0 / pi() AS slat
+         |  FROM csum),
+         |midv AS (SELECT
+         |    a.vx + b.vx AS mx, a.vy + b.vy AS my, a.vz + b.vz AS mz
+         |  FROM (SELECT * FROM fvec WHERE fid = 14 AND slot = 1) a,
+         |       (SELECT * FROM fvec WHERE fid = 14 AND slot = 2) b),
+         |mid AS (SELECT
+         |    atan2(my / sqrt(mx*mx + my*my + mz*mz), mx / sqrt(mx*mx + my*my + mz*mz)) * 180.0 / pi() AS mlon,
+         |    asin(greatest(CAST(-1.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+         |      mz / sqrt(mx*mx + my*my + mz*mz)))) * 180.0 / pi() AS mlat
+         |  FROM midv),
+         |f24 AS (
+         |  SELECT fid, slot, lon, lat FROM f20 WHERE fid NOT IN (14, 15, 19)
+         |  UNION ALL SELECT 15, 0, slon, slat FROM sites20 WHERE fid = 15
+         |  UNION ALL SELECT 15, slot, lon, lat FROM f20 WHERE fid = 15 AND slot IN (1, 2)
+         |  UNION ALL SELECT 14, 1, mlon, mlat FROM mid
+         |  UNION ALL SELECT 14, slot, lon, lat FROM f20 WHERE fid = 14 AND slot IN (0, 2)
+         |  UNION ALL SELECT 19, 1, mlon, mlat FROM mid
+         |  UNION ALL SELECT 19, slot, lon, lat FROM f20 WHERE fid = 19 AND slot IN (0, 2)
+         |  UNION ALL SELECT 20, 0, lon, lat FROM f20 WHERE fid = 15 AND slot = 0
+         |  UNION ALL SELECT 20, 1, slon, slat FROM sites20 WHERE fid = 15
+         |  UNION ALL SELECT 20, 2, lon, lat FROM f20 WHERE fid = 15 AND slot = 2
+         |  UNION ALL SELECT 21, slot, lon, lat FROM f20 WHERE fid = 15 AND slot IN (0, 1)
+         |  UNION ALL SELECT 21, 2, slon, slat FROM sites20 WHERE fid = 15
+         |  UNION ALL SELECT 22, slot, lon, lat FROM f20 WHERE fid = 14 AND slot IN (0, 1)
+         |  UNION ALL SELECT 22, 2, mlon, mlat FROM mid
+         |  UNION ALL SELECT 23, 0, mlon, mlat FROM mid
+         |  UNION ALL SELECT 23, 1, lon, lat FROM f20 WHERE fid = 19 AND slot = 0
+         |  UNION ALL SELECT 23, 2, lon, lat FROM f20 WHERE fid = 19 AND slot = 1),
+         |sites24 AS (
+         |  SELECT fid, slon, slat FROM sites20
+         |  UNION ALL SELECT 20, slon, slat FROM sites20 WHERE fid = 15
+         |  UNION ALL SELECT 21, slon, slat FROM sites20 WHERE fid = 15
+         |  UNION ALL SELECT 22, slon, slat FROM sites20 WHERE fid = 14
+         |  UNION ALL SELECT 23, slon, slat FROM sites20 WHERE fid = 19),
+         |fvec24 AS (SELECT fid, slot, lon, lat,
+         |    cos(lat * pi() / 180.0) * cos(lon * pi() / 180.0) AS vx,
+         |    sin(lon * pi() / 180.0) * cos(lat * pi() / 180.0) AS vy,
+         |    sin(lat * pi() / 180.0) AS vz
+         |  FROM f24),
+         |inside AS (SELECT fid,
+         |    sum(vx) / sqrt(sum(vx)*sum(vx) + sum(vy)*sum(vy) + sum(vz)*sum(vz)) AS ix,
+         |    sum(vy) / sqrt(sum(vx)*sum(vx) + sum(vy)*sum(vy) + sum(vz)*sum(vz)) AS iy,
+         |    sum(vz) / sqrt(sum(vx)*sum(vx) + sum(vy)*sum(vy) + sum(vz)*sum(vz)) AS iz
+         |  FROM fvec24 GROUP BY fid),
+         |fedges AS (SELECT a.fid,
+         |    a.vy * b.vz - a.vz * b.vy AS nx,
+         |    a.vz * b.vx - a.vx * b.vz AS ny,
+         |    a.vx * b.vy - a.vy * b.vx AS nz
+         |  FROM fvec24 a JOIN fvec24 b ON a.fid = b.fid AND b.slot = (a.slot + 1) % 3),
+         |fsigned AS (SELECT e.fid, e.nx, e.ny, e.nz,
+         |    CASE WHEN e.nx * i.ix + e.ny * i.iy + e.nz * i.iz < 0 THEN -1 ELSE 1 END AS sg
+         |  FROM fedges e JOIN inside i ON e.fid = i.fid),
+         |pin AS (SELECT id,
+         |    (x * 3.6 - 180.0) * pi() / 180.0 AS lam0,
+         |    (y * 1.7 - 85.0) * pi() / 180.0 AS phi0
+         |  FROM pts),
+         |prot0 AS (SELECT id,
+         |    CASE WHEN lam0 + $r0 * pi() / 180.0 > pi()
+         |         THEN lam0 + $r0 * pi() / 180.0 - 2 * pi()
+         |         WHEN lam0 + $r0 * pi() / 180.0 < -pi()
+         |         THEN lam0 + $r0 * pi() / 180.0 + 2 * pi()
+         |         ELSE lam0 + $r0 * pi() / 180.0 END AS laml, phi0
+         |  FROM pin),
+         |prot AS (SELECT id,
+         |    atan2(sin(laml) * cos(phi0) * cos($r2 * pi() / 180.0)
+         |        - (sin(phi0) * cos($r1 * pi() / 180.0)
+         |           + cos(laml) * cos(phi0) * sin($r1 * pi() / 180.0))
+         |          * sin($r2 * pi() / 180.0),
+         |      cos(laml) * cos(phi0) * cos($r1 * pi() / 180.0)
+         |        - sin(phi0) * sin($r1 * pi() / 180.0)) AS lam,
+         |    asin(greatest(CAST(-1.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+         |      (sin(phi0) * cos($r1 * pi() / 180.0)
+         |       + cos(laml) * cos(phi0) * sin($r1 * pi() / 180.0))
+         |      * cos($r2 * pi() / 180.0)
+         |      + sin(laml) * cos(phi0) * sin($r2 * pi() / 180.0)))) AS phi
+         |  FROM prot0),
+         |pvec AS (SELECT id, lam, phi,
+         |    cos(lam) * cos(phi) AS px, sin(lam) * cos(phi) AS py, sin(phi) AS pz
+         |  FROM prot),
+         |contain AS (SELECT p.id, f.fid
+         |  FROM pvec p JOIN fsigned f ON TRUE
+         |  GROUP BY p.id, f.fid
+         |  HAVING bool_and((f.nx * p.px + f.ny * p.py + f.nz * p.pz) * f.sg >= -${dl(1e-12)})),
+         |fsel AS (SELECT id, min(fid) AS fid FROM contain GROUP BY id),
+         |floc0 AS (SELECT p.id, s.fid, p.lam, p.phi, c.slon, c.slat,
+         |    CASE WHEN abs(c.slat - ${dl(52.62)}) < 1 OR abs(c.slat + ${dl(10.81)}) < 1
+         |         THEN 0.0 ELSE 60.0 END AS dir
+         |  FROM pvec p JOIN fsel s ON p.id = s.id JOIN sites24 c ON s.fid = c.fid),
+         |floc1 AS (SELECT id, fid, slon, slat, dir,
+         |    CASE WHEN lam + (-slon) * pi() / 180.0 > pi()
+         |         THEN lam + (-slon) * pi() / 180.0 - 2 * pi()
+         |         WHEN lam + (-slon) * pi() / 180.0 < -pi()
+         |         THEN lam + (-slon) * pi() / 180.0 + 2 * pi()
+         |         ELSE lam + (-slon) * pi() / 180.0 END AS laml, phi
+         |  FROM floc0),
+         |floc AS (SELECT id, fid,
+         |    atan2(sin(laml) * cos(phi) * cos(dir * pi() / 180.0)
+         |        - (sin(phi) * cos((-slat) * pi() / 180.0)
+         |           + cos(laml) * cos(phi) * sin((-slat) * pi() / 180.0))
+         |          * sin(dir * pi() / 180.0),
+         |      cos(laml) * cos(phi) * cos((-slat) * pi() / 180.0)
+         |        - sin(phi) * sin((-slat) * pi() / 180.0)) AS lam2,
+         |    asin(greatest(CAST(-1.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+         |      (sin(phi) * cos((-slat) * pi() / 180.0)
+         |       + cos(laml) * cos(phi) * sin((-slat) * pi() / 180.0)) * cos(dir * pi() / 180.0)
+         |      + sin(laml) * cos(phi) * sin(dir * pi() / 180.0)))) AS phi2
+         |  FROM floc1),
+         |gf AS (SELECT id, fid,
+         |    cos(phi2) * sin(lam2) * (($gz) / (cos(phi2) * cos(lam2))) AS gx0,
+         |    sin(phi2) * (($gz) / (cos(phi2) * cos(lam2))) AS gy0
+         |  FROM floc),
+         |ga AS (SELECT id, fid,
+         |    atan2(2 * gy0 / $sqrt3 + $gel / 3 - $gel / 2, $gdve) AS a1p,
+         |    atan2(gx0 - gy0 / $sqrt3 + $gel / 3 - $gel / 2, $gdve) AS a2p,
+         |    atan2($gel / 3 - gx0 - gy0 / $sqrt3 - $gel / 2, $gdve) AS a3p
+         |  FROM gf)
+         |SELECT id, CAST(fid AS BIGINT) AS face_id,
+         |  CAST(floor($sqrt3 * (a2p - a3p) * 1000000.0) AS BIGINT) AS gx_int,
+         |  CAST(floor(-(2 * a1p - a2p - a3p) * 1000000.0) AS BIGINT) AS gy_int
+         |FROM ga ORDER BY id""".stripMargin
+    },
 
     "q_img_cell" -> imgCellSql,
 

@@ -282,6 +282,47 @@ object Crs {
     def inverse(x: Double, y: Double): (Double, Double) = (x, y)
   }
 
+  /** Fuller Airocean / `-proj dymaxion` (`dymaxion2` = gnomonic facets):
+   * the icosahedral unfolding in [[Polyhedral]]/[[Dymaxion]]. Engine output
+   * is in sphere-radian units (reference convention); scaled here by A to
+   * meters like the rest of the catalog. The reference ships forward-only;
+   * our inverse is per-face (matrix inverse + analytic/Newton local invert
+   * + membership check). */
+  final case class DymaxionProj(gnomonicFacets: Boolean = false) extends Proj {
+    @transient private lazy val engine =
+      if (gnomonicFacets) Dymaxion.gnomonic else Dymaxion.fuller
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) =
+      engine.forward(lonDeg * D2R, latDeg * D2R) match {
+        case Some((x, y)) => (x * A, y * A)
+        case None => (Double.PositiveInfinity, Double.PositiveInfinity)
+      }
+    def inverse(x: Double, y: Double): (Double, Double) =
+      engine.inverse(x / A, y / A) match {
+        case Some((lam, phi)) => (lam * R2D, phi * R2D)
+        case None => (Double.NaN, Double.NaN)
+      }
+  }
+
+  /** Octahedral butterfly family (`-proj butterfly` / `butterfly2` /
+   * `cahill_keyes`): CK-facet octants unfolded on the butterfly tree, or
+   * the full Cahill-Keyes 12-zone layout. `butterfly` and `butterfly2`
+   * share one engine and differ only in the default central meridian
+   * (Pacific 157.5 vs Atlantic -20). Forward-only, like the reference. */
+  final case class ButterflyProj(method: String, lon0Deg: Double) extends Proj {
+    @transient private lazy val engine = method match {
+      case "cahill_keyes" => Butterfly.cahillKeyes
+      case _ => Butterfly.butterfly
+    }
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val lam = Polyhedral.normalizeRadians((lonDeg - lon0Deg) * D2R)
+      engine.forward(lam, latDeg * D2R) match {
+        case Some((x, y)) => (x * A, y * A)
+        case None => (Double.PositiveInfinity, Double.PositiveInfinity)
+      }
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = (Double.NaN, Double.NaN)
+  }
+
   /** Spherical Mercator (+proj=merc / webmercator tiles use the same math). */
   final case class Mercator(lon0Deg: Double = 0.0, radius: Double = A) extends Proj {
     def forward(lonDeg: Double, latDeg: Double): (Double, Double) =
@@ -801,7 +842,10 @@ object Crs {
       "robinson" -> "+proj=robin", "mollweide" -> "+proj=moll",
       "sinusoidal" -> "+proj=sinu", "equalearth" -> "+proj=eqearth",
       "webmercator" -> "+proj=merc", "mercator" -> "+proj=merc",
-      "wgs84" -> "+proj=longlat", "latlong" -> "+proj=longlat")
+      "wgs84" -> "+proj=longlat", "latlong" -> "+proj=longlat",
+      "dymaxion" -> "+proj=dymaxion", "dymaxion2" -> "+proj=dymaxion2",
+      "butterfly" -> "+proj=butterfly", "butterfly2" -> "+proj=butterfly2",
+      "cahill_keyes" -> "+proj=cahill_keyes", "cahillkeyes" -> "+proj=cahill_keyes")
     val s0 = spec.trim
     // custom composite: "albersusa" with optional "+PR" / "+VI" flags
     // (the reference's parseCustomProjection surface)
@@ -848,6 +892,11 @@ object Crs {
       case "wintri" => WinkelTripel(d("lon_0", 0))
       case "eqearth" => EqualEarth(d("lon_0", 0))
       case "longlat" | "latlong" | "lonlat" => Longlat
+      case "dymaxion" => DymaxionProj(gnomonicFacets = false)
+      case "dymaxion2" => DymaxionProj(gnomonicFacets = true)
+      case "butterfly" => ButterflyProj("butterfly", d("lon_0", 157.5))
+      case "butterfly2" => ButterflyProj("butterfly2", d("lon_0", -20.0))
+      case "cahill_keyes" => ButterflyProj("cahill_keyes", d("lon_0", -20.0))
       case other => throw new IllegalArgumentException(s"unsupported +proj=$other")
     }
   }
