@@ -127,6 +127,12 @@ object Graft {
    * facet variant via `facets = "gnomonic"` (`dymaxion2`). */
   def dymaxion(facets: String = "fuller"): Crs.Proj =
     Crs.DymaxionProj(gnomonicFacets = facets == "gnomonic")
+  /** Compound projection with custom inset frames (the reference's
+   * MixedProjection): main projection + per-frame bbox routing and affine
+   * placement (rotate/scale about the projected origin, then translate). */
+  def mixedProjection(main: Crs.Proj, mainBbox: (Double, Double, Double, Double),
+                      insets: geom.Mixed.Frame*): Crs.Proj =
+    geom.Mixed(main, mainBbox, insets: _*)
   /** -proj: adds array<double>[x, y] via the codegen forward transform. */
   def project(df: DataFrame, lonCol: String, latCol: String, proj: Crs.Proj,
               out: String = "xy"): DataFrame = {

@@ -115,6 +115,299 @@ object SparkEntry {
    * DuckDB — plain decimals parse as DECIMAL and cast off by 1 ulp). */
   private def dl(v: Double): String = "%.17e".format(v)
 
+  /** The q_cahill mirror (verified cell-exact against the engine during
+   * authoring): the ENTIRE Cahill-Keyes construction re-derived in SQL —
+   * master-layout constants (M/G/N/A/B/D/E/F/T via tan-slope line
+   * intersections, the parallel-73/75 lengths, the torrid circular arc's
+   * center/radius from the m=29 probe), then per point: ll2mp octant
+   * routing, the 12-zone dispatch with its joint/segment interpolations and
+   * circle-line l15 split, and the rot60/rot120 octant placement. All
+   * distances are sqrt-of-squares on both sides (the kernel avoids hypot for
+   * exactly this mirror). Output floor-scaled at 1e2 to absorb the <=1ulp
+   * JVM-vs-libm transcendental drift. */
+  private lazy val cahillSql: String = {
+    val DR = "(pi() / 180.0)"
+    def dist(ax: String, ay: String, bx: String, by: String): String =
+      s"sqrt((($ax) - ($bx)) * (($ax) - ($bx)) + (($ay) - ($by)) * (($ay) - ($by)))"
+    def interpX(l: String, total: String, sx: String, sy: String, ex: String, ey: String): String =
+      s"(($sx) + (($ex) - ($sx)) * ($l) / ($total))"
+    def interpY(l: String, total: String, sx: String, sy: String, ex: String, ey: String): String =
+      s"(($sy) + (($ey) - ($sy)) * ($l) / ($total))"
+    def jeX(m: String): String =
+      s"CASE WHEN dmeq * ($m) <= lgf THEN mg " +
+        s"ELSE ${interpX(s"dmeq * ($m) - lgf", "lab", "mg", "fy", "ex", "ey")} END"
+    def jeY(m: String): String =
+      s"CASE WHEN dmeq * ($m) <= lgf THEN dmeq * ($m) " +
+        s"ELSE ${interpY(s"dmeq * ($m) - lgf", "lab", "mg", "fy", "ex", "ey")} END"
+    def jtX(jex: String, jey: String, m: String): String = {
+      val m1 = s"tan((2 * ($m) / 3) * $DR)"
+      val m2 = s"tan((($m) / 3) * $DR)"
+      s"(($m1) * 0.0 - ($m2) * ($jex) - 0.0 + ($jey)) / (($m1) - ($m2))"
+    }
+    def jtY(jtx: String, m: String): String =
+      s"tan((2 * ($m) / 3) * $DR) * (($jtx) - 0.0) + 0.0"
+    def jfX(m: String): String = {
+      val m1 = s"tan(($m) * $DR)"
+      val m2 = s"tan((2 * ($m) / 3) * $DR)"
+      s"CASE WHEN ($m) = 0 THEN ma + lab " +
+        s"ELSE (($m1) * ma - ($m2) * 0.0 - 0.0 + 0.0) / (($m1) - ($m2)) END"
+    }
+    def jfY(jfx: String, m: String): String =
+      s"CASE WHEN ($m) = 0 THEN 0.0 ELSE tan(($m) * $DR) * (($jfx) - ma) + 0.0 END"
+    val p75x45 = s"ma + ap75 * cos(45 * $DR)"
+    val p75y45 = s"0.0 + ap75 * sin(45 * $DR)"
+    val lF75H = dist("bx", "by", p75x45, p75y45)
+    val lFH = dist("tx", "ty", "bx", "by")
+    val lH = s"(75 - p) * ($lF75H + $lFH) / 2"
+    val lF75J = dist("jfx", "jfy", "p75x", "p75y")
+    val lJ = s"(75 - p) * ($lF75J - lfp) / 2"
+    val lI = "p * (lt + lm + lfp) / 73"
+    val lK = "p * l15 / 15"
+    val lL = "l15 + (p - 15) * (lt + lm + lfp - l15) / 58"
+    s"""WITH $ptsSql,
+       |ck0 AS (SELECT
+       |  CAST(10000.0 AS DOUBLE) AS mg,
+       |  ${dl(0.094)} * 10000.0 AS ma,
+       |  10000.0 / 100 AS p0to73,
+       |  sqrt(3.0) AS k3,
+       |  sqrt(3.0) / 2 AS sin60,
+       |  CAST(0.5 AS DOUBLE) AS cos60,
+       |  10000.0 * tan(30 * $DR) AS ny
+       |),
+       |ck1 AS (SELECT *,
+       |  (mg - ma - p0to73 * 73) / 17 AS p73to90,
+       |  (tan(30 * $DR) * 0.0 - tan(45 * $DR) * ma - 0.0 + 0.0) / (tan(30 * $DR) - tan(45 * $DR)) AS bx
+       |  FROM ck0),
+       |ck2 AS (SELECT *,
+       |  tan(30 * $DR) * (bx - 0.0) + 0.0 AS by,
+       |  15 * p73to90 AS ap75,
+       |  mg - ma - p0to73 * 73 AS ap73
+       |  FROM ck1),
+       |ck3 AS (SELECT *,
+       |  ${dist("ma", "0.0", "bx", "by")} AS lab,
+       |  ${dist("0.0", "0.0", "bx", "by")} AS lmb,
+       |  ${dist("0.0", "0.0", "mg", "ny")} AS lmn,
+       |  ${dist("mg", "ny", "mg", "0.0")} AS lng
+       |  FROM ck2),
+       |ck4 AS (SELECT *,
+       |  mg + (0.0 - mg) * lmb / lmn AS dx,
+       |  ny + (0.0 - ny) * lmb / lmn AS dy,
+       |  lng - lmb AS fy,
+       |  mg - ma * sin(30 * $DR) AS ex,
+       |  ny - ma * cos(30 * $DR) AS ey,
+       |  ma + ap73 * cos(30 * $DR) AS ux,
+       |  0.0 + ap73 * sin(30 * $DR) AS uy
+       |  FROM ck3),
+       |ck5 AS (SELECT *,
+       |  ${dist("mg", "0.0", "mg", "fy")} AS lgf,
+       |  (tan(-60 * $DR) * ux - tan(30 * $DR) * 0.0 - uy + 0.0) / (tan(-60 * $DR) - tan(30 * $DR)) AS tx
+       |  FROM ck4),
+       |ck6 AS (SELECT *,
+       |  tan(-60 * $DR) * (tx - ux) + uy AS ty,
+       |  (lgf + lab) / 45 AS dmeq
+       |  FROM ck5),
+       |c29a AS (SELECT *,
+       |  ${jeX("29")} AS je29x, ${jeY("29")} AS je29y
+       |  FROM ck6),
+       |c29b AS (SELECT *, ${jtX("je29x", "je29y", "29")} AS jt29x FROM c29a),
+       |c29c AS (SELECT *, ${jtY("jt29x", "29")} AS jt29y, ${jfX("29")} AS jf29x FROM c29b),
+       |c29d AS (SELECT *, ${jfY("jf29x", "29")} AS jf29y,
+       |  ma + ap73 * cos(29 * $DR) AS p73_29x,
+       |  0.0 + ap73 * sin(29 * $DR) AS p73_29y
+       |  FROM c29c),
+       |c29e AS (SELECT *,
+       |  ${dist("je29x", "je29y", "jt29x", "jt29y")} AS lt29,
+       |  ${dist("jt29x", "jt29y", "jf29x", "jf29y")} AS lm29,
+       |  ${dist("jf29x", "jf29y", "p73_29x", "p73_29y")} AS lf29
+       |  FROM c29d),
+       |c29f AS (SELECT *,
+       |  15 * (lt29 + lm29 + lf29) / 73 - lt29 AS l29
+       |  FROM c29e),
+       |c29g AS (SELECT *,
+       |  ${interpX("l29", "lm29", "jt29x", "jt29y", "jf29x", "jf29y")} AS vx,
+       |  ${interpY("l29", "lm29", "jt29x", "jt29y", "jf29x", "jf29y")} AS vy
+       |  FROM c29f),
+       |c29h AS (SELECT *,
+       |  (vx * vx + vy * vy - dx * dx - dy * dy)
+       |    / (2 * (k3 * vx + vy - k3 * dx - dy)) AS ccy
+       |  FROM c29g),
+       |ckc AS (SELECT *, k3 * ccy AS ccx,
+       |  ${dist("k3 * ccy", "ccy", "dx", "dy")} AS crad
+       |  FROM c29h),
+       |p0 AS (SELECT id, x * 3.6 - 180.0 AS lon, y * 1.7 - 85.0 AS lat FROM pts),
+       |p1 AS (SELECT id, lon, lat,
+       |  CAST(floor((lon + 180) / 90 + 1) AS INT) AS oct0,
+       |  (lon + 720) % 90 - 45 AS mer0
+       |  FROM p0),
+       |p2 AS (SELECT id, lat,
+       |  CASE WHEN mer0 < 0 THEN -1.0 WHEN mer0 > 0 THEN 1.0 ELSE 0.0 END AS side,
+       |  abs(mer0) AS m,
+       |  abs(lat) AS p,
+       |  CASE WHEN lat < 0 THEN
+       |    CASE (CASE WHEN oct0 = 5 THEN 1 ELSE oct0 END)
+       |      WHEN 1 THEN 6 WHEN 2 THEN 7 WHEN 3 THEN 8 WHEN 4 THEN 5 ELSE 0 END
+       |  ELSE (CASE WHEN oct0 = 5 THEN 1 ELSE oct0 END) END AS oct
+       |  FROM p1),
+       |p3 AS (SELECT ckc.*, p2.* FROM p2, ckc),
+       |p4 AS (SELECT *, ${jeX("m")} AS jex, ${jeY("m")} AS jey FROM p3),
+       |p5 AS (SELECT *, ${jtX("jex", "jey", "m")} AS jtx FROM p4),
+       |p6 AS (SELECT *, ${jtY("jtx", "m")} AS jty, ${jfX("m")} AS jfx FROM p5),
+       |p7 AS (SELECT *, ${jfY("jfx", "m")} AS jfy FROM p6),
+       |p8 AS (SELECT *,
+       |  ${dist("jex", "jey", "jtx", "jty")} AS lt,
+       |  ${dist("jtx", "jty", "jfx", "jfy")} AS lm
+       |  FROM p7),
+       |p9 AS (SELECT *,
+       |  CASE WHEN m <= 30 THEN ma + ap73 * cos(m * $DR)
+       |    ELSE (tan(-60 * $DR) * tx - tan(m * $DR) * jfx - ty + jfy)
+       |         / (tan(-60 * $DR) - tan(m * $DR)) END AS p73x0
+       |  FROM p8),
+       |p10 AS (SELECT *,
+       |  CASE WHEN m <= 30 THEN 0.0 + ap73 * sin(m * $DR)
+       |    ELSE tan(-60 * $DR) * (p73x0 - tx) + ty END AS p73y0,
+       |  (tan(-60 * $DR) * tx - tan((2 * m / 3) * $DR) * jfx - ty + jfy)
+       |    / (tan(-60 * $DR) - tan((2 * m / 3) * $DR)) AS altx
+       |  FROM p9),
+       |p11 AS (SELECT *,
+       |  tan(-60 * $DR) * (altx - tx) + ty AS alty
+       |  FROM p10),
+       |p12 AS (SELECT *,
+       |  CASE WHEN m > 44 AND m > 30 AND altx > p73x0 THEN altx ELSE p73x0 END AS p73x,
+       |  CASE WHEN m > 44 AND m > 30 AND altx > p73x0 THEN alty ELSE p73y0 END AS p73y,
+       |  CASE WHEN m > 44 AND m > 30 AND altx > p73x0
+       |    THEN -${dist("jfx", "jfy", "altx", "alty")}
+       |    WHEN m <= 30 THEN ${dist("jfx", "jfy", s"ma + ap73 * cos(m * $DR)", s"0.0 + ap73 * sin(m * $DR)")}
+       |    ELSE ${dist("jfx", "jfy", "p73x0", "p73y0")} END AS lfp,
+       |  ma + ap75 * cos(m * $DR) AS p75x,
+       |  0.0 + ap75 * sin(m * $DR) AS p75y
+       |  FROM p11),
+       |p13 AS (SELECT *,
+       |  (jfx - jtx) * (jfx - jtx) + (jfy - jty) * (jfy - jty) AS cl_a,
+       |  2 * ((jfx - jtx) * (jtx - ccx) + (jfy - jty) * (jty - ccy)) AS cl_b,
+       |  (jtx - ccx) * (jtx - ccx) + (jty - ccy) * (jty - ccy) - crad * crad AS cl_c,
+       |  (jtx - jex) * (jtx - jex) + (jty - jey) * (jty - jey) AS ce_a,
+       |  2 * ((jtx - jex) * (jex - ccx) + (jty - jey) * (jey - ccy)) AS ce_b,
+       |  (jex - ccx) * (jex - ccx) + (jey - ccy) * (jey - ccy) - crad * crad AS ce_c
+       |  FROM p12),
+       |p14 AS (SELECT *,
+       |  cl_b * cl_b - 4 * cl_a * cl_c AS cl_d,
+       |  ce_b * ce_b - 4 * ce_a * ce_c AS ce_d
+       |  FROM p13),
+       |p15 AS (SELECT *,
+       |  CASE WHEN cl_a <> 0 AND cl_d >= 0 THEN
+       |    CASE WHEN (-cl_b + sqrt(cl_d)) / (2 * cl_a) BETWEEN 0 AND 1 THEN (-cl_b + sqrt(cl_d)) / (2 * cl_a)
+       |         WHEN (-cl_b - sqrt(cl_d)) / (2 * cl_a) BETWEEN 0 AND 1 THEN (-cl_b - sqrt(cl_d)) / (2 * cl_a)
+       |         ELSE CAST('nan' AS DOUBLE) END
+       |  ELSE CAST('nan' AS DOUBLE) END AS cl_u,
+       |  CASE WHEN ce_a <> 0 AND ce_d >= 0 THEN
+       |    CASE WHEN (-ce_b + sqrt(ce_d)) / (2 * ce_a) BETWEEN 0 AND 1 THEN (-ce_b + sqrt(ce_d)) / (2 * ce_a)
+       |         WHEN (-ce_b - sqrt(ce_d)) / (2 * ce_a) BETWEEN 0 AND 1 THEN (-ce_b - sqrt(ce_d)) / (2 * ce_a)
+       |         ELSE CAST('nan' AS DOUBLE) END
+       |  ELSE CAST('nan' AS DOUBLE) END AS ce_u
+       |  FROM p14),
+       |p16 AS (SELECT *,
+       |  CASE WHEN NOT isnan(cl_u)
+       |    THEN lt + ${dist("jtx", "jty", "jtx + cl_u * (jfx - jtx)", "jty + cl_u * (jfy - jty)")}
+       |    ELSE lt - ${dist("jtx", "jty", "jex + ce_u * (jtx - jex)", "jey + ce_u * (jty - jey)")} END AS l15
+       |  FROM p15),
+       |pz AS (SELECT *,
+       |  CASE
+       |    WHEN m = 0 AND p >= 75 THEN ma + (90 - p) * 104
+       |    WHEN m = 0 THEN mg - p * 100
+       |    WHEN p >= 75 THEN ma + (104 * (90 - p)) * cos(m * $DR)
+       |    WHEN p = 0 THEN jex
+       |    WHEN p >= 73 AND m <= 30 THEN ma + (1560 + (75 - p) * 100) * cos(m * $DR)
+       |    WHEN m = 45 AND p <= 15 THEN ${interpX("p", "15", "ex", "ey", "dx", "dy")}
+       |    WHEN m = 45 AND p <= 73 THEN ${interpX("p - 15", "58", "dx", "dy", "tx", "ty")}
+       |    WHEN m = 45 THEN
+       |      CASE WHEN $lH <= $lF75H
+       |        THEN ${interpX(lH, lF75H, p75x45, p75y45, "bx", "by")}
+       |        ELSE ${interpX(s"$lH - $lF75H", lFH, "bx", "by", "p73x", "p73y")} END
+       |    WHEN m <= 29 THEN
+       |      CASE WHEN $lI <= lt
+       |        THEN ${interpX(lI, "lt", "jex", "jey", "jtx", "jty")}
+       |      WHEN $lI <= lt + lm
+       |        THEN ${interpX(s"$lI - lt", "lm", "jtx", "jty", "jfx", "jfy")}
+       |      ELSE ${interpX(s"$lI - lt - lm", "lfp", "jfx", "jfy", "p73x", "p73y")} END
+       |    WHEN p >= 73 THEN
+       |      CASE WHEN $lJ <= $lF75J
+       |        THEN ${interpX(lJ, lF75J, "p75x", "p75y", "jfx", "jfy")}
+       |        ELSE ${interpX(s"$lJ - $lF75J", "-lfp", "jfx", "jfy", "p73x", "p73y")} END
+       |    WHEN p <= 15 THEN
+       |      CASE WHEN $lK <= lt
+       |        THEN ${interpX(lK, "lt", "jex", "jey", "jtx", "jty")}
+       |        ELSE ${interpX(s"$lK - lt", "lm", "jtx", "jty", "jfx", "jfy")} END
+       |    ELSE
+       |      CASE WHEN $lL <= lt
+       |        THEN ${interpX(lL, "lt", "jex", "jey", "jfx", "jfy")}
+       |      WHEN $lL <= lt + lm
+       |        THEN ${interpX(s"$lL - lt", "lm", "jtx", "jty", "jfx", "jfy")}
+       |      ELSE ${interpX(s"$lL - lt - lm", "lfp", "jfx", "jfy", "p73x", "p73y")} END
+       |  END AS zx,
+       |  CASE
+       |    WHEN m = 0 AND p >= 75 THEN 0.0
+       |    WHEN m = 0 THEN 0.0
+       |    WHEN p >= 75 THEN 0.0 + (104 * (90 - p)) * sin(m * $DR)
+       |    WHEN p = 0 THEN jey
+       |    WHEN p >= 73 AND m <= 30 THEN 0.0 + (1560 + (75 - p) * 100) * sin(m * $DR)
+       |    WHEN m = 45 AND p <= 15 THEN ${interpY("p", "15", "ex", "ey", "dx", "dy")}
+       |    WHEN m = 45 AND p <= 73 THEN ${interpY("p - 15", "58", "dx", "dy", "tx", "ty")}
+       |    WHEN m = 45 THEN
+       |      CASE WHEN $lH <= $lF75H
+       |        THEN ${interpY(lH, lF75H, p75x45, p75y45, "bx", "by")}
+       |        ELSE ${interpY(s"$lH - $lF75H", lFH, "bx", "by", "p73x", "p73y")} END
+       |    WHEN m <= 29 THEN
+       |      CASE WHEN $lI <= lt
+       |        THEN ${interpY(lI, "lt", "jex", "jey", "jtx", "jty")}
+       |      WHEN $lI <= lt + lm
+       |        THEN ${interpY(s"$lI - lt", "lm", "jtx", "jty", "jfx", "jfy")}
+       |      ELSE ${interpY(s"$lI - lt - lm", "lfp", "jfx", "jfy", "p73x", "p73y")} END
+       |    WHEN p >= 73 THEN
+       |      CASE WHEN $lJ <= $lF75J
+       |        THEN ${interpY(lJ, lF75J, "p75x", "p75y", "jfx", "jfy")}
+       |        ELSE ${interpY(s"$lJ - $lF75J", "-lfp", "jfx", "jfy", "p73x", "p73y")} END
+       |    WHEN p <= 15 THEN
+       |      CASE WHEN $lK <= lt
+       |        THEN ${interpY(lK, "lt", "jex", "jey", "jtx", "jty")}
+       |        ELSE ${interpY(s"$lK - lt", "lm", "jtx", "jty", "jfx", "jfy")} END
+       |    ELSE
+       |      CASE WHEN $lL <= lt
+       |        THEN ${interpY(lL, "lt", "jex", "jey", "jfx", "jfy")}
+       |      WHEN $lL <= lt + lm
+       |        THEN ${interpY(s"$lL - lt", "lm", "jtx", "jty", "jfx", "jfy")}
+       |      ELSE ${interpY(s"$lL - lt - lm", "lfp", "jfx", "jfy", "p73x", "p73y")} END
+       |  END AS zy0
+       |  FROM p16),
+       |pg AS (SELECT id, oct, zx, side * zy0 AS zy, mg, cos60, sin60 FROM pz),
+       |pout AS (SELECT id,
+       |  CASE oct
+       |    WHEN 0 THEN zx * cos60 + zy * sin60
+       |    WHEN 1 THEN (-zx * cos60 + zy * sin60) - mg
+       |    WHEN 2 THEN (zx * cos60 + zy * sin60) - mg
+       |    WHEN 3 THEN (-zx * cos60 + zy * sin60) + mg
+       |    WHEN 4 THEN (zx * cos60 + zy * sin60) + mg
+       |    WHEN 5 THEN ((2 * mg - zx) * cos60 + zy * sin60) + mg
+       |    WHEN 6 THEN (-(2 * mg - zx) * cos60 + zy * sin60) - mg
+       |    WHEN 7 THEN ((2 * mg - zx) * cos60 + zy * sin60) - mg
+       |    WHEN 8 THEN (-(2 * mg - zx) * cos60 + zy * sin60) + mg
+       |  END AS ox,
+       |  CASE oct
+       |    WHEN 0 THEN -zx * sin60 + zy * cos60
+       |    WHEN 1 THEN -zx * sin60 - zy * cos60
+       |    WHEN 2 THEN -zx * sin60 + zy * cos60
+       |    WHEN 3 THEN -zx * sin60 - zy * cos60
+       |    WHEN 4 THEN -zx * sin60 + zy * cos60
+       |    WHEN 5 THEN -(2 * mg - zx) * sin60 + zy * cos60
+       |    WHEN 6 THEN -(2 * mg - zx) * sin60 - zy * cos60
+       |    WHEN 7 THEN -(2 * mg - zx) * sin60 + zy * cos60
+       |    WHEN 8 THEN -(2 * mg - zx) * sin60 - zy * cos60
+       |  END AS oy
+       |  FROM pg)
+       |SELECT id, CAST(floor(ox * 100.0) AS BIGINT) AS x_int,
+       |  CAST(floor(oy * 100.0) AS BIGINT) AS y_int
+       |FROM pout ORDER BY id""".stripMargin
+  }
+
   /** The q_ann_ivf mirror (verified cell-exact against the engine during
    * authoring): XXH64-of-long seed selection, 3 Lloyd rounds, probe + rank. */
   private lazy val annIvfSql: String = {
@@ -2204,6 +2497,26 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // -proj cahill_keyes: the full 12-zone octant transform — constants
+    // construction, octant routing, zone dispatch, circular-arc split, and
+    // octant placement are ALL re-derived in the SQL mirror (cahillSql).
+    // Bounded 1500-row catalog fixture.
+    "q_cahill" -> ((s, dir) => {
+      val ck = new graft.geom.CahillKeyes(10000)
+      val fwd = udf { (lon: Double, lat: Double) =>
+        val (cx, cy) = ck.forward(lon * math.Pi / 180.0, lat * math.Pi / 180.0)
+        Array(cx, cy)
+      }
+      points(s, dir)
+        .withColumn("lon", col("x") * 3.6 - 180.0)
+        .withColumn("lat", col("y") * 1.7 - 85.0)
+        .withColumn("r", fwd(col("lon"), col("lat")))
+        .select(col("id"),
+          floor(element_at(col("r"), 1) * 100.0).cast("long").as("x_int"),
+          floor(element_at(col("r"), 2) * 100.0).cast("long").as("y_int"))
+        .orderBy("id")
+    }),
+
     "q_proj_crs" -> ((s, dir) => {
       val pts = points(s, dir)
         .withColumn("lon", col("x") * 3.6 - 180.0)
@@ -3295,6 +3608,9 @@ object SparkEntry {
          |FROM ll ORDER BY id""".stripMargin,
 
     "q_proj_crs" -> projCrsSql,
+
+    // -proj cahill_keyes: full-construction mirror (see cahillSql scaladoc)
+    "q_cahill" -> cahillSql,
 
     // -proj dymaxion: rotation -> face find -> Gray-Fuller, with the whole
     // icosahedron DERIVED in SQL (vertices from atan(0.5), spherical

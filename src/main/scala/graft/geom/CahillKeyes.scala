@@ -248,8 +248,12 @@ final class CahillKeyes(mg: Double) extends Serializable {
 
   // --------------------------------------------------------------- helpers
 
-  private def dist(a: Array[Double], b: Array[Double]): Double =
-    math.hypot(a(0) - b(0), a(1) - b(1))
+  // sqrt-of-squares rather than hypot: same value to ~1ulp, and it has an
+  // exact arithmetic mirror in the q_cahill oracle (DuckDB has no hypot)
+  private def dist(a: Array[Double], b: Array[Double]): Double = {
+    val dx = a(0) - b(0); val dy = a(1) - b(1)
+    math.sqrt(dx * dx + dy * dy)
+  }
 
   private def interp(length: Double, total: Double,
                      start: Array[Double], end: Array[Double]): Array[Double] = Array(

@@ -303,6 +303,24 @@ object Crs {
       }
   }
 
+  /** Generic mixed/compound projection (the reference's MixedProjection):
+   * ordered frames, first containing lat/lon bbox wins; each frame projects
+   * with its own CRS then applies its affine placement. Forward-only, like
+   * the reference (`albersusa`'s specialized inverse lives on [[AlbersUsa]]).
+   * Frames and their Matrix2D placement live in [[Mixed]]. */
+  final case class MixedProj(frames: Seq[Mixed.Frame]) extends Proj {
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      var i = 0
+      while (i < frames.length) {
+        val f = frames(i)
+        if (f.contains(lonDeg, latDeg)) return Mixed.forwardThrough(f, lonDeg, latDeg)
+        i += 1
+      }
+      (Double.PositiveInfinity, Double.PositiveInfinity)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = (Double.NaN, Double.NaN)
+  }
+
   /** Octahedral butterfly family (`-proj butterfly` / `butterfly2` /
    * `cahill_keyes`): CK-facet octants unfolded on the butterfly tree, or
    * the full Cahill-Keyes 12-zone layout. `butterfly` and `butterfly2`
