@@ -321,6 +321,39 @@ object Crs {
     def inverse(x: Double, y: Double): (Double, Double) = (Double.NaN, Double.NaN)
   }
 
+  /** Narukawa 2022 AuthaGraph approximation (`-proj narukawa2022`): the
+   * [[Narukawa]] tetrahedral rectangle. Forward like the reference; the
+   * inverse is the reference's internal seam-tracing inverse. */
+  case object NarukawaProj extends Proj {
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
+      val (x, y) = Narukawa.forward(lonDeg * D2R, latDeg * D2R)
+      (x * A, y * A)
+    }
+    def inverse(x: Double, y: Double): (Double, Double) = {
+      val (lam, phi) = Narukawa.inverse(x / A, y / A)
+      (lam * R2D, phi * R2D)
+    }
+  }
+
+  /** Lee conformal tetrahedral rectangles (`-proj markley` / `calm`):
+   * the [[Lee]] engine's 4-copy rectangular layout over the conformal
+   * tetrahedral net. The reference ships these forward-only; our inverse is
+   * the copy/wrap candidate scan + per-face damped Newton. */
+  final case class LeeProj(variant: String) extends Proj {
+    @transient private lazy val engine =
+      if (variant == "calm") Lee.calm else Lee.markley
+    def forward(lonDeg: Double, latDeg: Double): (Double, Double) =
+      engine.forward(lonDeg * D2R, latDeg * D2R) match {
+        case Some((x, y)) => (x * A, y * A)
+        case None => (Double.PositiveInfinity, Double.PositiveInfinity)
+      }
+    def inverse(x: Double, y: Double): (Double, Double) =
+      engine.inverse(x / A, y / A) match {
+        case Some((lam, phi)) => (lam * R2D, phi * R2D)
+        case None => (Double.NaN, Double.NaN)
+      }
+  }
+
   /** Octahedral butterfly family (`-proj butterfly` / `butterfly2` /
    * `cahill_keyes`): CK-facet octants unfolded on the butterfly tree, or
    * the full Cahill-Keyes 12-zone layout. `butterfly` and `butterfly2`
@@ -863,7 +896,9 @@ object Crs {
       "wgs84" -> "+proj=longlat", "latlong" -> "+proj=longlat",
       "dymaxion" -> "+proj=dymaxion", "dymaxion2" -> "+proj=dymaxion2",
       "butterfly" -> "+proj=butterfly", "butterfly2" -> "+proj=butterfly2",
-      "cahill_keyes" -> "+proj=cahill_keyes", "cahillkeyes" -> "+proj=cahill_keyes")
+      "cahill_keyes" -> "+proj=cahill_keyes", "cahillkeyes" -> "+proj=cahill_keyes",
+      "markley" -> "+proj=markley", "calm" -> "+proj=calm",
+      "narukawa2022" -> "+proj=narukawa2022", "narukawa" -> "+proj=narukawa2022")
     val s0 = spec.trim
     // custom composite: "albersusa" with optional "+PR" / "+VI" flags
     // (the reference's parseCustomProjection surface)
@@ -912,6 +947,9 @@ object Crs {
       case "longlat" | "latlong" | "lonlat" => Longlat
       case "dymaxion" => DymaxionProj(gnomonicFacets = false)
       case "dymaxion2" => DymaxionProj(gnomonicFacets = true)
+      case "markley" => LeeProj("markley")
+      case "calm" => LeeProj("calm")
+      case "narukawa2022" => NarukawaProj
       case "butterfly" => ButterflyProj("butterfly", d("lon_0", 157.5))
       case "butterfly2" => ButterflyProj("butterfly2", d("lon_0", -20.0))
       case "cahill_keyes" => ButterflyProj("cahill_keyes", d("lon_0", -20.0))
