@@ -27,27 +27,19 @@ object Butterfly {
     Map("butterfly" -> 157.5, "butterfly2" -> -20.0, "cahill_keyes" -> -20.0)
 
   // ------------------------------------------------------------- vectors
+  // shared vector algebra lives in [[Polyhedral]]; local aliases only
 
-  private def d2v(p: Array[Double]): Array[Double] = {
-    val lam = p(0) * D2R; val phi = p(1) * D2R
-    val cosPhi = math.cos(phi)
-    Array(math.cos(lam) * cosPhi, math.sin(lam) * cosPhi, math.sin(phi))
-  }
+  private def d2v(p: Array[Double]): Array[Double] =
+    Polyhedral.degreesToVector(p(0), p(1))
 
-  private def v2d(p: Array[Double]): Array[Double] = Array(
-    math.atan2(p(1), p(0)) * R2D,
-    math.asin(math.max(-1.0, math.min(1.0, p(2)))) * R2D)
+  private def v2d(p: Array[Double]): Array[Double] = Polyhedral.vectorToDegreesArr(p)
 
-  private def norm(p: Array[Double]): Array[Double] = {
-    val k = 1.0 / math.sqrt(p(0) * p(0) + p(1) * p(1) + p(2) * p(2))
-    Array(p(0) * k, p(1) * k, p(2) * k)
-  }
+  private def norm(p: Array[Double]): Array[Double] = Polyhedral.normalize(p)
 
   private def crossV(a: Array[Double], b: Array[Double]): Array[Double] =
-    Array(a(1) * b(2) - a(2) * b(1), a(2) * b(0) - a(0) * b(2), a(0) * b(1) - a(1) * b(0))
+    Polyhedral.cross(a, b)
 
-  private def dotV(a: Array[Double], b: Array[Double]): Double =
-    a(0) * b(0) + a(1) * b(1) + a(2) * b(2)
+  private def dotV(a: Array[Double], b: Array[Double]): Double = Polyhedral.dot(a, b)
 
   private def addScaled(a: Array[Double], ka: Double, b: Array[Double], kb: Double) =
     Array(a(0) * ka + b(0) * kb, a(1) * ka + b(1) * kb, a(2) * ka + b(2) * kb)
@@ -176,11 +168,8 @@ object Butterfly {
 
   // ------------------------------------------------------------- engines
 
-  private def computedCentroid(face: Array[Array[Double]]): Array[Double] = {
-    val s = Array(0.0, 0.0, 0.0)
-    face.foreach { p => val v = d2v(p); s(0) += v(0); s(1) += v(1); s(2) += v(2) }
-    v2d(norm(s))
-  }
+  private def computedCentroid(face: Array[Array[Double]]): Array[Double] =
+    Polyhedral.sphericalCentroidDeg(face)
 
   /** Butterfly (CK facets, pacific/atlantic aspect picked by lon0). */
   lazy val butterfly: Engine = {
@@ -197,6 +186,15 @@ object Butterfly {
           (lam, phi) => ck.forwardFace(normalizeRadiansMod(lam - center), phi))
       },
       Some(truncatedFaceFinder(data.cornerNormals)))
+  }
+
+  /** Region function for the cahill_keyes SEAM CUT: the raw master layout
+   * places each octant (and meridian side) separately — its discontinuities
+   * are octant boundaries, not the truncated-octahedron face edges used by
+   * the butterfly unfolding. */
+  lazy val cahillKeyesOctant: (Double, Double) => Int = {
+    val ck = new CahillKeyes(10000)
+    (lam, phi) => ck.regionKey(lam, phi)
   }
 
   /** Cahill-Keyes: the 12-zone transform places octants itself; the

@@ -77,6 +77,19 @@ final class CahillKeyes(mg: Double) extends Serializable {
     mj2g(xy._1, res._3 * xy._2, res._4)
   }
 
+  /** Continuity-region key of a direction: octant (0..8 incl. the south
+   * remap) x meridian side. Derived from the SAME ll2mp outputs that drive
+   * the placement (mj2g + the side mirror), so the key changes exactly
+   * where the projected position can jump — the octant floor and the %90
+   * meridian wrap flip at ulp-DIFFERENT longitudes, and keying on octant
+   * alone leaves an FP sliver where placement and region disagree. The side
+   * boundary at each octant CENTER meridian is continuous (y = 0 there);
+   * cutting at it is benign. */
+  def regionKey(lambda: Double, phi: Double): Int = {
+    val r = ll2mp(lambda * R2D, phi * R2D)
+    r._4 * 3 + (r._3.toInt + 1)
+  }
+
   /** Face-local transform for the butterfly unfolding (octant-local frame,
    * meridian measured from the face center, phi sign by side). */
   def forwardFace(lambda: Double, phi: Double): (Double, Double) = {

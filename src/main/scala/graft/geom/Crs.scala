@@ -288,19 +288,26 @@ object Crs {
    * meters like the rest of the catalog. The reference ships forward-only;
    * our inverse is per-face (matrix inverse + analytic/Newton local invert
    * + membership check). */
-  final case class DymaxionProj(gnomonicFacets: Boolean = false) extends Proj {
+  final case class DymaxionProj(gnomonicFacets: Boolean = false,
+                                lon0Deg: Double = 0.0) extends Proj {
     @transient private lazy val engine =
       if (gnomonicFacets) Dymaxion.gnomonic else Dymaxion.fuller
     def forward(lonDeg: Double, latDeg: Double): (Double, Double) =
-      engine.forward(lonDeg * D2R, latDeg * D2R) match {
+      engine.forward(Polyhedral.normalizeRadians((lonDeg - lon0Deg) * D2R),
+          latDeg * D2R) match {
         case Some((x, y)) => (x * A, y * A)
         case None => (Double.PositiveInfinity, Double.PositiveInfinity)
       }
     def inverse(x: Double, y: Double): (Double, Double) =
       engine.inverse(x / A, y / A) match {
-        case Some((lam, phi)) => (lam * R2D, phi * R2D)
+        case Some((lam, phi)) =>
+          (Polyhedral.normalizeRadians(lam + lon0Deg * D2R) * R2D, phi * R2D)
         case None => (Double.NaN, Double.NaN)
       }
+    /** Seam-cut region = icosahedron face id. */
+    def regionAt(lonDeg: Double, latDeg: Double): Int =
+      engine.faceLocal(Polyhedral.normalizeRadians((lonDeg - lon0Deg) * D2R),
+        latDeg * D2R).map(_._1).getOrElse(-1)
   }
 
   /** Generic mixed/compound projection (the reference's MixedProjection):
@@ -324,34 +331,45 @@ object Crs {
   /** Narukawa 2022 AuthaGraph approximation (`-proj narukawa2022`): the
    * [[Narukawa]] tetrahedral rectangle. Forward like the reference; the
    * inverse is the reference's internal seam-tracing inverse. */
-  case object NarukawaProj extends Proj {
+  final case class NarukawaProj(lon0Deg: Double = 0.0) extends Proj {
     def forward(lonDeg: Double, latDeg: Double): (Double, Double) = {
-      val (x, y) = Narukawa.forward(lonDeg * D2R, latDeg * D2R)
+      val (x, y) = Narukawa.forward(
+        Narukawa.normalizeRadians((lonDeg - lon0Deg) * D2R), latDeg * D2R)
       (x * A, y * A)
     }
     def inverse(x: Double, y: Double): (Double, Double) = {
       val (lam, phi) = Narukawa.inverse(x / A, y / A)
-      (lam * R2D, phi * R2D)
+      (Narukawa.normalizeRadians(lam + lon0Deg * D2R) * R2D, phi * R2D)
     }
+    /** Seam-cut region = the layout-piece id (facet/sector/oob/fold/wrap). */
+    def regionAt(lonDeg: Double, latDeg: Double): Int =
+      Narukawa.regionKey(Narukawa.normalizeRadians((lonDeg - lon0Deg) * D2R),
+        latDeg * D2R)
   }
 
   /** Lee conformal tetrahedral rectangles (`-proj markley` / `calm`):
    * the [[Lee]] engine's 4-copy rectangular layout over the conformal
    * tetrahedral net. The reference ships these forward-only; our inverse is
    * the copy/wrap candidate scan + per-face damped Newton. */
-  final case class LeeProj(variant: String) extends Proj {
+  final case class LeeProj(variant: String, lon0Deg: Double = 0.0) extends Proj {
     @transient private lazy val engine =
       if (variant == "calm") Lee.calm else Lee.markley
     def forward(lonDeg: Double, latDeg: Double): (Double, Double) =
-      engine.forward(lonDeg * D2R, latDeg * D2R) match {
+      engine.forward(Polyhedral.normalizeRadians((lonDeg - lon0Deg) * D2R),
+          latDeg * D2R) match {
         case Some((x, y)) => (x * A, y * A)
         case None => (Double.PositiveInfinity, Double.PositiveInfinity)
       }
     def inverse(x: Double, y: Double): (Double, Double) =
       engine.inverse(x / A, y / A) match {
-        case Some((lam, phi)) => (lam * R2D, phi * R2D)
+        case Some((lam, phi)) =>
+          (Polyhedral.normalizeRadians(lam + lon0Deg * D2R) * R2D, phi * R2D)
         case None => (Double.NaN, Double.NaN)
       }
+    /** Seam-cut region = (base face, layout copy, wrap shift). */
+    def regionAt(lonDeg: Double, latDeg: Double): Int =
+      engine.regionKey(Polyhedral.normalizeRadians((lonDeg - lon0Deg) * D2R),
+        latDeg * D2R)
   }
 
   /** Octahedral butterfly family (`-proj butterfly` / `butterfly2` /
@@ -372,6 +390,14 @@ object Crs {
       }
     }
     def inverse(x: Double, y: Double): (Double, Double) = (Double.NaN, Double.NaN)
+    /** Seam-cut region: the butterfly unfolding is continuous within each
+     * truncated-octahedron face; the cahill_keyes master layout is
+     * continuous within each OCTANT (mj2g places octants separately). */
+    def regionAt(lonDeg: Double, latDeg: Double): Int = {
+      val lam = Polyhedral.normalizeRadians((lonDeg - lon0Deg) * D2R)
+      if (method == "cahill_keyes") Butterfly.cahillKeyesOctant(lam, latDeg * D2R)
+      else engine.faceLocal(lam, latDeg * D2R).map(_._1).getOrElse(-1)
+    }
   }
 
   /** Spherical Mercator (+proj=merc / webmercator tiles use the same math). */
@@ -582,6 +608,12 @@ object Crs {
                                      alsoClamp: Option[ClampBBox] = None) extends ClipSpec
   case object NoClip extends ClipSpec
 
+  /** Polyhedral seam cut: the projection is continuous within each region
+   * (face / layout piece) of `region` and jumps across them — paths must be
+   * cut at region boundaries before projecting (the role of the reference's
+   * `__projection_topology` seams). */
+  final case class CutAtFaceSeams(region: (Double, Double) => Int) extends ClipSpec
+
   /** Wrap a longitude into (-180, 180]. */
   def wrapLon(lon: Double): Double = {
     var l = lon
@@ -606,6 +638,10 @@ object Crs {
     case Mollweide(lon0, _) if lon0 != 0 => CutAtAntimeridian(wrapLon(lon0 + 180.0))
     case Sinusoidal(lon0, _) if lon0 != 0 => CutAtAntimeridian(wrapLon(lon0 + 180.0))
     case EqualEarth(lon0, _) if lon0 != 0 => CutAtAntimeridian(wrapLon(lon0 + 180.0))
+    case p: DymaxionProj => CutAtFaceSeams(p.regionAt)
+    case p: ButterflyProj => CutAtFaceSeams(p.regionAt)
+    case p: LeeProj => CutAtFaceSeams(p.regionAt)
+    case p: NarukawaProj => CutAtFaceSeams(p.regionAt)
     case _ => NoClip
   }
 
@@ -839,28 +875,21 @@ object Crs {
   }
 
   object AlbersUsa {
-    /** One frame: projection + routing bbox + affine placement (scale about
-     * the projected origin, then translate origin → placement). */
+    /** One frame: projection + routing bbox + affine placement. A thin view
+     * over the GENERIC [[Mixed.Frame]] machinery (this composite is the
+     * fixed-frame instance of it), adding the frame-wise inverse. */
     final case class Frame(proj: Proj, bbox: (Double, Double, Double, Double),
                            originLL: Option[(Double, Double)],
                            placement: Option[(Double, Double)],
                            scale: Double) {
-      private val (ox, oy) = originLL match {
-        case Some((lon, lat)) => proj.forward(lon, lat)
-        case None => (0.0, 0.0)
+      private val mixed = Mixed.Frame(proj, bbox, originLL, placement, scale = scale)
+      def contains(lon: Double, lat: Double): Boolean = mixed.contains(lon, lat)
+      def apply(lon: Double, lat: Double): (Double, Double) =
+        Mixed.forwardThrough(mixed, lon, lat)
+      def invert(x: Double, y: Double): (Double, Double) = {
+        val (ux, uy) = mixed.inverseTransform(x, y)
+        proj.inverse(ux, uy)
       }
-      private val (dx, dy) = placement match {
-        case Some((px, py)) => (px - ox, py - oy)
-        case None => (0.0, 0.0)
-      }
-      def contains(lon: Double, lat: Double): Boolean =
-        lon >= bbox._1 && lat >= bbox._2 && lon <= bbox._3 && lat <= bbox._4
-      def apply(lon: Double, lat: Double): (Double, Double) = {
-        val (x, y) = proj.forward(lon, lat)
-        (scale * (x - ox) + ox + dx, scale * (y - oy) + oy + dy)
-      }
-      def invert(x: Double, y: Double): (Double, Double) =
-        proj.inverse((x - dx - ox) / scale + ox, (y - dy - oy) / scale + oy)
     }
 
     // frame parameters from the reference (custom-projections.mjs:30-65)
@@ -945,11 +974,11 @@ object Crs {
       case "wintri" => WinkelTripel(d("lon_0", 0))
       case "eqearth" => EqualEarth(d("lon_0", 0))
       case "longlat" | "latlong" | "lonlat" => Longlat
-      case "dymaxion" => DymaxionProj(gnomonicFacets = false)
-      case "dymaxion2" => DymaxionProj(gnomonicFacets = true)
-      case "markley" => LeeProj("markley")
-      case "calm" => LeeProj("calm")
-      case "narukawa2022" => NarukawaProj
+      case "dymaxion" => DymaxionProj(gnomonicFacets = false, d("lon_0", 0))
+      case "dymaxion2" => DymaxionProj(gnomonicFacets = true, d("lon_0", 0))
+      case "markley" => LeeProj("markley", d("lon_0", 0))
+      case "calm" => LeeProj("calm", d("lon_0", 0))
+      case "narukawa2022" => NarukawaProj(d("lon_0", 0))
       case "butterfly" => ButterflyProj("butterfly", d("lon_0", 157.5))
       case "butterfly2" => ButterflyProj("butterfly2", d("lon_0", -20.0))
       case "cahill_keyes" => ButterflyProj("cahill_keyes", d("lon_0", -20.0))

@@ -31,35 +31,16 @@ object Dymaxion {
     16, 15, 19, 19)
 
   // ------------------------------------------------------ face construction
+  // vector algebra shared with the other solids lives in [[Polyhedral]]
 
-  private def degreesToVector(lon: Double, lat: Double): Array[Double] = {
-    val lam = lon * D2R; val phi = lat * D2R
-    val cosPhi = math.cos(phi)
-    Array(math.cos(lam) * cosPhi, math.sin(lam) * cosPhi, math.sin(phi))
-  }
-
-  private def normalize(p: Array[Double]): Array[Double] = {
-    val k = 1.0 / math.sqrt(p(0) * p(0) + p(1) * p(1) + p(2) * p(2))
-    Array(p(0) * k, p(1) * k, p(2) * k)
-  }
-
-  private def vectorToDegrees(p: Array[Double]): Array[Double] = Array(
-    math.atan2(p(1), p(0)) * R2D,
-    math.asin(math.max(-1.0, math.min(1.0, p(2)))) * R2D)
-
-  private def sphericalCentroid(coords: Array[Array[Double]]): Array[Double] = {
-    val s = Array(0.0, 0.0, 0.0)
-    coords.foreach { p =>
-      val v = degreesToVector(p(0), p(1))
-      s(0) += v(0); s(1) += v(1); s(2) += v(2)
-    }
-    vectorToDegrees(normalize(s))
-  }
+  private def sphericalCentroid(coords: Array[Array[Double]]): Array[Double] =
+    Polyhedral.sphericalCentroidDeg(coords)
 
   private def greatCircleMidpoint(a: Array[Double], b: Array[Double]): Array[Double] = {
-    val av = degreesToVector(a(0), a(1))
-    val bv = degreesToVector(b(0), b(1))
-    vectorToDegrees(normalize(Array(av(0) + bv(0), av(1) + bv(1), av(2) + bv(2))))
+    val av = Polyhedral.degreesToVector(a(0), a(1))
+    val bv = Polyhedral.degreesToVector(b(0), b(1))
+    Polyhedral.vectorToDegreesArr(Polyhedral.normalize(
+      Array(av(0) + bv(0), av(1) + bv(1), av(2) + bv(2))))
   }
 
   /** Icosahedron faces + the airocean splits; (faces, sites). */

@@ -197,17 +197,8 @@ object Lee {
     (2, Array(1.0, 0, -8, 0, -1, 0)),
     (3, Array(-1.0, 0, 4, 0, 1, 0)))
 
-  private def centroidOf(face: Array[Array[Double]]): Array[Double] = {
-    val s = Array(0.0, 0.0, 0.0)
-    face.foreach { p =>
-      val lam = p(0) * math.Pi / 180; val phi = p(1) * math.Pi / 180
-      val c = math.cos(phi)
-      s(0) += math.cos(lam) * c; s(1) += math.sin(lam) * c; s(2) += math.sin(phi)
-    }
-    val k = 1.0 / math.sqrt(s(0) * s(0) + s(1) * s(1) + s(2) * s(2))
-    Array(math.atan2(s(1) * k, s(0) * k) * R2D,
-      math.asin(math.max(-1.0, math.min(1.0, s(2) * k))) * R2D)
-  }
+  private def centroidOf(face: Array[Array[Double]]): Array[Double] =
+    Polyhedral.sphericalCentroidDeg(face)
 
   final class LeeEngine(rotationDeg: Array[Double], layoutPhase: Double) extends Serializable {
     val base: Engine = {
@@ -254,6 +245,24 @@ object Lee {
         qx = wrapX(qx + layoutPhase)
         (math.max(RectXMin, math.min(RectXMax, qx)) - (RectXMin + RectXMax) / 2,
           math.max(RectYMin, math.min(RectYMax, qy)) - (RectYMin + RectYMax) / 2)
+      }
+
+    /** Region id of the continuous layout piece containing a direction:
+     * (base face, layout copy, x-wrap shift). The projected map is
+     * continuous within a region; paths crossing regions must be cut. */
+    def regionKey(lam: Double, phi: Double): Int =
+      base.faceLocal(lam, phi) match {
+        case None => -1
+        case Some((faceId, _, _)) =>
+          val (bx, by) = base.forward(lam, phi).get
+          val px = (bx - ncx) * nscale
+          val py = -(by - ncy) * nscale
+          val (copyId, m) = layoutCopy(px, py)
+          var x = m(0) * px + m(1) * py + m(2) + layoutPhase
+          var k = 0
+          while (x < RectXMin) { x += LayoutPeriod; k += 1 }
+          while (x > RectXMax) { x -= LayoutPeriod; k -= 1 }
+          ((faceId * 4) + copyId) * 5 + (k + 2)
       }
 
     /** Inverse by copy x wrap-candidate scan + per-face Newton (the

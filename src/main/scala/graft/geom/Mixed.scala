@@ -77,6 +77,16 @@ object Mixed {
       val (lonMin, latMin, lonMax, latMax) = bbox
       lonDeg >= lonMin && lonDeg <= lonMax && latDeg >= latMin && latDeg <= latMax
     }
+
+    /** Undo the placement affine (projected output → the frame CRS's own
+     * coordinates) — the building block for frame-wise inverses
+     * ([[Crs.AlbersUsa]] routes through this). */
+    def inverseTransform(x: Double, y: Double): (Double, Double) = {
+      val m = matrix
+      val det = m.a * m.d - m.c * m.b
+      ((m.d * (x - m.tx) - m.c * (y - m.ty)) / det,
+        (-m.b * (x - m.tx) + m.a * (y - m.ty)) / det)
+    }
   }
 
   /** Frame-local forward: project then place (used by [[Crs.MixedProj]]). */

@@ -47,20 +47,19 @@ object Narukawa {
     Facet(3, -3, 0, -AsinOneThird, -2 * math.Pi / 3, math.Pi, math.Pi / 6))
 
   // ------------------------------------------------------------ orientation
+  // shared vector algebra lives in [[Polyhedral]]; local aliases only
 
   @inline private def dot(a: Array[Double], b: Array[Double]): Double =
-    a(0) * b(0) + a(1) * b(1) + a(2) * b(2)
+    Polyhedral.dot(a, b)
 
   private def cross(a: Array[Double], b: Array[Double]): Array[Double] =
-    Array(a(1) * b(2) - a(2) * b(1), a(2) * b(0) - a(0) * b(2), a(0) * b(1) - a(1) * b(0))
+    Polyhedral.cross(a, b)
 
-  private def radiansToVector(lam: Double, phi: Double): Array[Double] = {
-    val cosPhi = math.cos(phi)
-    Array(math.cos(lam) * cosPhi, math.sin(lam) * cosPhi, math.sin(phi))
-  }
+  private def radiansToVector(lam: Double, phi: Double): Array[Double] =
+    Polyhedral.radiansToVector(lam, phi)
 
   private def clamp(v: Double, lo: Double, hi: Double): Double =
-    math.max(lo, math.min(hi, v))
+    Polyhedral.clamp(v, lo, hi)
 
   def normalizeRadians(lam0: Double): Double = {
     var lam = lam0
@@ -189,25 +188,36 @@ object Narukawa {
   }
 
   /** Reflect out-of-block overshoot, fold to the lower half, x-wrap, clamp —
-   * the reference's conditional layout. */
-  private def applyLayout(x0: Double, y0: Double, facet: Facet): (Double, Double) = {
+   * the reference's conditional layout. Also reports the layout flags
+   * (oob, folded, wrap) for region encoding. */
+  private def applyLayoutState(x0: Double, y0: Double, facet: Facet)
+      : (Double, Double, Int, Int, Int) = {
     var x = x0; var y = y0
+    var oob = 0; var folded = 0; var wrap = 0
     if (math.abs(x) > 3 + Eps) {
       x = 2 * facet.x - x
       y = -y
+      oob = 1
     } else if (math.abs(y) > Sqrt3 + Eps) {
       x = -x
       y = BlockHeight * math.signum(y) - y
+      oob = 2
     }
     var qx = y
     var qy = -x
     if (qy > Eps) {
       qx = BlockHeight - qx
       qy = -qy
+      folded = 1
     }
     qx += LayoutShift
-    if (qx < 0) qx += 2 * BlockHeight
-    (clamp(qx - BlockHeight, XMin, XMax), clamp(qy + 1.5, YMin, YMax))
+    if (qx < 0) { qx += 2 * BlockHeight; wrap = 1 }
+    (clamp(qx - BlockHeight, XMin, XMax), clamp(qy + 1.5, YMin, YMax), oob, folded, wrap)
+  }
+
+  private def applyLayout(x0: Double, y0: Double, facet: Facet): (Double, Double) = {
+    val s = applyLayoutState(x0, y0, facet)
+    (s._1, s._2)
   }
 
   // ------------------------------------------------------------ public API
@@ -219,6 +229,24 @@ object Narukawa {
     val (x, y) = projectFacetRaw(cl, cp, facet)
     val (lx, ly) = applyLayout(x, y, facet)
     (lx * EdgeScale, ly * EdgeScale)
+  }
+
+  /** Region id of the continuous layout piece containing a direction — the
+   * reference's encodeRegion((facet*3+sector)*3+oob)*2+folded)*2+wrap; the
+   * planar map is continuous within a region and jumps across them. */
+  def regionKey(lam: Double, phi: Double): Int = {
+    val (cl, cp) = toCanonical(lam, phi)
+    val facet = findForwardFacet(cl, cp)
+    val (rLat, rLon) = obliquify(cp, cl, facet)
+    val sector = math.floor((rLon + math.Pi / 3) / (2 * math.Pi / 3))
+    val base = sector * 2 * math.Pi / 3
+    val (r, theta) = faceForward(rLon - base, rLat)
+    val angle = theta + facet.rotation + base / 2
+    val x = r * math.cos(angle) + facet.x
+    val y = r * math.sin(angle) + facet.y
+    val s = applyLayoutState(x, y, facet)
+    val sectorMod = (((sector.toInt % 3) + 3) % 3)
+    ((((facet.id * 3 + sectorMod) * 3 + s._3) * 2 + s._4) * 2 + s._5)
   }
 
   /** Inverse via the layout unfolding + nearest-facet + bisection (the

@@ -25,31 +25,48 @@ object Polyhedral {
   private final val EPS = 1e-12
 
   // ----------------------------------------------------------- vector algebra
+  // package-private: the concrete solids (Dymaxion/Butterfly/Lee/Narukawa)
+  // share these — one definition keeps the oracle-verified arithmetic in
+  // one place
 
-  @inline private def dot(a: Array[Double], b: Array[Double]): Double =
+  @inline private[geom] def dot(a: Array[Double], b: Array[Double]): Double =
     a(0) * b(0) + a(1) * b(1) + a(2) * b(2)
 
-  private def cross(a: Array[Double], b: Array[Double]): Array[Double] =
+  private[geom] def cross(a: Array[Double], b: Array[Double]): Array[Double] =
     Array(a(1) * b(2) - a(2) * b(1), a(2) * b(0) - a(0) * b(2), a(0) * b(1) - a(1) * b(0))
 
-  private def normalize(p: Array[Double]): Array[Double] = {
+  private[geom] def normalize(p: Array[Double]): Array[Double] = {
     val k = 1.0 / math.sqrt(dot(p, p))
     Array(p(0) * k, p(1) * k, p(2) * k)
   }
 
-  private def radiansToVector(lam: Double, phi: Double): Array[Double] = {
+  private[geom] def radiansToVector(lam: Double, phi: Double): Array[Double] = {
     val cosPhi = math.cos(phi)
     Array(math.cos(lam) * cosPhi, math.sin(lam) * cosPhi, math.sin(phi))
   }
 
-  private def degreesToVector(lon: Double, lat: Double): Array[Double] =
+  private[geom] def degreesToVector(lon: Double, lat: Double): Array[Double] =
     radiansToVector(lon * D2R, lat * D2R)
 
-  private def clamp(v: Double, lo: Double, hi: Double): Double =
+  private[geom] def clamp(v: Double, lo: Double, hi: Double): Double =
     math.max(lo, math.min(hi, v))
 
   private def vectorToDegrees(p: Array[Double]): (Double, Double) =
     (math.atan2(p(1), p(0)) * R2D, math.asin(clamp(p(2), -1, 1)) * R2D)
+
+  private[geom] def vectorToDegreesArr(p: Array[Double]): Array[Double] =
+    Array(math.atan2(p(1), p(0)) * R2D, math.asin(clamp(p(2), -1, 1)) * R2D)
+
+  /** Spherical centroid of a polygon given as (lon, lat) degree pairs —
+   * normalized vector sum, back to degrees. */
+  private[geom] def sphericalCentroidDeg(coords: Array[Array[Double]]): Array[Double] = {
+    val s = Array(0.0, 0.0, 0.0)
+    coords.foreach { p =>
+      val v = degreesToVector(p(0), p(1))
+      s(0) += v(0); s(1) += v(1); s(2) += v(2)
+    }
+    vectorToDegreesArr(normalize(s))
+  }
 
   def normalizeRadians(lam0: Double): Double = {
     var lam = lam0
@@ -332,6 +349,10 @@ object Polyhedral {
     private val rotLam = rotationDeg(0) * D2R
     private val rotPhi = rotationDeg(1) * D2R
     private val rotGamma = rotationDeg(2) * D2R
+    // zero rotation must be a true identity: rotatePhiGamma's trig
+    // round-trip perturbs lambda by ulps, which flips knife-edge region
+    // decisions (octant boundaries) against callers that pass raw lambdas
+    private val rotIdentity = rotLam == 0 && rotPhi == 0 && rotGamma == 0
 
     /** Rotated-frame face lookup: FIRST face containing the direction (the
      * reference scans in id order — ties on shared edges go to the lower id). */
@@ -350,7 +371,9 @@ object Polyhedral {
     /** Face id + LOCAL face-plane coordinates (pre-unfold) — the arithmetic
      * core, mirrored verbatim by the q_dymaxion oracle. */
     def faceLocal(lam0: Double, phi0: Double): Option[(Int, Double, Double)] = {
-      val (lam, phi) = rotateRadians(lam0, phi0, rotLam, rotPhi, rotGamma)
+      val (lam, phi) =
+        if (rotIdentity) (normalizeRadians(lam0), phi0)
+        else rotateRadians(lam0, phi0, rotLam, rotPhi, rotGamma)
       val id = findFaceRotated(lam, phi)
       if (id < 0) None
       else {
@@ -367,6 +390,11 @@ object Polyhedral {
         (ox - centerX, oy - centerY)
       }
 
+    // face.transform never changes after construction — precompute inverses
+    // once instead of per inverse() probe (callers scan all faces in a loop)
+    @transient private lazy val invTransforms: Array[Array[Double]] =
+      faces.map(f => invertMatrix(f.transform))
+
     /** Inverse via per-face local inversion + membership check. */
     def inverse(x: Double, y: Double): Option[(Double, Double)] = {
       // undo centering, planar rotation, scale, y-flip
@@ -380,11 +408,13 @@ object Polyhedral {
       var i = 0
       while (i < faces.length) {
         val face = faces(i)
-        val inv = invertMatrix(face.transform)
+        val inv = invTransforms(i)
         val (lx, ly) = applyMatrix(inv, ux, uy)
         face.projector.invert(lx, ly) match {
           case Some((lam, phi)) if findFaceRotated(lam, phi) == i =>
-            return Some(rotateRadians(lam, phi, rotLam, rotPhi, rotGamma, invert = true))
+            return Some(
+              if (rotIdentity) (normalizeRadians(lam), phi)
+              else rotateRadians(lam, phi, rotLam, rotPhi, rotGamma, invert = true))
           case _ =>
         }
         i += 1

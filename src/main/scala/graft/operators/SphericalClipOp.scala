@@ -157,6 +157,62 @@ object SphericalClip {
     parts.result()
   }
 
+  /**
+   * Cut a lon/lat path wherever a polyhedral projection's region id changes
+   * — the projection is continuous within a region and JUMPS across seams,
+   * so a segment straddling two regions must be split at the boundary
+   * (the role of the reference's `__projection_topology` seam paths).
+   * Crossings are located by bisection along the chord (40 halvings ≈ 1e-12
+   * of the segment); each part gets its OWN boundary vertex strictly inside
+   * its region (the lo-side point closes the outgoing part, the hi-side
+   * point opens the next), so plain `Proj.forward` projects every part
+   * vertex onto one sheet — no region pinning needed downstream. A segment
+   * may cross several seams (corner grazing): the walk resumes from each
+   * crossing, bounded by `maxCutsPerSegment`. Segments whose endpoints share
+   * a region are not probed internally — pre-densify (PathOps.densify) when
+   * vertices are sparse relative to face size.
+   */
+  def cutAtFaceSeams(flat: Array[Double], region: (Double, Double) => Int,
+                     maxCutsPerSegment: Int = 8): Seq[Array[Double]] = {
+    if (flat.length < 4) return Seq(flat)
+    val parts = Seq.newBuilder[Array[Double]]
+    val cur = scala.collection.mutable.ArrayBuffer[Double](flat(0), flat(1))
+    var sx = flat(0); var sy = flat(1)
+    var f0 = region(sx, sy)
+    var i = 2
+    while (i < flat.length) {
+      val ex = flat(i); val ey = flat(i + 1)
+      val fe = region(ex, ey)
+      var cuts = 0
+      var fs = f0
+      while (region(ex, ey) != fs && cuts < maxCutsPerSegment) {
+        // boundary between (sx,sy) [region fs] and (ex,ey): first change.
+        // invariant: lo-side stays in fs, hi-side stays outside it
+        var lo = 0.0; var hi = 1.0
+        var it = 0
+        while (it < 40) {
+          val m = (lo + hi) / 2
+          if (region(sx + (ex - sx) * m, sy + (ey - sy) * m) == fs) lo = m else hi = m
+          it += 1
+        }
+        cur += sx + (ex - sx) * lo; cur += sy + (ey - sy) * lo
+        parts += cur.toArray
+        cur.clear()
+        val cx = sx + (ex - sx) * hi; val cy = sy + (ey - sy) * hi
+        cur += cx; cur += cy
+        val fc = region(cx, cy)
+        if (fc == fs) { cuts = maxCutsPerSegment } // no progress: give up on this segment
+        else { sx = cx; sy = cy; fs = fc }
+        cuts += 1
+      }
+      cur += ex; cur += ey
+      sx = ex; sy = ey; f0 = fe
+      i += 2
+    }
+    parts += cur.toArray
+    parts.result().filter(_.length >= 4)
+  }
+
   /** DataFrame form: paths (id, path) pre-clipped per `spec`, exploded to
     * (id, part, path). Clamp keeps one part; cut/clip may split. */
   def prepare(paths: DataFrame, idCol: String, pathCol: String,
@@ -169,6 +225,8 @@ object SphericalClip {
       }
       case Crs.ClipCircle(lon0, lat0, a) =>
         p => clipPathToCircle(p.toArray, lon0, lat0, a).map(_.toSeq)
+      case Crs.CutAtFaceSeams(region) =>
+        p => cutAtFaceSeams(p.toArray, region).map(_.toSeq)
       case Crs.NoClip => p => Seq(p)
     }
     val u = udf(fn)

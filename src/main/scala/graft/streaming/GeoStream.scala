@@ -51,6 +51,14 @@ object GeoStream {
       .outputMode("append")
       .trigger(Trigger.AvailableNow())
       .start()
-    q.awaitTermination(timeoutMs)
+    val finished = q.awaitTermination(timeoutMs)
+    if (!finished) {
+      // a timed-out drain must not masquerade as a complete one: the caller
+      // would read a partial outDir while this query still holds the
+      // checkpoint. Stop it and fail loudly.
+      q.stop()
+      throw new IllegalStateException(
+        s"streaming drain into $outDir did not complete within $timeoutMs ms")
+    }
   }
 }

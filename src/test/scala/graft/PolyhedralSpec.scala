@@ -107,6 +107,14 @@ class PolyhedralSpec extends AnyFunSuite {
     val a = Crs.fromProj4("dymaxion").forward(2.35, 48.85)
     val b = Crs.fromProj4("dymaxion2").forward(2.35, 48.85)
     assert(math.abs(a._1 - b._1) > 1.0 || math.abs(a._2 - b._2) > 1.0)
+    // +lon_0 shifts the central meridian (and round-trips through it)
+    val shifted = Crs.fromProj4("+proj=dymaxion +lon_0=10")
+    val c = shifted.forward(2.35, 48.85)
+    assert(math.abs(a._1 - c._1) > 1.0 || math.abs(a._2 - c._2) > 1.0)
+    val d = Crs.fromProj4("dymaxion").forward(2.35 - 10.0, 48.85)
+    assert(math.abs(c._1 - d._1) < 1e-6 && math.abs(c._2 - d._2) < 1e-6)
+    val (lonBack, latBack) = shifted.inverse(c._1, c._2)
+    assert(math.abs(lonBack - 2.35) < 1e-6 && math.abs(latBack - 48.85) < 1e-6)
   }
 
   test("neighboring points project to nearby planar points within a face") {
