@@ -281,6 +281,25 @@ object Graft {
       min_by(org.apache.spark.sql.functions.col(valueCol), orderCol).as("first"),
       max_by(org.apache.spark.sql.functions.col(valueCol), orderCol).as("last"))
   }
+  /** -calc sums= (element-wise sum of an equal-width array field,
+   * mapshaper-calc.mjs:144-154): posexplode → per-position partial sums →
+   * reassemble — fully partial-aggregatable, no row collection. */
+  def calcSums(df: DataFrame, groupCol: String, arrCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.select(col(groupCol), posexplode(col(arrCol)).as(Seq("_pos", "_v")))
+      .groupBy(col(groupCol), col("_pos"))
+      .agg(sum(coalesce(col("_v").cast("double"), lit(0.0))).as("_s"))
+      .groupBy(col(groupCol))
+      .agg(array_sort(collect_list(struct(col("_pos"), col("_s")))).as("_ps"))
+      .select(col(groupCol), transform(col("_ps"), p => p.getField("_s")).as("sums"))
+  }
+  /** -calc collectIds= — the matched ids per group, in canonical (sorted)
+   * order (the reference preserves document order; a distributed engine has
+   * no stable row order, so the deterministic canonical form is sorted). */
+  def calcCollectIds(df: DataFrame, groupCol: String, idCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.groupBy(groupCol).agg(array_sort(collect_list(col(idCol))).as("ids"))
+  }
 
   // ------------------------------------------------------ round-4 surface
 

@@ -1311,6 +1311,27 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // -calc sums= + collectIds=: element-wise array sums (the Graft.calcSums
+    // posexplode/reassemble pipeline) over an integer-valued array field —
+    // order-independent exact sums — plus canonical-order id collection
+    // summarized as (count, min, max, sum) for the cell compare
+    "q_calc_sums" -> ((s, dir) => {
+      val rows = points(s, dir)
+        .withColumn("g", (col("id") % 5).cast("long"))
+        .withColumn("v", array(floor(col("x") * 1000.0), floor(col("y") * 1000.0),
+          col("id").cast("double")))
+      val sums = Graft.calcSums(rows, "g", "v")
+        .select(col("g"),
+          element_at(col("sums"), 1).cast("long").as("s_x"),
+          element_at(col("sums"), 2).cast("long").as("s_y"),
+          element_at(col("sums"), 3).cast("long").as("s_id"))
+      val ids = Graft.calcCollectIds(rows, "g", "id")
+        .select(col("g"), size(col("ids")).cast("long").as("n_ids"),
+          element_at(col("ids"), 1).as("id_min"),
+          element_at(col("ids"), -1).as("id_max"))
+      sums.join(ids, "g").orderBy("g")
+    }),
+
     // -uniq max_count=2 invert: the rows REMOVED by a keep-2 dedupe
     "q_uniq_invert" -> ((s, dir) =>
       Uniq(t(s, dir, "lineitem"), Seq("l_orderkey"),
@@ -3220,6 +3241,19 @@ object SparkEntry {
         |  max_by(l_extendedprice, (l_orderkey * 8 + l_linenumber) * 100000 + l_partkey) AS last_price,
         |  count(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // element-wise array sums over integer-valued doubles are exact in any
+    // order; collectIds summarized by count/min/max
+    "q_calc_sums" ->
+      s"""WITH $ptsSql
+         |SELECT id % 5 AS g,
+         |  CAST(sum(floor(x * 1000.0)) AS BIGINT) AS s_x,
+         |  CAST(sum(floor(y * 1000.0)) AS BIGINT) AS s_y,
+         |  CAST(sum(id) AS BIGINT) AS s_id,
+         |  count(*) AS n_ids,
+         |  min(id) AS id_min,
+         |  max(id) AS id_max
+         |FROM pts GROUP BY id % 5 ORDER BY g""".stripMargin,
 
     "q_uniq_invert" ->
       """SELECT l_orderkey, l_partkey, CAST(l_linenumber AS BIGINT) AS l_linenumber FROM (
