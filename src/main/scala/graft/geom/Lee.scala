@@ -228,21 +228,25 @@ object Lee {
       if (py >= 0) { if (px > 3) LayoutCopies(2) else LayoutCopies(0) }
       else { if (px > 1) LayoutCopies(3) else LayoutCopies(1) }
 
-    private def wrapX(x0: Double): Double = {
-      var x = x0
-      while (x < RectXMin) x += LayoutPeriod
-      while (x > RectXMax) x -= LayoutPeriod
-      x
+    /** Normalize a base-net point and place it in the rectangular layout —
+     * ONE implementation shared by forward and regionKey, so seam-cut
+     * region boundaries coincide exactly with forward's discontinuities.
+     * Returns (copyId, wrapShiftCount, wrappedX, y). */
+    private def layoutState(bx: Double, by: Double): (Int, Int, Double, Double) = {
+      val px = (bx - ncx) * nscale
+      val py = -(by - ncy) * nscale
+      val (copyId, m) = layoutCopy(px, py)
+      var x = m(0) * px + m(1) * py + m(2) + layoutPhase
+      val qy = m(3) * px + m(4) * py + m(5)
+      var k = 0
+      while (x < RectXMin) { x += LayoutPeriod; k += 1 }
+      while (x > RectXMax) { x -= LayoutPeriod; k -= 1 }
+      (copyId, k, x, qy)
     }
 
     def forward(lam: Double, phi: Double): Option[(Double, Double)] =
       base.forward(lam, phi).map { case (bx, by) =>
-        val px = (bx - ncx) * nscale
-        val py = -(by - ncy) * nscale
-        val (_, m) = layoutCopy(px, py)
-        var qx = m(0) * px + m(1) * py + m(2)
-        val qy = m(3) * px + m(4) * py + m(5)
-        qx = wrapX(qx + layoutPhase)
+        val (_, _, qx, qy) = layoutState(bx, by)
         (math.max(RectXMin, math.min(RectXMax, qx)) - (RectXMin + RectXMax) / 2,
           math.max(RectYMin, math.min(RectYMax, qy)) - (RectYMin + RectYMax) / 2)
       }
@@ -255,13 +259,7 @@ object Lee {
         case None => -1
         case Some((faceId, _, _)) =>
           val (bx, by) = base.forward(lam, phi).get
-          val px = (bx - ncx) * nscale
-          val py = -(by - ncy) * nscale
-          val (copyId, m) = layoutCopy(px, py)
-          var x = m(0) * px + m(1) * py + m(2) + layoutPhase
-          var k = 0
-          while (x < RectXMin) { x += LayoutPeriod; k += 1 }
-          while (x > RectXMax) { x -= LayoutPeriod; k -= 1 }
+          val (copyId, k, _, _) = layoutState(bx, by)
           ((faceId * 4) + copyId) * 5 + (k + 2)
       }
 

@@ -61,12 +61,7 @@ object Narukawa {
   private def clamp(v: Double, lo: Double, hi: Double): Double =
     Polyhedral.clamp(v, lo, hi)
 
-  def normalizeRadians(lam0: Double): Double = {
-    var lam = lam0
-    while (lam > math.Pi) lam -= 2 * math.Pi
-    while (lam < -math.Pi) lam += 2 * math.Pi
-    lam
-  }
+  def normalizeRadians(lam0: Double): Double = Polyhedral.normalizeRadians(lam0)
 
   /** Basis aligning the published solid with the canonical facet frame. */
   private val (orientX, orientY, orientZ) = {
@@ -178,13 +173,22 @@ object Narukawa {
     best
   }
 
-  private def projectFacetRaw(lam: Double, phi: Double, facet: Facet): (Double, Double) = {
+  /** Facet-frame projection + the sector it landed in — ONE implementation
+   * shared by forward and regionKey so seam-cut region boundaries coincide
+   * exactly with the forward projection's discontinuities. */
+  private def projectFacetRawSector(lam: Double, phi: Double, facet: Facet)
+      : (Double, Double, Double) = {
     val (rLat, rLon) = obliquify(phi, lam, facet)
     val sector = math.floor((rLon + math.Pi / 3) / (2 * math.Pi / 3))
     val base = sector * 2 * math.Pi / 3
     val (r, theta) = faceForward(rLon - base, rLat)
     val angle = theta + facet.rotation + base / 2
-    (r * math.cos(angle) + facet.x, r * math.sin(angle) + facet.y)
+    (r * math.cos(angle) + facet.x, r * math.sin(angle) + facet.y, sector)
+  }
+
+  private def projectFacetRaw(lam: Double, phi: Double, facet: Facet): (Double, Double) = {
+    val p = projectFacetRawSector(lam, phi, facet)
+    (p._1, p._2)
   }
 
   /** Reflect out-of-block overshoot, fold to the lower half, x-wrap, clamp —
@@ -237,13 +241,7 @@ object Narukawa {
   def regionKey(lam: Double, phi: Double): Int = {
     val (cl, cp) = toCanonical(lam, phi)
     val facet = findForwardFacet(cl, cp)
-    val (rLat, rLon) = obliquify(cp, cl, facet)
-    val sector = math.floor((rLon + math.Pi / 3) / (2 * math.Pi / 3))
-    val base = sector * 2 * math.Pi / 3
-    val (r, theta) = faceForward(rLon - base, rLat)
-    val angle = theta + facet.rotation + base / 2
-    val x = r * math.cos(angle) + facet.x
-    val y = r * math.sin(angle) + facet.y
+    val (x, y, sector) = projectFacetRawSector(cl, cp, facet)
     val s = applyLayoutState(x, y, facet)
     val sectorMod = (((sector.toInt % 3) + 3) % 3)
     ((((facet.id * 3 + sectorMod) * 3 + s._3) * 2 + s._4) * 2 + s._5)

@@ -40,7 +40,8 @@ object SphericalClip {
   def pointKeep(lon: Column, lat: Column, spec: Crs.ClipSpec): Column = spec match {
     case Crs.ClipCircle(lon0, lat0, angle) =>
       cosAngularCol(lon, lat, lon0, lat0) >= lit(math.cos(angle * Crs.D2R))
-    case Crs.ClampBBox(_, _, _, _) | Crs.CutAtAntimeridian(_, _) | Crs.NoClip => lit(true)
+    case Crs.ClampBBox(_, _, _, _) | Crs.CutAtAntimeridian(_, _) | Crs.NoClip |
+         Crs.CutAtFaceSeams(_) => lit(true) // seam cuts apply to paths only
   }
 
   /** Clamp a flat lon/lat path into a bbox (the reference's clampDataset —
@@ -185,7 +186,7 @@ object SphericalClip {
       val fe = region(ex, ey)
       var cuts = 0
       var fs = f0
-      while (region(ex, ey) != fs && cuts < maxCutsPerSegment) {
+      while (fe != fs && cuts < maxCutsPerSegment) {
         // boundary between (sx,sy) [region fs] and (ex,ey): first change.
         // invariant: lo-side stays in fs, hi-side stays outside it
         var lo = 0.0; var hi = 1.0

@@ -117,6 +117,38 @@ class PolyhedralSpec extends AnyFunSuite {
     assert(math.abs(lonBack - 2.35) < 1e-6 && math.abs(latBack - 48.85) < 1e-6)
   }
 
+  test("raster reprojection pulls through the dymaxion inverse") {
+    import graft.operators.Raster
+    val p = Crs.fromProj4("dymaxion")
+    // source: global lon/lat grid with a LINEAR field (bilinear-exact away
+    // from the sampling edges): v = lon + 2*lat
+    val srcW = 360; val srcH = 180
+    val vals = Array.tabulate(srcW * srcH) { i =>
+      val x = i % srcW; val y = i / srcW
+      (-180 + (x + 0.5)) + 2.0 * (90 - (y + 0.5))
+    }
+    val src = Raster.Grid(srcW, srcH, vals, Raster.Georef(-180, 90, 1.0))
+    // destination: the unfolded airocean sheet at 200 km pixels
+    val dstW = 220; val dstH = 120
+    val georef = Raster.Georef(-2.2e7, 1.2e7, 200000.0)
+    val g = Raster.reproject(src, p, georef, dstW, dstH)
+    var checked = 0
+    for (y <- 0 until dstH; x <- 0 until dstW) {
+      val v = g.values(y * dstW + x)
+      if (!v.isNaN) {
+        val px = georef.x0 + (x + 0.5) * georef.cellSize
+        val py = georef.y1 - (y + 0.5) * georef.cellSize
+        val (lon, lat) = p.inverse(px, py)
+        if (lon.isFinite && math.abs(lat) < 88 && math.abs(lon) < 178) {
+          assert(math.abs(v - (lon + 2.0 * lat)) < 0.1,
+            s"pixel ($x,$y): $v vs ${lon + 2.0 * lat} at ($lon, $lat)")
+          checked += 1
+        }
+      }
+    }
+    assert(checked > 3000, s"only $checked in-sheet pixels verified")
+  }
+
   test("neighboring points project to nearby planar points within a face") {
     // continuity probe: 0.1-degree steps around several cities stay within
     // a few hundred km in the projected frame (no face-assignment jumps
