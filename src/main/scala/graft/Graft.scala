@@ -127,6 +127,8 @@ object Graft {
    * facet variant via `facets = "gnomonic"` (`dymaxion2`). */
   def dymaxion(facets: String = "fuller"): Crs.Proj =
     Crs.DymaxionProj(gnomonicFacets = facets == "gnomonic")
+  /** -projections: the supported `+proj=` ids with one-line names. */
+  def projections: Seq[(String, String)] = Crs.supportedProjections
   /** Compound projection with custom inset frames (the reference's
    * MixedProjection): main projection + per-frame bbox routing and affine
    * placement (rotate/scale about the projected origin, then translate). */

@@ -911,6 +911,39 @@ object Crs {
 
   // ------------------------------------------------------ proj-string parser
 
+  /** The `-projections` listing (`src/cli/mapshaper-options.mjs:2603` /
+   * `printProjections`): every `+proj=` id this catalog implements, with a
+   * one-line name. Kept next to the parser — `ProjectionsSpec` asserts every
+   * id here round-trips through [[fromProj4]]. */
+  val supportedProjections: Seq[(String, String)] = Seq(
+    "aea" -> "Albers equal-area conic (WGS84 ellipsoid)",
+    "aeqd" -> "Azimuthal equidistant (spherical; +ellps= geodesic variant)",
+    "butterfly" -> "Butterfly projection (Pacific aspect, CK facets)",
+    "butterfly2" -> "Butterfly projection (Atlantic aspect)",
+    "cahill_keyes" -> "Cahill-Keyes 12-zone butterfly",
+    "calm" -> "Conformal Authagraph-Like Map (Lee tetrahedral)",
+    "cea" -> "Cylindrical equal-area (lat_ts)",
+    "dymaxion" -> "Dymaxion / Fuller airocean (Gray-Fuller facets)",
+    "dymaxion2" -> "Dymaxion (gnomonic facets)",
+    "eqc" -> "Equirectangular (lat_ts)",
+    "eqearth" -> "Equal Earth",
+    "gnom" -> "Gnomonic (spherical)",
+    "laea" -> "Lambert azimuthal equal-area (spherical)",
+    "lcc" -> "Lambert conformal conic (WGS84 ellipsoid)",
+    "longlat" -> "Plate carree / identity in degrees",
+    "markley" -> "Markley conformal tetrahedral world map",
+    "merc" -> "Spherical Mercator / web tiles",
+    "moll" -> "Mollweide",
+    "natearth" -> "Natural Earth polynomial",
+    "narukawa2022" -> "Narukawa 2022 tetrahedral world map (AuthaGraph approx.)",
+    "ortho" -> "Orthographic (spherical)",
+    "robin" -> "Robinson (published table + cubic interpolation)",
+    "sinu" -> "Sinusoidal (Sanson-Flamsteed)",
+    "stere" -> "Oblique stereographic (spherical)",
+    "tmerc" -> "Transverse Mercator (ellipsoidal series)",
+    "utm" -> "Universal Transverse Mercator (+zone, +south)",
+    "wintri" -> "Winkel tripel")
+
   /**
    * `+proj=` string / named-projection front-end over the typed [[Proj]] API
    * — the reference accepts both PROJ.4 strings and aliases
