@@ -129,6 +129,9 @@ object Graft {
     Crs.DymaxionProj(gnomonicFacets = facets == "gnomonic")
   /** -projections: the supported `+proj=` ids with one-line names. */
   def projections: Seq[(String, String)] = Crs.supportedProjections
+  /** .prj (WKT1) sidecar content -> catalog projection (the reference's
+   * wkt1ToProj path for shapefile CRS detection). */
+  def projectionFromWkt(wkt: String): Crs.Proj = geom.Wkt.toProj(wkt)
   /** Compound projection with custom inset frames (the reference's
    * MixedProjection): main projection + per-frame bbox routing and affine
    * placement (rotate/scale about the projected origin, then translate). */

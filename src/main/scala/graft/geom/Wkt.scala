@@ -1,0 +1,165 @@
+package graft.geom
+
+/**
+ * Minimal WKT1 (ESRI .prj) reader — the reference converts .prj files to
+ * proj strings via its bundled mproj WKT converter
+ * (`/root/reference/src/crs/mapshaper-projections.mjs:336-358`, used by the
+ * shapefile importer). This covers the PROJCS/GEOGCS surface that actually
+ * appears in shapefile sidecars, mapped onto the typed [[Crs]] catalog.
+ *
+ * Datum note: the catalog projects on WGS84; a .prj carrying a different
+ * SPHEROID is accepted and projected with WGS84 constants (the reference
+ * reprojects datums through PROJ — out of this engine's charter, and the
+ * difference is meters-scale for the historic datums in the fixtures).
+ */
+object Wkt {
+
+  /** One WKT node: `KIND["name", v1, v2, NESTED[...], ...]`. */
+  final case class Node(kind: String, values: Seq[Any]) {
+    def strings: Seq[String] = values.collect { case s: String => s }
+    def numbers: Seq[Double] = values.collect { case d: Double => d }
+    def children: Seq[Node] = values.collect { case n: Node => n }
+    def find(kind: String): Option[Node] = {
+      val k = kind.toUpperCase
+      if (this.kind.equalsIgnoreCase(k)) return Some(this)
+      children.iterator.map(_.find(k)).collectFirst { case Some(n) => n }
+    }
+    def findAll(kind: String): Seq[Node] = {
+      val own = if (this.kind.equalsIgnoreCase(kind)) Seq(this) else Nil
+      own ++ children.flatMap(_.findAll(kind))
+    }
+  }
+
+  /** Parse a WKT1 string into its node tree. */
+  def parse(wkt: String): Node = {
+    var i = 0
+    val s = wkt.trim
+
+    def skipWs(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
+
+    def parseNode(): Node = {
+      skipWs()
+      val start = i
+      while (i < s.length && s(i) != '[') i += 1
+      val kind = s.substring(start, i).trim
+      require(i < s.length && s(i) == '[', s"expected '[' after $kind")
+      i += 1 // consume [
+      val values = scala.collection.mutable.ArrayBuffer.empty[Any]
+      var done = false
+      while (!done) {
+        skipWs()
+        if (i >= s.length) throw new IllegalArgumentException("unterminated WKT")
+        s(i) match {
+          case ']' => i += 1; done = true
+          case ',' => i += 1
+          case '"' =>
+            i += 1
+            val st = i
+            while (i < s.length && s(i) != '"') i += 1
+            values += s.substring(st, i)
+            i += 1 // closing quote
+          case c if c.isDigit || c == '-' || c == '+' || c == '.' =>
+            val st = i
+            while (i < s.length && (s(i).isDigit || "+-.eE".contains(s(i)))) i += 1
+            values += s.substring(st, i).toDouble
+          case _ =>
+            // bare token: a nested node if followed by '[' (WKT1 and WKT2),
+            // else a bare keyword atom (WKT2: CS[Cartesian,2], AXIS[...,east])
+            val st = i
+            while (i < s.length && s(i) != '[' && s(i) != ',' && s(i) != ']') i += 1
+            if (i < s.length && s(i) == '[') { i = st; values += parseNode() }
+            else values += s.substring(st, i).trim
+        }
+      }
+      Node(kind.toUpperCase, values.toSeq)
+    }
+
+    parseNode()
+  }
+
+  /** .prj content → catalog projection. Accepts both WKT1 (ESRI .prj,
+   * PROJCS/GEOGCS) and WKT2 (PROJCRS/GEOGCRS with CONVERSION/METHOD, as
+   * FlatGeobuf headers carry). Throws with the offending method name when
+   * a projection is not in the catalog. */
+  def toProj(wkt: String): Crs.Proj = {
+    val root = parse(wkt)
+    root.kind match {
+      case "GEOGCS" | "GEOGCRS" | "GEODCRS" => Crs.Longlat
+      case "PROJCRS" => wkt2Proj(root)
+      case "PROJCS" =>
+        val method = root.find("PROJECTION")
+          .flatMap(_.strings.headOption)
+          .getOrElse(throw new IllegalArgumentException("PROJCS without PROJECTION"))
+        val params: Map[String, Double] = root.findAll("PARAMETER").flatMap { p =>
+          for (n <- p.strings.headOption; v <- p.numbers.headOption)
+            yield n.toLowerCase -> v
+        }.toMap
+        def d(k: String, dflt: Double): Double = params.getOrElse(k, dflt)
+        method.toLowerCase match {
+          case "transverse_mercator" | "gauss_kruger" =>
+            Crs.Tmerc(d("latitude_of_origin", 0), d("central_meridian", 0),
+              d("scale_factor", 1.0), d("false_easting", 0), d("false_northing", 0))
+          case "lambert_conformal_conic" | "lambert_conformal_conic_2sp" =>
+            Crs.Lcc(d("standard_parallel_1", 33), d("standard_parallel_2", 45),
+              d("latitude_of_origin", 0), d("central_meridian", 0))
+          case "albers" | "albers_conic_equal_area" =>
+            Crs.Albers(d("standard_parallel_1", 29.5), d("standard_parallel_2", 45.5),
+              d("latitude_of_origin", 0), d("central_meridian", 0))
+          case "mercator" | "mercator_auxiliary_sphere" =>
+            Crs.Mercator(d("central_meridian", 0))
+          case "robinson" => Crs.Robinson(d("central_meridian", 0))
+          case "sinusoidal" => Crs.Sinusoidal(d("central_meridian", 0))
+          case "mollweide" => Crs.Mollweide(d("central_meridian", 0))
+          case "winkel_tripel" => Crs.WinkelTripel(d("central_meridian", 0))
+          case "lambert_azimuthal_equal_area" =>
+            Crs.Laea(d("latitude_of_origin", 0), d("central_meridian", 0))
+          case "orthographic" =>
+            Crs.Orthographic(d("latitude_of_origin", 0), d("central_meridian", 0))
+          case "stereographic" =>
+            Crs.Stereographic(d("latitude_of_origin", 90), d("central_meridian", 0))
+          case "equidistant_cylindrical" | "plate_carree" =>
+            Crs.Equirectangular(d("standard_parallel_1", 0), d("central_meridian", 0))
+          case other =>
+            throw new IllegalArgumentException(s"unsupported PROJECTION[$other]")
+        }
+      case other =>
+        throw new IllegalArgumentException(s"unsupported WKT root: $other")
+    }
+  }
+
+  /** WKT2 PROJCRS: CONVERSION/METHOD + EPSG parameter names → catalog. */
+  private def wkt2Proj(root: Node): Crs.Proj = {
+    val method = root.find("METHOD").flatMap(_.strings.headOption)
+      .getOrElse(throw new IllegalArgumentException("PROJCRS without METHOD"))
+    val params: Map[String, Double] = root.findAll("PARAMETER").flatMap { p =>
+      for (n <- p.strings.headOption; v <- p.numbers.headOption)
+        yield n.toLowerCase -> v
+    }.toMap
+    def d(k: String, dflt: Double): Double = params.getOrElse(k, dflt)
+    val lat0 = d("latitude of natural origin", d("latitude of origin", 0))
+    val lon0 = d("longitude of natural origin", d("longitude of origin", 0))
+    val m = method.toLowerCase
+    if (m.contains("transverse mercator"))
+      Crs.Tmerc(lat0, lon0, d("scale factor at natural origin", 1.0),
+        d("false easting", 0), d("false northing", 0))
+    else if (m.contains("mercator")) Crs.Mercator(lon0)
+    else if (m.contains("lambert conic conformal"))
+      Crs.Lcc(d("latitude of 1st standard parallel", 33),
+        d("latitude of 2nd standard parallel", 45),
+        d("latitude of false origin", lat0), d("longitude of false origin", lon0))
+    else if (m.contains("albers"))
+      Crs.Albers(d("latitude of 1st standard parallel", 29.5),
+        d("latitude of 2nd standard parallel", 45.5),
+        d("latitude of false origin", lat0), d("longitude of false origin", lon0))
+    else if (m.contains("lambert azimuthal")) Crs.Laea(lat0, lon0)
+    else if (m.contains("orthographic")) Crs.Orthographic(lat0, lon0)
+    else if (m.contains("stereographic")) Crs.Stereographic(lat0, lon0)
+    else if (m.contains("equidistant cylindrical") || m.contains("plate carr"))
+      Crs.Equirectangular(d("latitude of 1st standard parallel", 0), lon0)
+    else if (m.contains("robinson")) Crs.Robinson(lon0)
+    else if (m.contains("sinusoidal")) Crs.Sinusoidal(lon0)
+    else if (m.contains("mollweide")) Crs.Mollweide(lon0)
+    else if (m.contains("winkel")) Crs.WinkelTripel(lon0)
+    else throw new IllegalArgumentException(s"unsupported METHOD[$method]")
+  }
+}

@@ -29,7 +29,8 @@ object FlatGeobuf {
       geometryType: Int,
       envelope: Array[Double],
       columns: Seq[Column],
-      features: Seq[Feature])
+      features: Seq[Feature],
+      crsWkt: Option[String] = None)
 
   // GeometryType enum (spec)
   final val GPoint = 1
@@ -333,6 +334,17 @@ object FlatGeobuf {
       if (f == 0) 16 else buf.getShort(f) & 0xffff
     }
 
+    // header Crs table (field 10), wkt string (Crs field 4) — WKT2 per spec
+    val crsWkt: Option[String] = {
+      val f = fb.field(hdr, 10)
+      if (f == 0) None
+      else {
+        val t = fb.indirect(f)
+        val wktF = fb.field(t, 4)
+        if (wktF == 0) None else Some(fb.string(wktF))
+      }
+    }
+
     // skip the packed Hilbert R-tree: level sizes bottom-up, 40 bytes/node
     var pos = 12 + headerLen
     if (indexNodeSize > 0 && featuresCount > 0) {
@@ -365,7 +377,7 @@ object FlatGeobuf {
         pos += 4 + size
       }
     }
-    Layer(geometryType, envelope, columns, features.result())
+    Layer(geometryType, envelope, columns, features.result(), crsWkt)
   }
 
   /** Geometry table → flat xy parts (ends split the xy vector into rings). */

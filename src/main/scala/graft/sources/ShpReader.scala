@@ -18,6 +18,16 @@ import graft.index.PolygonLayer
  */
 object ShpReader {
 
+  /** The .prj sidecar of a .shp path, mapped to a catalog projection via
+   * the WKT1 reader (None when no sidecar exists) — the reference resolves
+   * shapefile CRS the same way (`shp-import` + wkt1ToProj). */
+  def readPrj(shpPath: String): Option[graft.geom.Crs.Proj] = {
+    val prj = java.nio.file.Paths.get(shpPath.replaceAll("\\.shp$", ".prj"))
+    if (!java.nio.file.Files.exists(prj)) None
+    else Some(graft.geom.Wkt.toProj(
+      new String(java.nio.file.Files.readAllBytes(prj), "UTF-8")))
+  }
+
   final val TypePoint = 1
   final val TypePolyline = 3
   final val TypePolygon = 5

@@ -1,0 +1,78 @@
+package graft
+
+import java.nio.file.{Files, Path, Paths}
+import scala.jdk.CollectionConverters._
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.geom.{Crs, Wkt}
+
+/** .prj (WKT1) reader against ALL of the reference's shapefile sidecars. */
+class WktSpec extends AnyFunSuite {
+
+  private def allPrjFiles: Seq[Path] = {
+    val root = Paths.get("/root/reference/test")
+    if (!Files.exists(root)) return Nil
+    Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".prj") && Files.isRegularFile(p))
+      .toSeq.sortBy(_.toString)
+  }
+
+  test("every reference .prj parses; all but the 'Unknown Projection' map to the catalog") {
+    val files = allPrjFiles
+    assert(files.length >= 20, s"expected the reference fixture set, found ${files.length}")
+    var mapped = 0
+    var rejected = 0
+    files.foreach { f =>
+      val wkt = new String(Files.readAllBytes(f), "UTF-8")
+      val tree = Wkt.parse(wkt) // structural parse must always succeed
+      assert(tree.kind == "GEOGCS" || tree.kind == "PROJCS", s"$f root ${tree.kind}")
+      try {
+        val p = Wkt.toProj(wkt)
+        val (x, y) = p.forward(114.1, 30.5)
+        assert(x.isFinite && y.isFinite, s"$f projected to ($x, $y)")
+        mapped += 1
+      } catch {
+        case e: IllegalArgumentException =>
+          assert(e.getMessage.toLowerCase.contains("unknown projection"), s"$f rejected: ${e.getMessage}")
+          rejected += 1
+      }
+    }
+    assert(rejected <= 1, s"$rejected fixtures rejected")
+    assert(mapped >= files.length - 1)
+  }
+
+  test("gauss_kruger .prj maps to Tmerc with the file's parameters") {
+    val wkt = new String(Files.readAllBytes(
+      Paths.get("/root/reference/test/data/issues/193/gauss_kruger.prj")), "UTF-8")
+    Wkt.toProj(wkt) match {
+      case t: Crs.Tmerc =>
+        assert(t.lon0Deg == 114.0 && t.lat0Deg == 0.0 && t.k0 == 1.0)
+        assert(t.falseE == 500000.0 && t.falseN == 0.0)
+      case other => fail(s"expected Tmerc, got $other")
+    }
+  }
+
+  test("GEOGCS-only .prj maps to longlat") {
+    val wkt = new String(Files.readAllBytes(Paths.get(
+      "/root/reference/test/data/ne/ne_110m_admin_0_pacific_groupings.prj")), "UTF-8")
+    assert(Wkt.toProj(wkt) == Crs.Longlat)
+  }
+
+  test("WKT2 from a FlatGeobuf header maps through the same reader") {
+    val fgb = "/root/reference/test/data/features/buffer/greenland_merc_polygon_error3.fgb"
+    if (Files.exists(Paths.get(fgb))) {
+      val layer = graft.sources.FlatGeobuf.read(fgb)
+      assert(layer.crsWkt.isDefined, "fixture header should carry a WKT2 CRS")
+      val wkt = layer.crsWkt.get
+      assert(wkt.startsWith("PROJCRS"))
+      Wkt.toProj(wkt) match {
+        case m: Crs.Mercator => assert(m.lon0Deg == 0.0)
+        case other => fail(s"expected Mercator, got $other")
+      }
+      // WKT2 bare keywords (CS[Cartesian,2], AXIS[...,east,ORDER[1]]) parse
+      val tree = Wkt.parse(wkt)
+      assert(tree.find("CS").isDefined && tree.find("METHOD").isDefined)
+    }
+  }
+}
