@@ -132,6 +132,10 @@ object Graft {
   /** .prj (WKT1) sidecar content -> catalog projection (the reference's
    * wkt1ToProj path for shapefile CRS detection). */
   def projectionFromWkt(wkt: String): Crs.Proj = geom.Wkt.toProj(wkt)
+  /** Catalog projection -> ESRI WKT1 .prj content (the reference's
+   * exportPrjFile path on shapefile export); round-trips through
+   * projectionFromWkt. */
+  def projectionToWkt(proj: Crs.Proj): String = geom.Wkt.fromProj(proj)
   /** Compound projection with custom inset frames (the reference's
    * MixedProjection): main projection + per-frame bbox routing and affine
    * placement (rotate/scale about the projected origin, then translate). */

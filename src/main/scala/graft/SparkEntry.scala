@@ -1332,6 +1332,15 @@ object SparkEntry {
       sums.join(ids, "g").orderBy("g")
     }),
 
+    // -o precision=: coordinate rounding at export (round-to-increment with
+    // the reference's floor(x*inv + 0.5)/inv arithmetic) — exact mirror
+    "q_precision" -> ((s, dir) =>
+      points(s, dir).select(col("id"),
+          floor(roundCoord(col("x"), 0.25) * 1000000.0).cast("long").as("rx_int"),
+          floor(roundCoord(col("y") - 50.0, 0.25) * 1000000.0).cast("long").as("ry_int"),
+          floor(roundCoord(col("x"), 0.001) * 1000000.0).cast("long").as("rx3_int"))
+        .orderBy("id")),
+
     // -uniq max_count=2 invert: the rows REMOVED by a keep-2 dedupe
     "q_uniq_invert" -> ((s, dir) =>
       Uniq(t(s, dir, "lineitem"), Seq("l_orderkey"),
@@ -3254,6 +3263,17 @@ object SparkEntry {
          |  min(id) AS id_min,
          |  max(id) AS id_max
          |FROM pts GROUP BY id % 5 ORDER BY g""".stripMargin,
+
+    // floor(x*inv + 0.5)/inv — JS Math.round semantics, exact on both sides
+    // (y - 50 exercises the negative-halves branch where DuckDB's round()
+    // would differ)
+    "q_precision" ->
+      s"""WITH $ptsSql
+         |SELECT id,
+         |  CAST(floor(floor(x * 4.0 + 0.5) / 4.0 * 1000000.0) AS BIGINT) AS rx_int,
+         |  CAST(floor(floor((y - 50.0) * 4.0 + 0.5) / 4.0 * 1000000.0) AS BIGINT) AS ry_int,
+         |  CAST(floor(floor(x * 1000.0 + 0.5) / 1000.0 * 1000000.0) AS BIGINT) AS rx3_int
+         |FROM pts ORDER BY id""".stripMargin,
 
     "q_uniq_invert" ->
       """SELECT l_orderkey, l_partkey, CAST(l_linenumber AS BIGINT) AS l_linenumber FROM (

@@ -28,6 +28,17 @@ object GraftFunctions {
   /** Integer cell coordinate at a cell size — floor(v / cs), matches square-grid pointToIdx. */
   def cellCoord(v: Column, cellSizeV: Double): Column = floor(v / lit(cellSizeV)).cast("long")
 
+  /** `-o precision=` coordinate rounding (the reference's getRoundingFunction,
+   * `src/geom/mapshaper-rounding.mjs:31-43`): round(x * inv) / inv with
+   * inv = round(1/inc) when 1/inc > 1. JS Math.round is floor(x + 0.5)
+   * (half toward +inf) — expressed as floor so the SQL mirror is exact
+   * (DuckDB's round() is half-away-from-zero, which differs on negatives). */
+  def roundCoord(v: Column, inc: Double): Column = {
+    val inv0 = 1.0 / inc
+    val inv = if (inv0 > 1) math.round(inv0).toDouble else inv0
+    floor(v * lit(inv) + lit(0.5)) / lit(inv)
+  }
+
   /** Packed Morton cell id at a resolution (codegen expression, no boxing). */
   def cellId(x: Column, y: Column, res: Int): Column = SpatialExprs.cellIdCol(x, y, res)
 

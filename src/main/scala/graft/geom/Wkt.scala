@@ -127,6 +127,53 @@ object Wkt {
     }
   }
 
+  /** Catalog projection → ESRI WKT1 for a .prj sidecar (the reference's
+   * `exportPrjFile`/`crsToPrj` path on shapefile export). Round-trips
+   * through [[toProj]] for every supported case; throws by class name for
+   * projections with no WKT1 method (the polyhedral family). */
+  def fromProj(proj: Crs.Proj): String = {
+    val geogcs = "GEOGCS[\"GCS_WGS_1984\",DATUM[\"D_WGS_1984\"," +
+      "SPHEROID[\"WGS_1984\",6378137.0,298.257223563]]," +
+      "PRIMEM[\"Greenwich\",0.0],UNIT[\"Degree\",0.0174532925199433]]"
+    def projcs(name: String, method: String, params: Seq[(String, Double)]): String = {
+      val ps = params.map { case (k, v) => s"""PARAMETER["$k",$v]""" }.mkString(",")
+      s"""PROJCS["$name",$geogcs,PROJECTION["$method"],$ps,UNIT["Meter",1.0]]"""
+    }
+    proj match {
+      case Crs.Longlat => geogcs
+      case t: Crs.Tmerc => projcs("Transverse_Mercator", "Transverse_Mercator", Seq(
+        "False_Easting" -> t.falseE, "False_Northing" -> t.falseN,
+        "Central_Meridian" -> t.lon0Deg, "Scale_Factor" -> t.k0,
+        "Latitude_Of_Origin" -> t.lat0Deg))
+      case l: Crs.Lcc => projcs("Lambert_Conformal_Conic", "Lambert_Conformal_Conic_2SP", Seq(
+        "Standard_Parallel_1" -> l.lat1Deg, "Standard_Parallel_2" -> l.lat2Deg,
+        "Latitude_Of_Origin" -> l.lat0Deg, "Central_Meridian" -> l.lon0Deg))
+      case a: Crs.Albers => projcs("Albers", "Albers", Seq(
+        "Standard_Parallel_1" -> a.lat1Deg, "Standard_Parallel_2" -> a.lat2Deg,
+        "Latitude_Of_Origin" -> a.lat0Deg, "Central_Meridian" -> a.lon0Deg))
+      case m: Crs.Mercator => projcs("Mercator", "Mercator",
+        Seq("Central_Meridian" -> m.lon0Deg))
+      case r: Crs.Robinson => projcs("Robinson", "Robinson",
+        Seq("Central_Meridian" -> r.lon0Deg))
+      case s0: Crs.Sinusoidal => projcs("Sinusoidal", "Sinusoidal",
+        Seq("Central_Meridian" -> s0.lon0Deg))
+      case m: Crs.Mollweide => projcs("Mollweide", "Mollweide",
+        Seq("Central_Meridian" -> m.lon0Deg))
+      case w: Crs.WinkelTripel => projcs("Winkel_Tripel", "Winkel_Tripel",
+        Seq("Central_Meridian" -> w.lon0Deg))
+      case l: Crs.Laea => projcs("Lambert_Azimuthal_Equal_Area",
+        "Lambert_Azimuthal_Equal_Area", Seq(
+          "Latitude_Of_Origin" -> l.lat0Deg, "Central_Meridian" -> l.lon0Deg))
+      case o: Crs.Orthographic => projcs("Orthographic", "Orthographic", Seq(
+        "Latitude_Of_Origin" -> o.lat0Deg, "Central_Meridian" -> o.lon0Deg))
+      case e: Crs.Equirectangular => projcs("Equidistant_Cylindrical",
+        "Equidistant_Cylindrical", Seq(
+          "Standard_Parallel_1" -> e.latTsDeg, "Central_Meridian" -> e.lon0Deg))
+      case other => throw new IllegalArgumentException(
+        s"no WKT1 representation for ${other.getClass.getSimpleName}")
+    }
+  }
+
   /** WKT2 PROJCRS: CONVERSION/METHOD + EPSG parameter names → catalog. */
   private def wkt2Proj(root: Node): Crs.Proj = {
     val method = root.find("METHOD").flatMap(_.strings.headOption)

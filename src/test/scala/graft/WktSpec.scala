@@ -59,6 +59,30 @@ class WktSpec extends AnyFunSuite {
     assert(Wkt.toProj(wkt) == Crs.Longlat)
   }
 
+  test(".prj writer round-trips through the reader for every expressible projection") {
+    val cases: Seq[Crs.Proj] = Seq(
+      Crs.Longlat,
+      Crs.Tmerc(0.0, 114.0, 1.0, 500000.0, 0.0),
+      Crs.Lcc(33.0, 45.0, 39.0, -96.0),
+      Crs.Albers(29.5, 45.5, 23.0, -96.0),
+      Crs.Mercator(12.0),
+      Crs.Robinson(10.0),
+      Crs.Sinusoidal(-30.0),
+      Crs.Mollweide(5.0),
+      Crs.WinkelTripel(0.0),
+      Crs.Laea(45.0, 8.0),
+      Crs.Orthographic(40.0, -100.0),
+      Crs.Equirectangular(30.0, 15.0))
+    cases.foreach { p =>
+      val wkt = Wkt.fromProj(p)
+      val back = Wkt.toProj(wkt)
+      // parameter-level round trip (radius defaults normalize to equal values)
+      assert(back == p, s"round trip for $p gave $back")
+    }
+    // forward-only polyhedral projections have no WKT1 method
+    intercept[IllegalArgumentException](Wkt.fromProj(Crs.DymaxionProj()))
+  }
+
   test("WKT2 from a FlatGeobuf header maps through the same reader") {
     val fgb = "/root/reference/test/data/features/buffer/greenland_merc_polygon_error3.fgb"
     if (Files.exists(Paths.get(fgb))) {
