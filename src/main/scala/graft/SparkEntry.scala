@@ -2547,6 +2547,26 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // -proj narukawa2022: the FULL forward — orientation basis, nearest
+    // tetrahedral facet, sector radial transform, and the reflect/fold/wrap
+    // rectangle layout — mirrored in SQL with the basis and facet frames
+    // DERIVED from the published vertices (only those are literal).
+    "q_narukawa" -> ((s, dir) => {
+      val fwd = udf { (lon: Double, lat: Double) =>
+        val (nx, ny) = graft.geom.Narukawa.forward(
+          lon * math.Pi / 180.0, lat * math.Pi / 180.0)
+        Array(nx, ny)
+      }
+      points(s, dir)
+        .withColumn("lon", col("x") * 3.6 - 180.0)
+        .withColumn("lat", col("y") * 1.7 - 85.0)
+        .withColumn("r", fwd(col("lon"), col("lat")))
+        .select(col("id"),
+          floor(element_at(col("r"), 1) * 1000000.0).cast("long").as("x_int"),
+          floor(element_at(col("r"), 2) * 1000000.0).cast("long").as("y_int"))
+        .orderBy("id")
+    }),
+
     "q_proj_crs" -> ((s, dir) => {
       val pts = points(s, dir)
         .withColumn("lon", col("x") * 3.6 - 180.0)
@@ -3665,6 +3685,114 @@ object SparkEntry {
 
     // -proj cahill_keyes: full-construction mirror (see cahillSql scaladoc)
     "q_cahill" -> cahillSql,
+
+    // -proj narukawa2022: full forward mirror — orientation basis and facet
+    // frames derived in SQL from the published tetrahedron vertices; oblique
+    // facet pick (max oblique latitude, scan-order ties), sector radial
+    // transform, reflect/fold/wrap layout, edge scaling
+    "q_narukawa" -> {
+      val gv = Seq((76.8810628, 149.4509913), (-27.9527772, 97.3570035),
+        (-6.6370473, -18.8522325), (-22.9282364, -133.2827588))
+      val eps = dl(1e-12)
+      val shift = dl(1.16)
+      s"""WITH $ptsSql,
+         |gv AS (SELECT
+         |  cos(${dl(gv(0)._2)} * (pi() / 180.0)) * cos(${dl(gv(0)._1)} * (pi() / 180.0)) AS nx,
+         |  sin(${dl(gv(0)._2)} * (pi() / 180.0)) * cos(${dl(gv(0)._1)} * (pi() / 180.0)) AS ny,
+         |  sin(${dl(gv(0)._1)} * (pi() / 180.0)) AS nz,
+         |  cos(${dl(gv(2)._2)} * (pi() / 180.0)) * cos(${dl(gv(2)._1)} * (pi() / 180.0)) AS sx,
+         |  sin(${dl(gv(2)._2)} * (pi() / 180.0)) * cos(${dl(gv(2)._1)} * (pi() / 180.0)) AS sy,
+         |  sin(${dl(gv(2)._1)} * (pi() / 180.0)) AS sz),
+         |ob0 AS (SELECT *, sx * nx + sy * ny + sz * nz AS pr FROM gv),
+         |ob1 AS (SELECT *, sx - nx * pr AS tx, sy - ny * pr AS ty, sz - nz * pr AS tz FROM ob0),
+         |ob AS (SELECT *,
+         |  tx / sqrt(tx * tx + ty * ty + tz * tz) AS oxx,
+         |  ty / sqrt(tx * tx + ty * ty + tz * tz) AS oxy,
+         |  tz / sqrt(tx * tx + ty * ty + tz * tz) AS oxz
+         |  FROM ob1),
+         |ob2 AS (SELECT *,
+         |  ny * oxz - nz * oxy AS oyx,
+         |  nz * oxx - nx * oxz AS oyy,
+         |  nx * oxy - ny * oxx AS oyz
+         |  FROM ob),
+         |facets AS (
+         |  SELECT 0 AS fid, 0.0 AS fx, sqrt(3.0) AS fy, pi() / 2 AS flat, 0.0 AS flon,
+         |    0.0 AS fmer, -(pi() / 2) AS frot
+         |  UNION ALL SELECT 1, 0.0, -sqrt(3.0), -asin(CAST(1.0 AS DOUBLE) / 3.0), 0.0, pi(), pi() / 2
+         |  UNION ALL SELECT 2, 3.0, 0.0, -asin(CAST(1.0 AS DOUBLE) / 3.0), 2 * pi() / 3, pi(), 5 * pi() / 6
+         |  UNION ALL SELECT 3, -3.0, 0.0, -asin(CAST(1.0 AS DOUBLE) / 3.0), -(2 * pi() / 3), pi(), pi() / 6),
+         |p0 AS (SELECT id,
+         |  (x * 3.6 - 180.0) * (pi() / 180.0) AS lam,
+         |  (y * 1.7 - 85.0) * (pi() / 180.0) AS phi FROM pts),
+         |pv AS (SELECT id, cos(lam) * cos(phi) AS vx, sin(lam) * cos(phi) AS vy, sin(phi) AS vz
+         |  FROM p0),
+         |pc AS (SELECT id,
+         |  atan2(vx * o.oyx + vy * o.oyy + vz * o.oyz, vx * o.oxx + vy * o.oxy + vz * o.oxz) AS cl,
+         |  asin(greatest(CAST(-1.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+         |    vx * o.nx + vy * o.ny + vz * o.nz))) AS cp
+         |  FROM pv, ob2 o),
+         |cand AS (SELECT p.id, f.*, p.cl, p.cp,
+         |  CASE WHEN f.fid = 0 THEN p.cp
+         |    ELSE asin(greatest(CAST(-1.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+         |      sin(f.flat) * sin(p.cp) + cos(f.flat) * cos(p.cp) * cos(f.flon - p.cl)))) END AS lat1
+         |  FROM pc p CROSS JOIN facets f),
+         |sel AS (SELECT * FROM (SELECT *,
+         |    row_number() OVER (PARTITION BY id ORDER BY lat1 DESC, fid ASC) AS rn FROM cand)
+         |  WHERE rn = 1),
+         |obq0 AS (SELECT *,
+         |  CASE WHEN fid = 0 THEN cl - flon
+         |    ELSE CASE WHEN sin(cl - flon) > 0 THEN
+         |      -(acos(greatest(CAST(-1.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+         |        CASE WHEN cos(lat1) < $eps THEN 1.0
+         |          ELSE (cos(flat) * sin(cp) - sin(flat) * cos(cp) * cos(flon - cl)) / cos(lat1) END))) - pi())
+         |    ELSE acos(greatest(CAST(-1.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+         |        CASE WHEN cos(lat1) < $eps THEN 1.0
+         |          ELSE (cos(flat) * sin(cp) - sin(flat) * cos(cp) * cos(flon - cl)) / cos(lat1) END))) - pi()
+         |    END END AS lon1a
+         |  FROM sel),
+         |obq AS (SELECT *,
+         |  CASE WHEN lon1a - fmer > pi() THEN lon1a - fmer - 2 * pi()
+         |       WHEN lon1a - fmer < -pi() THEN lon1a - fmer + 2 * pi()
+         |       ELSE lon1a - fmer END AS rlon
+         |  FROM obq0),
+         |sec AS (SELECT *, floor((rlon + pi() / 3) / (2 * pi() / 3)) AS sector FROM obq),
+         |ffw AS (SELECT *, rlon - sector * 2 * pi() / 3 AS slam FROM sec),
+         |ff AS (SELECT *, slam - asin(sin(slam) / sqrt(3.0)) AS aa FROM ffw),
+         |ff2 AS (SELECT *,
+         |  atan(2 * sqrt(3.0) / pi() * aa) AS theta,
+         |  CASE WHEN 2 + sqrt(2.0) * tan(lat1) > 0
+         |    THEN (2 + cos(slam)) / (2 + sqrt(2.0) * tan(lat1)) ELSE 0.0 END AS q
+         |  FROM ff),
+         |raw AS (SELECT *,
+         |  (q * sqrt(3.0) / cos(theta)) * cos(theta + frot + sector * 2 * pi() / 3 / 2) + fx AS rx,
+         |  (q * sqrt(3.0) / cos(theta)) * sin(theta + frot + sector * 2 * pi() / 3 / 2) + fy AS ry
+         |  FROM ff2),
+         |lay0 AS (SELECT id,
+         |  CASE WHEN abs(rx) > 3 + $eps THEN 2 * fx - rx
+         |       WHEN abs(ry) > sqrt(3.0) + $eps THEN -rx
+         |       ELSE rx END AS x1,
+         |  CASE WHEN abs(rx) > 3 + $eps THEN -ry
+         |       WHEN abs(ry) > sqrt(3.0) + $eps THEN
+         |         2 * sqrt(3.0) * (CASE WHEN ry > 0 THEN 1.0 ELSE -1.0 END) - ry
+         |       ELSE ry END AS y1
+         |  FROM raw),
+         |lay1 AS (SELECT id,
+         |  CASE WHEN -x1 > $eps THEN 2 * sqrt(3.0) - y1 ELSE y1 END AS qx0,
+         |  CASE WHEN -x1 > $eps THEN x1 ELSE -x1 END AS qy
+         |  FROM lay0),
+         |lay2 AS (SELECT id,
+         |  CASE WHEN qx0 + $shift < 0 THEN qx0 + $shift + 4 * sqrt(3.0)
+         |       ELSE qx0 + $shift END AS qx, qy
+         |  FROM lay1),
+         |fin AS (SELECT id,
+         |  greatest(-2 * sqrt(3.0), least(2 * sqrt(3.0), qx - 2 * sqrt(3.0))) AS lx,
+         |  greatest(CAST(-1.5 AS DOUBLE), least(CAST(1.5 AS DOUBLE), qy + 1.5)) AS ly
+         |  FROM lay2)
+         |SELECT id,
+         |  CAST(floor(lx * (acos(CAST(-1.0 AS DOUBLE) / 3.0) / 2) * 1000000.0) AS BIGINT) AS x_int,
+         |  CAST(floor(ly * (acos(CAST(-1.0 AS DOUBLE) / 3.0) / 2) * 1000000.0) AS BIGINT) AS y_int
+         |FROM fin ORDER BY id""".stripMargin
+    },
 
     // -proj dymaxion: rotation -> face find -> Gray-Fuller, with the whole
     // icosahedron DERIVED in SQL (vertices from atan(0.5), spherical
