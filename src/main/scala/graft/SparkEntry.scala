@@ -2567,6 +2567,28 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // -proj markley (Lee tetrahedral): the face-local conformal transform —
+    // global rotation, tetrahedron face find, per-face rotation, and L. P.
+    // Lee's complex-series triangle map (sector pick, vertex/center series,
+    // annulus blend) — mirrored in SQL; the rectangular layout is pinned by
+    // LeeSpec (shared-edge + frame invariants).
+    "q_lee" -> ((s, dir) => {
+      val fl = udf { (lon: Double, lat: Double) =>
+        graft.geom.Lee.markley.base
+          .faceLocal(lon * math.Pi / 180.0, lat * math.Pi / 180.0)
+          .map { case (fid, lx, ly) => Array(fid.toDouble, lx, ly) }.orNull
+      }
+      points(s, dir)
+        .withColumn("lon", col("x") * 3.6 - 180.0)
+        .withColumn("lat", col("y") * 1.7 - 85.0)
+        .withColumn("r", fl(col("lon"), col("lat")))
+        .select(col("id"),
+          element_at(col("r"), 1).cast("long").as("face_id"),
+          floor(element_at(col("r"), 2) * 1000000.0).cast("long").as("lx_int"),
+          floor(element_at(col("r"), 3) * 1000000.0).cast("long").as("ly_int"))
+        .orderBy("id")
+    }),
+
     "q_proj_crs" -> ((s, dir) => {
       val pts = points(s, dir)
         .withColumn("lon", col("x") * 3.6 - 180.0)
@@ -3685,6 +3707,182 @@ object SparkEntry {
 
     // -proj cahill_keyes: full-construction mirror (see cahillSql scaladoc)
     "q_cahill" -> cahillSql,
+
+    // -proj markley face-local mirror: tetrahedron DERIVED in SQL (vertices,
+    // edge normals, centroids), both spherical rotations, and the Lee
+    // complex series — 20-step vertex Horner + complex sqrt via arg/log/exp,
+    // 7-step center Horner over z^3, 120-degree sector pick, annulus blend.
+    // The polar-face centroid test uses |lat| > 89 (ulp-safe stand-in for
+    // the kernel's exact ±90; the other centroids sit at ±19.47).
+    "q_lee" -> {
+      val DR = "(pi() / 180.0)"
+      def rotSql(pre: String, lamc: String, phic: String,
+                 d0: String, d1: String, d2: String,
+                 outl: String, outp: String): String =
+        s"""${pre}0 AS (SELECT *,
+           |  CASE WHEN $lamc + ($d0) * $DR > pi() THEN $lamc + ($d0) * $DR - 2 * pi()
+           |       WHEN $lamc + ($d0) * $DR < -pi() THEN $lamc + ($d0) * $DR + 2 * pi()
+           |       ELSE $lamc + ($d0) * $DR END AS ${pre}_laml FROM ${pre}_in),
+           |${pre}1 AS (SELECT *,
+           |  atan2(sin(${pre}_laml) * cos($phic) * cos(($d2) * $DR)
+           |      - (sin($phic) * cos(($d1) * $DR)
+           |         + cos(${pre}_laml) * cos($phic) * sin(($d1) * $DR)) * sin(($d2) * $DR),
+           |    cos(${pre}_laml) * cos($phic) * cos(($d1) * $DR)
+           |      - sin($phic) * sin(($d1) * $DR)) AS $outl,
+           |  asin(greatest(CAST(-1.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+           |    (sin($phic) * cos(($d1) * $DR)
+           |     + cos(${pre}_laml) * cos($phic) * sin(($d1) * $DR)) * cos(($d2) * $DR)
+           |    + sin(${pre}_laml) * cos($phic) * sin(($d2) * $DR)))) AS $outp
+           |  FROM ${pre}0)""".stripMargin
+      val coef = Seq(1.15470053837925, 0.192450089729875, 0.0481125224324687,
+        0.010309826235529, 3.34114739114366e-4, -1.50351632601465e-3,
+        -1.2304417796231e-3, -6.75190201960282e-4,
+        -2.84084537293856e-4, -8.21205120500051e-5,
+        -1.59257630018706e-6, 1.91691805888369e-5,
+        1.73095888028726e-5, 1.03865580818367e-5,
+        4.70614523937179e-6, 1.4413500104181e-6,
+        1.92757960170179e-8, -3.82869799649063e-7,
+        -3.57526015225576e-7, -2.2175964844211e-7)
+      val h0 = Seq("1.0", "CAST(1.0 AS DOUBLE) / 8", "CAST(3.0 AS DOUBLE) / 56",
+        "CAST(1.0 AS DOUBLE) / 32", "CAST(35.0 AS DOUBLE) / 1664",
+        "CAST(63.0 AS DOUBLE) / 4096", "CAST(231.0 AS DOUBLE) / 19456")
+      val gStages = coef.reverse.zipWithIndex.map { case (c, idx) =>
+        if (idx == 0)
+          s"g0 AS (SELECT *, CAST(${dl(c)} AS DOUBLE) AS g0x, CAST(0.0 AS DOUBLE) AS g0y FROM kb)"
+        else
+          s"g$idx AS (SELECT *, ${dl(c)} + g${idx - 1}x * yyx - g${idx - 1}y * yyy AS g${idx}x, " +
+            s"g${idx - 1}y * yyx + g${idx - 1}x * yyy AS g${idx}y FROM g${idx - 1})"
+      }.mkString(",\n")
+      val gl = s"g${coef.length - 1}"
+      val hStages = h0.reverse.zipWithIndex.map { case (c, idx) =>
+        if (idx == 0)
+          s"h0 AS (SELECT *, CAST($c AS DOUBLE) AS h0x, CAST(0.0 AS DOUBLE) AS h0y FROM hb)"
+        else
+          s"h$idx AS (SELECT *, ($c) + h${idx - 1}x * z3x - h${idx - 1}y * z3y AS h${idx}x, " +
+            s"h${idx - 1}y * z3x + h${idx - 1}x * z3y AS h${idx}y FROM h${idx - 1})"
+      }.mkString(",\n")
+      val hl = s"h${h0.length - 1}"
+      val markleyLat = math.acos(1.0 / 3) * 0.5 * 180.0 / math.Pi
+      val w1 = dl(1.4021821053254548)
+      s"""WITH $ptsSql,
+         |verts AS (
+         |  SELECT 0 AS vid, CAST(0.0 AS DOUBLE) AS lon, CAST(90.0 AS DOUBLE) AS lat
+         |  UNION ALL SELECT 1, -180.0, -(asin(CAST(1.0 AS DOUBLE) / 3.0) * 180.0 / pi())
+         |  UNION ALL SELECT 2, -60.0, -(asin(CAST(1.0 AS DOUBLE) / 3.0) * 180.0 / pi())
+         |  UNION ALL SELECT 3, 60.0, -(asin(CAST(1.0 AS DOUBLE) / 3.0) * 180.0 / pi())),
+         |fidx(fid, slot, vid) AS (VALUES
+         |  (0,0,1),(0,1,2),(0,2,3),(1,0,0),(1,1,2),(1,2,1),
+         |  (2,0,0),(2,1,3),(2,2,2),(3,0,0),(3,1,1),(3,2,3)),
+         |fvec AS (SELECT f.fid, f.slot,
+         |    cos(v.lat * $DR) * cos(v.lon * $DR) AS vx,
+         |    sin(v.lon * $DR) * cos(v.lat * $DR) AS vy,
+         |    sin(v.lat * $DR) AS vz
+         |  FROM fidx f JOIN verts v USING (vid)),
+         |inside AS (SELECT fid,
+         |    sum(vx) / sqrt(sum(vx)*sum(vx) + sum(vy)*sum(vy) + sum(vz)*sum(vz)) AS ix,
+         |    sum(vy) / sqrt(sum(vx)*sum(vx) + sum(vy)*sum(vy) + sum(vz)*sum(vz)) AS iy,
+         |    sum(vz) / sqrt(sum(vx)*sum(vx) + sum(vy)*sum(vy) + sum(vz)*sum(vz)) AS iz
+         |  FROM fvec GROUP BY fid),
+         |cents AS (SELECT fid,
+         |    atan2(iy, ix) * 180.0 / pi() AS clon,
+         |    asin(greatest(CAST(-1.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE), iz))) * 180.0 / pi() AS clat
+         |  FROM inside),
+         |fedges AS (SELECT a.fid,
+         |    a.vy * b.vz - a.vz * b.vy AS nx,
+         |    a.vz * b.vx - a.vx * b.vz AS ny,
+         |    a.vx * b.vy - a.vy * b.vx AS nz
+         |  FROM fvec a JOIN fvec b ON a.fid = b.fid AND b.slot = (a.slot + 1) % 3),
+         |fsigned AS (SELECT e.fid, e.nx, e.ny, e.nz,
+         |    CASE WHEN e.nx * i.ix + e.ny * i.iy + e.nz * i.iz < 0 THEN -1 ELSE 1 END AS sg
+         |  FROM fedges e JOIN inside i ON e.fid = i.fid),
+         |r1_in AS (SELECT id,
+         |  (x * 3.6 - 180.0) * $DR AS lam0,
+         |  (y * 1.7 - 85.0) * $DR AS phi0 FROM pts),
+         |${rotSql("r1", "lam0", "phi0", "115.0", dl(markleyLat - 90.0), "180.0", "lam", "phi")},
+         |pv AS (SELECT id, lam, phi,
+         |  cos(lam) * cos(phi) AS px, sin(lam) * cos(phi) AS py, sin(phi) AS pz FROM r11),
+         |contain AS (SELECT p.id, f.fid
+         |  FROM pv p JOIN fsigned f ON TRUE
+         |  GROUP BY p.id, f.fid
+         |  HAVING bool_and((f.nx * p.px + f.ny * p.py + f.nz * p.pz) * f.sg >= -${dl(1e-12)})),
+         |fsel AS (SELECT id, min(fid) AS fid FROM contain GROUP BY id),
+         |r2_in AS (SELECT p.id, s.fid, p.lam AS lamr, p.phi AS phir, c.clon, c.clat,
+         |  CASE WHEN abs(c.clat) > 89.0 THEN 0.0 ELSE -c.clon END AS rd0,
+         |  -c.clat AS rd1,
+         |  CASE WHEN abs(c.clat) > 89.0 THEN -30.0 ELSE 30.0 END AS rd2
+         |  FROM pv p JOIN fsel s ON p.id = s.id JOIN cents c ON s.fid = c.fid),
+         |${rotSql("r2", "lamr", "phir", "rd0", "rd1", "rd2", "flam", "fphi")},
+         |st AS (SELECT id, fid, flam, fphi,
+         |  (1.0 / (1.0 + cos(fphi) * cos(flam))) * cos(fphi) * sin(flam) * sqrt(2.0) AS zx,
+         |  (1.0 / (1.0 + cos(fphi) * cos(flam))) * sin(fphi) * sqrt(2.0) AS zy
+         |  FROM r21),
+         |wp AS (SELECT
+         |  exp(0.0) * cos(0.0) AS w0x, exp(0.0) * sin(0.0) AS w0y,
+         |  exp(ln(sqrt(0.25 + 0.75)))
+         |    * cos(atan2(sqrt(3.0) / 2, CAST(-0.5 AS DOUBLE))) AS w1x,
+         |  exp(ln(sqrt(0.25 + 0.75)))
+         |    * sin(atan2(sqrt(3.0) / 2, CAST(-0.5 AS DOUBLE))) AS w1y,
+         |  exp(2 * ln(sqrt(0.25 + 0.75)))
+         |    * cos(2 * atan2(sqrt(3.0) / 2, CAST(-0.5 AS DOUBLE))) AS w2x,
+         |  exp(2 * ln(sqrt(0.25 + 0.75)))
+         |    * sin(2 * atan2(sqrt(3.0) / 2, CAST(-0.5 AS DOUBLE))) AS w2y),
+         |sec0 AS (SELECT s.*, w.*,
+         |  s.zx * w.w0x - s.zy * w.w0y AS c0,
+         |  s.zx * w.w1x - s.zy * w.w1y AS c1,
+         |  s.zx * w.w2x - s.zy * w.w2y AS c2
+         |  FROM st s, wp w),
+         |sec AS (SELECT *,
+         |  CASE WHEN c2 > (CASE WHEN c1 > c0 THEN c1 ELSE c0 END) THEN 2
+         |       WHEN c1 > c0 THEN 1 ELSE 0 END AS sector
+         |  FROM sec0),
+         |rz AS (SELECT *,
+         |  CASE sector WHEN 0 THEN w0x WHEN 1 THEN w1x ELSE w2x END AS rotx,
+         |  CASE sector WHEN 0 THEN w0y WHEN 1 THEN w1y ELSE w2y END AS roty,
+         |  sqrt(zx * zx + zy * zy) AS nz2
+         |  FROM sec),
+         |kb AS (SELECT *,
+         |  1.0 - (rotx * zx - roty * zy) AS yyx,
+         |  -(roty * zx + rotx * zy) AS yyy
+         |  FROM rz),
+         |$gStages,
+         |ksq AS (SELECT *,
+         |  exp(0.5 * ln(sqrt(yyx * yyx + yyy * yyy))) * cos(0.5 * atan2(yyy, yyx)) AS syx,
+         |  exp(0.5 * ln(sqrt(yyx * yyx + yyy * yyy))) * sin(0.5 * atan2(yyy, yyx)) AS syy
+         |  FROM $gl),
+         |kk0 AS (SELECT *,
+         |  $w1 - (syx * ${gl}x - syy * ${gl}y) AS k0x,
+         |  -(syy * ${gl}x + syx * ${gl}y) AS k0y
+         |  FROM ksq),
+         |kk1 AS (SELECT *,
+         |  k0x * rotx - k0y * roty AS k1x,
+         |  k0y * rotx + k0x * roty AS k1y
+         |  FROM kk0),
+         |kk AS (SELECT *,
+         |  k1x * rotx - k1y * roty AS kkx,
+         |  k1y * rotx + k1x * roty AS kky
+         |  FROM kk1),
+         |hb AS (SELECT *,
+         |  exp(3 * ln(sqrt(zx * zx + zy * zy))) * cos(3 * atan2(zy, zx)) AS z3x,
+         |  exp(3 * ln(sqrt(zx * zx + zy * zy))) * sin(3 * atan2(zy, zx)) AS z3y
+         |  FROM kk),
+         |$hStages,
+         |hh AS (SELECT *,
+         |  ${hl}x * zx - ${hl}y * zy AS hhx,
+         |  ${hl}y * zx + ${hl}x * zy AS hhy
+         |  FROM $hl),
+         |mix AS (SELECT id, fid,
+         |  CASE WHEN nz2 < 0.3 THEN hhx
+         |       WHEN nz2 > 0.5 THEN kkx
+         |       ELSE kkx * ((nz2 - 0.3) / 0.2) + hhx * (1.0 - (nz2 - 0.3) / 0.2) END AS qx,
+         |  CASE WHEN nz2 < 0.3 THEN hhy
+         |       WHEN nz2 > 0.5 THEN kky
+         |       ELSE kky * ((nz2 - 0.3) / 0.2) + hhy * (1.0 - (nz2 - 0.3) / 0.2) END AS qy
+         |  FROM hh)
+         |SELECT id, CAST(fid AS BIGINT) AS face_id,
+         |  CAST(floor(qx * 1000000.0) AS BIGINT) AS lx_int,
+         |  CAST(floor(-qy * 1000000.0) AS BIGINT) AS ly_int
+         |FROM mix ORDER BY id""".stripMargin
+    },
 
     // -proj narukawa2022: full forward mirror — orientation basis and facet
     // frames derived in SQL from the published tetrahedron vertices; oblique
