@@ -2582,6 +2582,7 @@ object SparkEntry {
         .withColumn("lon", col("x") * 3.6 - 180.0)
         .withColumn("lat", col("y") * 1.7 - 85.0)
         .withColumn("r", fl(col("lon"), col("lat")))
+        .filter(col("r").isNotNull) // mirror drops no-face ids via inner joins
         .select(col("id"),
           element_at(col("r"), 1).cast("long").as("face_id"),
           floor(element_at(col("r"), 2) * 1000000.0).cast("long").as("lx_int"),
@@ -3306,16 +3307,20 @@ object SparkEntry {
          |  max(id) AS id_max
          |FROM pts GROUP BY id % 5 ORDER BY g""".stripMargin,
 
-    // floor(x*inv + 0.5)/inv — JS Math.round semantics, exact on both sides
-    // (y - 50 exercises the negative-halves branch where DuckDB's round()
-    // would differ)
-    "q_precision" ->
+    // ES Math.round: floor(x) + (frac >= 0.5), computed without the
+    // floor(x+0.5) double-round; exact on both sides (y - 50 exercises the
+    // negative-halves branch where DuckDB's round() would differ)
+    "q_precision" -> {
+      def r(e: String, inv: String): String =
+        s"(CASE WHEN ($e) * $inv - floor(($e) * $inv) >= 0.5 " +
+          s"THEN floor(($e) * $inv) + 1.0 ELSE floor(($e) * $inv) END / $inv)"
       s"""WITH $ptsSql
          |SELECT id,
-         |  CAST(floor(floor(x * 4.0 + 0.5) / 4.0 * 1000000.0) AS BIGINT) AS rx_int,
-         |  CAST(floor(floor((y - 50.0) * 4.0 + 0.5) / 4.0 * 1000000.0) AS BIGINT) AS ry_int,
-         |  CAST(floor(floor(x * 1000.0 + 0.5) / 1000.0 * 1000000.0) AS BIGINT) AS rx3_int
-         |FROM pts ORDER BY id""".stripMargin,
+         |  CAST(floor(${r("x", "4.0")} * 1000000.0) AS BIGINT) AS rx_int,
+         |  CAST(floor(${r("y - 50.0", "4.0")} * 1000000.0) AS BIGINT) AS ry_int,
+         |  CAST(floor(${r("x", "1000.0")} * 1000000.0) AS BIGINT) AS rx3_int
+         |FROM pts ORDER BY id""".stripMargin
+    },
 
     "q_uniq_invert" ->
       """SELECT l_orderkey, l_partkey, CAST(l_linenumber AS BIGINT) AS l_linenumber FROM (

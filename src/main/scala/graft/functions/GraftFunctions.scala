@@ -30,13 +30,18 @@ object GraftFunctions {
 
   /** `-o precision=` coordinate rounding (the reference's getRoundingFunction,
    * `src/geom/mapshaper-rounding.mjs:31-43`): round(x * inv) / inv with
-   * inv = round(1/inc) when 1/inc > 1. JS Math.round is floor(x + 0.5)
-   * (half toward +inf) — expressed as floor so the SQL mirror is exact
-   * (DuckDB's round() is half-away-from-zero, which differs on negatives). */
+   * inv = round(1/inc) when 1/inc > 1. ES Math.round is half-toward-+inf
+   * computed EXACTLY: floor(x) + (x - floor(x) >= 0.5 ? 1 : 0) — NOT
+   * floor(x + 0.5), whose addition can double-round across the half (e.g.
+   * x = 0.49999999999999994). The fractional compare is exact (x - floor(x)
+   * is an exact double op) and mirrors 1:1 in SQL, where round() would
+   * differ on negative halves. */
   def roundCoord(v: Column, inc: Double): Column = {
     val inv0 = 1.0 / inc
     val inv = if (inv0 > 1) math.round(inv0).toDouble else inv0
-    floor(v * lit(inv) + lit(0.5)) / lit(inv)
+    val x = v * lit(inv)
+    val f = floor(x)
+    when(x - f >= 0.5, f + lit(1.0)).otherwise(f) / lit(inv)
   }
 
   /** Packed Morton cell id at a resolution (codegen expression, no boxing). */

@@ -33,7 +33,9 @@ object Wkt {
   /** Parse a WKT1 string into its node tree. */
   def parse(wkt: String): Node = {
     var i = 0
-    val s = wkt.trim
+    // trim() only strips chars <= 0x20 — a UTF-8 BOM (U+FEFF, common from
+    // Windows GIS tooling) must go too or the root kind is corrupted
+    val s = wkt.stripPrefix("\uFEFF").trim
 
     def skipWs(): Unit = while (i < s.length && s(i).isWhitespace) i += 1
 
@@ -90,35 +92,50 @@ object Wkt {
         val method = root.find("PROJECTION")
           .flatMap(_.strings.headOption)
           .getOrElse(throw new IllegalArgumentException("PROJCS without PROJECTION"))
-        val params: Map[String, Double] = root.findAll("PARAMETER").flatMap { p =>
-          for (n <- p.strings.headOption; v <- p.numbers.headOption)
-            yield n.toLowerCase -> v
-        }.toMap
+        val params = paramsOf(root)
         def d(k: String, dflt: Double): Double = params.getOrElse(k, dflt)
+        // ESRI writes *_Of_Center for azimuthal/centered projections and
+        // *_Of_Origin elsewhere — accept both rather than silently
+        // defaulting to 0 (a real-world World_Orthographic .prj uses Center)
+        def lat0(dflt: Double): Double =
+          d("latitude_of_origin", d("latitude_of_center", dflt))
+        def lon0(dflt: Double): Double =
+          d("central_meridian", d("longitude_of_center", dflt))
+        // the catalog carries false easting/northing only on Tmerc — a
+        // nonzero offset elsewhere must fail loudly, not shift silently
+        def noFalseOffsets(): Unit = {
+          val fe = d("false_easting", 0); val fn = d("false_northing", 0)
+          if (fe != 0 || fn != 0) throw new IllegalArgumentException(
+            s"unsupported nonzero False_Easting/False_Northing ($fe, $fn) for $method")
+        }
         method.toLowerCase match {
           case "transverse_mercator" | "gauss_kruger" =>
-            Crs.Tmerc(d("latitude_of_origin", 0), d("central_meridian", 0),
+            Crs.Tmerc(lat0(0), lon0(0),
               d("scale_factor", 1.0), d("false_easting", 0), d("false_northing", 0))
           case "lambert_conformal_conic" | "lambert_conformal_conic_2sp" =>
+            noFalseOffsets()
             Crs.Lcc(d("standard_parallel_1", 33), d("standard_parallel_2", 45),
-              d("latitude_of_origin", 0), d("central_meridian", 0))
+              lat0(0), lon0(0))
           case "albers" | "albers_conic_equal_area" =>
+            noFalseOffsets()
             Crs.Albers(d("standard_parallel_1", 29.5), d("standard_parallel_2", 45.5),
-              d("latitude_of_origin", 0), d("central_meridian", 0))
+              lat0(0), lon0(0))
           case "mercator" | "mercator_auxiliary_sphere" =>
-            Crs.Mercator(d("central_meridian", 0))
-          case "robinson" => Crs.Robinson(d("central_meridian", 0))
-          case "sinusoidal" => Crs.Sinusoidal(d("central_meridian", 0))
-          case "mollweide" => Crs.Mollweide(d("central_meridian", 0))
-          case "winkel_tripel" => Crs.WinkelTripel(d("central_meridian", 0))
+            noFalseOffsets()
+            Crs.Mercator(lon0(0))
+          case "robinson" => noFalseOffsets(); Crs.Robinson(lon0(0))
+          case "sinusoidal" => noFalseOffsets(); Crs.Sinusoidal(lon0(0))
+          case "mollweide" => noFalseOffsets(); Crs.Mollweide(lon0(0))
+          case "winkel_tripel" => noFalseOffsets(); Crs.WinkelTripel(lon0(0))
           case "lambert_azimuthal_equal_area" =>
-            Crs.Laea(d("latitude_of_origin", 0), d("central_meridian", 0))
+            noFalseOffsets(); Crs.Laea(lat0(0), lon0(0))
           case "orthographic" =>
-            Crs.Orthographic(d("latitude_of_origin", 0), d("central_meridian", 0))
+            noFalseOffsets(); Crs.Orthographic(lat0(0), lon0(0))
           case "stereographic" =>
-            Crs.Stereographic(d("latitude_of_origin", 90), d("central_meridian", 0))
+            noFalseOffsets(); Crs.Stereographic(lat0(90), lon0(0))
           case "equidistant_cylindrical" | "plate_carree" =>
-            Crs.Equirectangular(d("standard_parallel_1", 0), d("central_meridian", 0))
+            noFalseOffsets()
+            Crs.Equirectangular(d("standard_parallel_1", 0), lon0(0))
           case other =>
             throw new IllegalArgumentException(s"unsupported PROJECTION[$other]")
         }
@@ -166,6 +183,8 @@ object Wkt {
           "Latitude_Of_Origin" -> l.lat0Deg, "Central_Meridian" -> l.lon0Deg))
       case o: Crs.Orthographic => projcs("Orthographic", "Orthographic", Seq(
         "Latitude_Of_Origin" -> o.lat0Deg, "Central_Meridian" -> o.lon0Deg))
+      case s1: Crs.Stereographic => projcs("Stereographic", "Stereographic", Seq(
+        "Latitude_Of_Origin" -> s1.lat0Deg, "Central_Meridian" -> s1.lon0Deg))
       case e: Crs.Equirectangular => projcs("Equidistant_Cylindrical",
         "Equidistant_Cylindrical", Seq(
           "Standard_Parallel_1" -> e.latTsDeg, "Central_Meridian" -> e.lon0Deg))
@@ -174,14 +193,19 @@ object Wkt {
     }
   }
 
+  /** All PARAMETER nodes of a CRS tree as a lowercase name → value map
+   * (shared by the WKT1 and WKT2 branches). */
+  private def paramsOf(root: Node): Map[String, Double] =
+    root.findAll("PARAMETER").flatMap { p =>
+      for (n <- p.strings.headOption; v <- p.numbers.headOption)
+        yield n.toLowerCase -> v
+    }.toMap
+
   /** WKT2 PROJCRS: CONVERSION/METHOD + EPSG parameter names → catalog. */
   private def wkt2Proj(root: Node): Crs.Proj = {
     val method = root.find("METHOD").flatMap(_.strings.headOption)
       .getOrElse(throw new IllegalArgumentException("PROJCRS without METHOD"))
-    val params: Map[String, Double] = root.findAll("PARAMETER").flatMap { p =>
-      for (n <- p.strings.headOption; v <- p.numbers.headOption)
-        yield n.toLowerCase -> v
-    }.toMap
+    val params = paramsOf(root)
     def d(k: String, dflt: Double): Double = params.getOrElse(k, dflt)
     val lat0 = d("latitude of natural origin", d("latitude of origin", 0))
     val lon0 = d("longitude of natural origin", d("longitude of origin", 0))

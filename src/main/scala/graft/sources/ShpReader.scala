@@ -22,7 +22,7 @@ object ShpReader {
    * the WKT1 reader (None when no sidecar exists) — the reference resolves
    * shapefile CRS the same way (`shp-import` + wkt1ToProj). */
   def readPrj(shpPath: String): Option[graft.geom.Crs.Proj] = {
-    val prj = java.nio.file.Paths.get(shpPath.replaceAll("\\.shp$", ".prj"))
+    val prj = java.nio.file.Paths.get(shpPath.replaceAll("(?i)\\.shp$", ".prj"))
     if (!java.nio.file.Files.exists(prj)) None
     else Some(graft.geom.Wkt.toProj(
       new String(java.nio.file.Files.readAllBytes(prj), "UTF-8")))

@@ -7,18 +7,22 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.geom.{Crs, Wkt}
 
-/** .prj (WKT1) reader against ALL of the reference's shapefile sidecars. */
+/** .prj (WKT1/WKT2) reader + writer against ALL of the reference's
+ * shapefile sidecars. Fixture-backed cases skip cleanly (assume) when the
+ * reference tree is absent. */
 class WktSpec extends AnyFunSuite {
 
+  private val refRoot = Paths.get("/root/reference/test")
+
   private def allPrjFiles: Seq[Path] = {
-    val root = Paths.get("/root/reference/test")
-    if (!Files.exists(root)) return Nil
-    Files.walk(root).iterator().asScala
+    if (!Files.exists(refRoot)) return Nil
+    Files.walk(refRoot).iterator().asScala
       .filter(p => p.toString.endsWith(".prj") && Files.isRegularFile(p))
       .toSeq.sortBy(_.toString)
   }
 
   test("every reference .prj parses; all but the 'Unknown Projection' map to the catalog") {
+    assume(Files.exists(refRoot), "reference fixtures not present")
     val files = allPrjFiles
     assert(files.length >= 20, s"expected the reference fixture set, found ${files.length}")
     var mapped = 0
@@ -42,21 +46,41 @@ class WktSpec extends AnyFunSuite {
     assert(mapped >= files.length - 1)
   }
 
-  test("gauss_kruger .prj maps to Tmerc with the file's parameters") {
-    val wkt = new String(Files.readAllBytes(
-      Paths.get("/root/reference/test/data/issues/193/gauss_kruger.prj")), "UTF-8")
+  test("gauss_kruger .prj maps to Tmerc with the file's parameters; readPrj resolves the sidecar") {
+    assume(Files.exists(refRoot), "reference fixtures not present")
+    val prjPath = "/root/reference/test/data/issues/193/gauss_kruger.prj"
+    val wkt = new String(Files.readAllBytes(Paths.get(prjPath)), "UTF-8")
     Wkt.toProj(wkt) match {
       case t: Crs.Tmerc =>
         assert(t.lon0Deg == 114.0 && t.lat0Deg == 0.0 && t.k0 == 1.0)
         assert(t.falseE == 500000.0 && t.falseN == 0.0)
       case other => fail(s"expected Tmerc, got $other")
     }
+    // the shapefile-read integration: .shp path (any case) -> sidecar proj
+    val viaShp = graft.sources.ShpReader.readPrj(prjPath.replaceAll("\\.prj$", ".shp"))
+    assert(viaShp.exists(_.isInstanceOf[Crs.Tmerc]))
+    val viaUpper = graft.sources.ShpReader.readPrj(prjPath.replaceAll("\\.prj$", ".SHP"))
+    assert(viaUpper.exists(_.isInstanceOf[Crs.Tmerc]), "extension match must be case-insensitive")
+    assert(graft.sources.ShpReader.readPrj("/nonexistent/dir/x.shp").isEmpty)
   }
 
-  test("GEOGCS-only .prj maps to longlat") {
+  test("GEOGCS-only .prj maps to longlat; a UTF-8 BOM is tolerated") {
+    assume(Files.exists(refRoot), "reference fixtures not present")
     val wkt = new String(Files.readAllBytes(Paths.get(
       "/root/reference/test/data/ne/ne_110m_admin_0_pacific_groupings.prj")), "UTF-8")
     assert(Wkt.toProj(wkt) == Crs.Longlat)
+    assert(Wkt.toProj("\uFEFF" + wkt) == Crs.Longlat)
+  }
+
+  test("ESRI *_Of_Center parameter names are honored; nonzero false offsets reject loudly") {
+    val ortho = """PROJCS["World_Orthographic",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],PROJECTION["Orthographic"],PARAMETER["Longitude_Of_Center",30.0],PARAMETER["Latitude_Of_Center",45.0],UNIT["Meter",1.0]]"""
+    Wkt.toProj(ortho) match {
+      case o: Crs.Orthographic => assert(o.lat0Deg == 45.0 && o.lon0Deg == 30.0)
+      case other => fail(s"expected Orthographic, got $other")
+    }
+    val shifted = """PROJCS["X",GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]],PROJECTION["Albers"],PARAMETER["False_Easting",2000000.0],PARAMETER["Central_Meridian",-96.0],UNIT["Meter",1.0]]"""
+    val e = intercept[IllegalArgumentException](Wkt.toProj(shifted))
+    assert(e.getMessage.contains("False_Easting"))
   }
 
   test(".prj writer round-trips through the reader for every expressible projection") {
@@ -72,6 +96,7 @@ class WktSpec extends AnyFunSuite {
       Crs.WinkelTripel(0.0),
       Crs.Laea(45.0, 8.0),
       Crs.Orthographic(40.0, -100.0),
+      Crs.Stereographic(60.0, -45.0),
       Crs.Equirectangular(30.0, 15.0))
     cases.foreach { p =>
       val wkt = Wkt.fromProj(p)
@@ -85,18 +110,17 @@ class WktSpec extends AnyFunSuite {
 
   test("WKT2 from a FlatGeobuf header maps through the same reader") {
     val fgb = "/root/reference/test/data/features/buffer/greenland_merc_polygon_error3.fgb"
-    if (Files.exists(Paths.get(fgb))) {
-      val layer = graft.sources.FlatGeobuf.read(fgb)
-      assert(layer.crsWkt.isDefined, "fixture header should carry a WKT2 CRS")
-      val wkt = layer.crsWkt.get
-      assert(wkt.startsWith("PROJCRS"))
-      Wkt.toProj(wkt) match {
-        case m: Crs.Mercator => assert(m.lon0Deg == 0.0)
-        case other => fail(s"expected Mercator, got $other")
-      }
-      // WKT2 bare keywords (CS[Cartesian,2], AXIS[...,east,ORDER[1]]) parse
-      val tree = Wkt.parse(wkt)
-      assert(tree.find("CS").isDefined && tree.find("METHOD").isDefined)
+    assume(Files.exists(Paths.get(fgb)), "reference fixtures not present")
+    val layer = graft.sources.FlatGeobuf.read(fgb)
+    assert(layer.crsWkt.isDefined, "fixture header should carry a WKT2 CRS")
+    val wkt = layer.crsWkt.get
+    assert(wkt.startsWith("PROJCRS"))
+    Wkt.toProj(wkt) match {
+      case m: Crs.Mercator => assert(m.lon0Deg == 0.0)
+      case other => fail(s"expected Mercator, got $other")
     }
+    // WKT2 bare keywords (CS[Cartesian,2], AXIS[...,east,ORDER[1]]) parse
+    val tree = Wkt.parse(wkt)
+    assert(tree.find("CS").isDefined && tree.find("METHOD").isDefined)
   }
 }
