@@ -408,6 +408,349 @@ object SparkEntry {
        |FROM pout ORDER BY id""".stripMargin
   }
 
+  /** The q_dymaxion / q_dymaxion2 mirror builder (verified cell-exact
+   * during authoring): Gray-Fuller vs gnomonic facet tails over one
+   * rotation + icosahedron-derivation + face-find pipeline. */
+  private def dymaxionOracleSql(grayFuller: Boolean): String = {
+      val sqrt3 = dl(math.sqrt(3))
+      val gz = dl(math.sqrt(5 + 2 * math.sqrt(5)) / math.sqrt(15))
+      val gel = dl(math.sqrt(8) / math.sqrt(5 + math.sqrt(5)))
+      val gdve = dl(math.sqrt(3 + math.sqrt(5)) / math.sqrt(5 + math.sqrt(5)))
+      val r0 = dl(-83.65929); val r1 = dl(25.44458); val r2 = dl(-87.45184)
+      val idx = Seq((0, 3, 11), (0, 5, 3), (0, 7, 5), (0, 9, 7), (0, 11, 9),
+        (2, 11, 3), (3, 4, 2), (4, 3, 5), (5, 6, 4), (6, 5, 7),
+        (7, 8, 6), (8, 7, 9), (9, 10, 8), (10, 9, 11), (11, 2, 10),
+        (1, 2, 4), (1, 4, 6), (1, 6, 8), (1, 8, 10), (1, 10, 2))
+      val facesValues = idx.zipWithIndex.map { case ((a, b, c), f) =>
+        s"($f,0,$a),($f,1,$b),($f,2,$c)"
+      }.mkString(",")
+      val dirExpr =
+        if (grayFuller)
+          s"CASE WHEN abs(c.slat - ${dl(52.62)}) < 1 OR abs(c.slat + ${dl(10.81)}) < 1 " +
+            "THEN 0.0 ELSE 60.0 END"
+        else "0.0"
+      val projTail =
+        if (grayFuller)
+          s"""gf AS (SELECT id, fid,
+             |    cos(phi2) * sin(lam2) * (($gz) / (cos(phi2) * cos(lam2))) AS gx0,
+             |    sin(phi2) * (($gz) / (cos(phi2) * cos(lam2))) AS gy0
+             |  FROM floc),
+             |ga AS (SELECT id, fid,
+             |    atan2(2 * gy0 / $sqrt3 + $gel / 3 - $gel / 2, $gdve) AS a1p,
+             |    atan2(gx0 - gy0 / $sqrt3 + $gel / 3 - $gel / 2, $gdve) AS a2p,
+             |    atan2($gel / 3 - gx0 - gy0 / $sqrt3 - $gel / 2, $gdve) AS a3p
+             |  FROM gf)
+             |SELECT id, CAST(fid AS BIGINT) AS face_id,
+             |  CAST(floor($sqrt3 * (a2p - a3p) * 1000000.0) AS BIGINT) AS gx_int,
+             |  CAST(floor(-(2 * a1p - a2p - a3p) * 1000000.0) AS BIGINT) AS gy_int
+             |FROM ga ORDER BY id""".stripMargin
+        else
+          s"""gn AS (SELECT id, fid, lam2, phi2 FROM floc)
+             |SELECT id, CAST(fid AS BIGINT) AS face_id,
+             |  CAST(floor(cos(phi2) * sin(lam2) / (cos(phi2) * cos(lam2)) * 1000000.0) AS BIGINT) AS gx_int,
+             |  CAST(floor(-(sin(phi2)) / (cos(phi2) * cos(lam2)) * 1000000.0) AS BIGINT) AS gy_int
+             |FROM gn ORDER BY id""".stripMargin
+      s"""WITH $ptsSql,
+         |verts AS (
+         |  SELECT 0 AS vid, CAST(0.0 AS DOUBLE) AS lon, CAST(90.0 AS DOUBLE) AS lat
+         |  UNION ALL SELECT 1, 0.0, -90.0
+         |  UNION ALL SELECT i + 2, CAST(((i * 36 + 180) % 360) - 180 AS DOUBLE),
+         |    CASE WHEN i % 2 = 1 THEN atan(${dl(0.5)}) * 180.0 / pi()
+         |         ELSE -(atan(${dl(0.5)}) * 180.0 / pi()) END
+         |  FROM generate_series(0, 9) t(i)),
+         |fidx(fid, slot, vid) AS (VALUES $facesValues),
+         |f20 AS (SELECT f.fid, f.slot, v.lon, v.lat FROM fidx f JOIN verts v USING (vid)),
+         |fvec AS (SELECT fid, slot, lon, lat,
+         |    cos(lat * pi() / 180.0) * cos(lon * pi() / 180.0) AS vx,
+         |    sin(lon * pi() / 180.0) * cos(lat * pi() / 180.0) AS vy,
+         |    sin(lat * pi() / 180.0) AS vz
+         |  FROM f20),
+         |csum AS (SELECT fid, sum(vx) AS sx, sum(vy) AS sy, sum(vz) AS sz FROM fvec GROUP BY fid),
+         |sites20 AS (SELECT fid,
+         |    atan2(sy / sqrt(sx*sx + sy*sy + sz*sz), sx / sqrt(sx*sx + sy*sy + sz*sz)) * 180.0 / pi() AS slon,
+         |    asin(greatest(CAST(-1.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+         |      sz / sqrt(sx*sx + sy*sy + sz*sz)))) * 180.0 / pi() AS slat
+         |  FROM csum),
+         |midv AS (SELECT
+         |    a.vx + b.vx AS mx, a.vy + b.vy AS my, a.vz + b.vz AS mz
+         |  FROM (SELECT * FROM fvec WHERE fid = 14 AND slot = 1) a,
+         |       (SELECT * FROM fvec WHERE fid = 14 AND slot = 2) b),
+         |mid AS (SELECT
+         |    atan2(my / sqrt(mx*mx + my*my + mz*mz), mx / sqrt(mx*mx + my*my + mz*mz)) * 180.0 / pi() AS mlon,
+         |    asin(greatest(CAST(-1.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+         |      mz / sqrt(mx*mx + my*my + mz*mz)))) * 180.0 / pi() AS mlat
+         |  FROM midv),
+         |f24 AS (
+         |  SELECT fid, slot, lon, lat FROM f20 WHERE fid NOT IN (14, 15, 19)
+         |  UNION ALL SELECT 15, 0, slon, slat FROM sites20 WHERE fid = 15
+         |  UNION ALL SELECT 15, slot, lon, lat FROM f20 WHERE fid = 15 AND slot IN (1, 2)
+         |  UNION ALL SELECT 14, 1, mlon, mlat FROM mid
+         |  UNION ALL SELECT 14, slot, lon, lat FROM f20 WHERE fid = 14 AND slot IN (0, 2)
+         |  UNION ALL SELECT 19, 1, mlon, mlat FROM mid
+         |  UNION ALL SELECT 19, slot, lon, lat FROM f20 WHERE fid = 19 AND slot IN (0, 2)
+         |  UNION ALL SELECT 20, 0, lon, lat FROM f20 WHERE fid = 15 AND slot = 0
+         |  UNION ALL SELECT 20, 1, slon, slat FROM sites20 WHERE fid = 15
+         |  UNION ALL SELECT 20, 2, lon, lat FROM f20 WHERE fid = 15 AND slot = 2
+         |  UNION ALL SELECT 21, slot, lon, lat FROM f20 WHERE fid = 15 AND slot IN (0, 1)
+         |  UNION ALL SELECT 21, 2, slon, slat FROM sites20 WHERE fid = 15
+         |  UNION ALL SELECT 22, slot, lon, lat FROM f20 WHERE fid = 14 AND slot IN (0, 1)
+         |  UNION ALL SELECT 22, 2, mlon, mlat FROM mid
+         |  UNION ALL SELECT 23, 0, mlon, mlat FROM mid
+         |  UNION ALL SELECT 23, 1, lon, lat FROM f20 WHERE fid = 19 AND slot = 0
+         |  UNION ALL SELECT 23, 2, lon, lat FROM f20 WHERE fid = 19 AND slot = 1),
+         |sites24 AS (
+         |  SELECT fid, slon, slat FROM sites20
+         |  UNION ALL SELECT 20, slon, slat FROM sites20 WHERE fid = 15
+         |  UNION ALL SELECT 21, slon, slat FROM sites20 WHERE fid = 15
+         |  UNION ALL SELECT 22, slon, slat FROM sites20 WHERE fid = 14
+         |  UNION ALL SELECT 23, slon, slat FROM sites20 WHERE fid = 19),
+         |fvec24 AS (SELECT fid, slot, lon, lat,
+         |    cos(lat * pi() / 180.0) * cos(lon * pi() / 180.0) AS vx,
+         |    sin(lon * pi() / 180.0) * cos(lat * pi() / 180.0) AS vy,
+         |    sin(lat * pi() / 180.0) AS vz
+         |  FROM f24),
+         |inside AS (SELECT fid,
+         |    sum(vx) / sqrt(sum(vx)*sum(vx) + sum(vy)*sum(vy) + sum(vz)*sum(vz)) AS ix,
+         |    sum(vy) / sqrt(sum(vx)*sum(vx) + sum(vy)*sum(vy) + sum(vz)*sum(vz)) AS iy,
+         |    sum(vz) / sqrt(sum(vx)*sum(vx) + sum(vy)*sum(vy) + sum(vz)*sum(vz)) AS iz
+         |  FROM fvec24 GROUP BY fid),
+         |fedges AS (SELECT a.fid,
+         |    a.vy * b.vz - a.vz * b.vy AS nx,
+         |    a.vz * b.vx - a.vx * b.vz AS ny,
+         |    a.vx * b.vy - a.vy * b.vx AS nz
+         |  FROM fvec24 a JOIN fvec24 b ON a.fid = b.fid AND b.slot = (a.slot + 1) % 3),
+         |fsigned AS (SELECT e.fid, e.nx, e.ny, e.nz,
+         |    CASE WHEN e.nx * i.ix + e.ny * i.iy + e.nz * i.iz < 0 THEN -1 ELSE 1 END AS sg
+         |  FROM fedges e JOIN inside i ON e.fid = i.fid),
+         |pin AS (SELECT id,
+         |    (x * 3.6 - 180.0) * pi() / 180.0 AS lam0,
+         |    (y * 1.7 - 85.0) * pi() / 180.0 AS phi0
+         |  FROM pts),
+         |prot0 AS (SELECT id,
+         |    CASE WHEN lam0 + $r0 * pi() / 180.0 > pi()
+         |         THEN lam0 + $r0 * pi() / 180.0 - 2 * pi()
+         |         WHEN lam0 + $r0 * pi() / 180.0 < -pi()
+         |         THEN lam0 + $r0 * pi() / 180.0 + 2 * pi()
+         |         ELSE lam0 + $r0 * pi() / 180.0 END AS laml, phi0
+         |  FROM pin),
+         |prot AS (SELECT id,
+         |    atan2(sin(laml) * cos(phi0) * cos($r2 * pi() / 180.0)
+         |        - (sin(phi0) * cos($r1 * pi() / 180.0)
+         |           + cos(laml) * cos(phi0) * sin($r1 * pi() / 180.0))
+         |          * sin($r2 * pi() / 180.0),
+         |      cos(laml) * cos(phi0) * cos($r1 * pi() / 180.0)
+         |        - sin(phi0) * sin($r1 * pi() / 180.0)) AS lam,
+         |    asin(greatest(CAST(-1.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+         |      (sin(phi0) * cos($r1 * pi() / 180.0)
+         |       + cos(laml) * cos(phi0) * sin($r1 * pi() / 180.0))
+         |      * cos($r2 * pi() / 180.0)
+         |      + sin(laml) * cos(phi0) * sin($r2 * pi() / 180.0)))) AS phi
+         |  FROM prot0),
+         |pvec AS (SELECT id, lam, phi,
+         |    cos(lam) * cos(phi) AS px, sin(lam) * cos(phi) AS py, sin(phi) AS pz
+         |  FROM prot),
+         |contain AS (SELECT p.id, f.fid
+         |  FROM pvec p JOIN fsigned f ON TRUE
+         |  GROUP BY p.id, f.fid
+         |  HAVING bool_and((f.nx * p.px + f.ny * p.py + f.nz * p.pz) * f.sg >= -${dl(1e-12)})),
+         |fsel AS (SELECT id, min(fid) AS fid FROM contain GROUP BY id),
+         |floc0 AS (SELECT p.id, s.fid, p.lam, p.phi, c.slon, c.slat,
+         |    $dirExpr AS dir
+         |  FROM pvec p JOIN fsel s ON p.id = s.id JOIN sites24 c ON s.fid = c.fid),
+         |floc1 AS (SELECT id, fid, slon, slat, dir,
+         |    CASE WHEN lam + (-slon) * pi() / 180.0 > pi()
+         |         THEN lam + (-slon) * pi() / 180.0 - 2 * pi()
+         |         WHEN lam + (-slon) * pi() / 180.0 < -pi()
+         |         THEN lam + (-slon) * pi() / 180.0 + 2 * pi()
+         |         ELSE lam + (-slon) * pi() / 180.0 END AS laml, phi
+         |  FROM floc0),
+         |floc AS (SELECT id, fid,
+         |    atan2(sin(laml) * cos(phi) * cos(dir * pi() / 180.0)
+         |        - (sin(phi) * cos((-slat) * pi() / 180.0)
+         |           + cos(laml) * cos(phi) * sin((-slat) * pi() / 180.0))
+         |          * sin(dir * pi() / 180.0),
+         |      cos(laml) * cos(phi) * cos((-slat) * pi() / 180.0)
+         |        - sin(phi) * sin((-slat) * pi() / 180.0)) AS lam2,
+         |    asin(greatest(CAST(-1.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+         |      (sin(phi) * cos((-slat) * pi() / 180.0)
+         |       + cos(laml) * cos(phi) * sin((-slat) * pi() / 180.0)) * cos(dir * pi() / 180.0)
+         |      + sin(laml) * cos(phi) * sin(dir * pi() / 180.0)))) AS phi2
+         |  FROM floc1),
+         |$projTail""".stripMargin
+  }
+
+  /** The q_lee / q_lee_calm mirror builder (verified cell-exact during
+   * authoring): only the global rotation literals differ between the
+   * markley and CALM aspects. */
+  private def leeOracleSql(rot0: String, rot1: String, rot2: String): String = {
+      val DR = "(pi() / 180.0)"
+      def rotSql(pre: String, lamc: String, phic: String,
+                 d0: String, d1: String, d2: String,
+                 outl: String, outp: String): String =
+        s"""${pre}0 AS (SELECT *,
+           |  CASE WHEN $lamc + ($d0) * $DR > pi() THEN $lamc + ($d0) * $DR - 2 * pi()
+           |       WHEN $lamc + ($d0) * $DR < -pi() THEN $lamc + ($d0) * $DR + 2 * pi()
+           |       ELSE $lamc + ($d0) * $DR END AS ${pre}_laml FROM ${pre}_in),
+           |${pre}1 AS (SELECT *,
+           |  atan2(sin(${pre}_laml) * cos($phic) * cos(($d2) * $DR)
+           |      - (sin($phic) * cos(($d1) * $DR)
+           |         + cos(${pre}_laml) * cos($phic) * sin(($d1) * $DR)) * sin(($d2) * $DR),
+           |    cos(${pre}_laml) * cos($phic) * cos(($d1) * $DR)
+           |      - sin($phic) * sin(($d1) * $DR)) AS $outl,
+           |  asin(greatest(CAST(-1.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+           |    (sin($phic) * cos(($d1) * $DR)
+           |     + cos(${pre}_laml) * cos($phic) * sin(($d1) * $DR)) * cos(($d2) * $DR)
+           |    + sin(${pre}_laml) * cos($phic) * sin(($d2) * $DR)))) AS $outp
+           |  FROM ${pre}0)""".stripMargin
+      val coef = Seq(1.15470053837925, 0.192450089729875, 0.0481125224324687,
+        0.010309826235529, 3.34114739114366e-4, -1.50351632601465e-3,
+        -1.2304417796231e-3, -6.75190201960282e-4,
+        -2.84084537293856e-4, -8.21205120500051e-5,
+        -1.59257630018706e-6, 1.91691805888369e-5,
+        1.73095888028726e-5, 1.03865580818367e-5,
+        4.70614523937179e-6, 1.4413500104181e-6,
+        1.92757960170179e-8, -3.82869799649063e-7,
+        -3.57526015225576e-7, -2.2175964844211e-7)
+      val h0 = Seq("1.0", "CAST(1.0 AS DOUBLE) / 8", "CAST(3.0 AS DOUBLE) / 56",
+        "CAST(1.0 AS DOUBLE) / 32", "CAST(35.0 AS DOUBLE) / 1664",
+        "CAST(63.0 AS DOUBLE) / 4096", "CAST(231.0 AS DOUBLE) / 19456")
+      val gStages = coef.reverse.zipWithIndex.map { case (c, idx) =>
+        if (idx == 0)
+          s"g0 AS (SELECT *, CAST(${dl(c)} AS DOUBLE) AS g0x, CAST(0.0 AS DOUBLE) AS g0y FROM kb)"
+        else
+          s"g$idx AS (SELECT *, ${dl(c)} + g${idx - 1}x * yyx - g${idx - 1}y * yyy AS g${idx}x, " +
+            s"g${idx - 1}y * yyx + g${idx - 1}x * yyy AS g${idx}y FROM g${idx - 1})"
+      }.mkString(",\n")
+      val gl = s"g${coef.length - 1}"
+      val hStages = h0.reverse.zipWithIndex.map { case (c, idx) =>
+        if (idx == 0)
+          s"h0 AS (SELECT *, CAST($c AS DOUBLE) AS h0x, CAST(0.0 AS DOUBLE) AS h0y FROM hb)"
+        else
+          s"h$idx AS (SELECT *, ($c) + h${idx - 1}x * z3x - h${idx - 1}y * z3y AS h${idx}x, " +
+            s"h${idx - 1}y * z3x + h${idx - 1}x * z3y AS h${idx}y FROM h${idx - 1})"
+      }.mkString(",\n")
+      val hl = s"h${h0.length - 1}"
+      val w1 = dl(1.4021821053254548)
+      s"""WITH $ptsSql,
+         |verts AS (
+         |  SELECT 0 AS vid, CAST(0.0 AS DOUBLE) AS lon, CAST(90.0 AS DOUBLE) AS lat
+         |  UNION ALL SELECT 1, -180.0, -(asin(CAST(1.0 AS DOUBLE) / 3.0) * 180.0 / pi())
+         |  UNION ALL SELECT 2, -60.0, -(asin(CAST(1.0 AS DOUBLE) / 3.0) * 180.0 / pi())
+         |  UNION ALL SELECT 3, 60.0, -(asin(CAST(1.0 AS DOUBLE) / 3.0) * 180.0 / pi())),
+         |fidx(fid, slot, vid) AS (VALUES
+         |  (0,0,1),(0,1,2),(0,2,3),(1,0,0),(1,1,2),(1,2,1),
+         |  (2,0,0),(2,1,3),(2,2,2),(3,0,0),(3,1,1),(3,2,3)),
+         |fvec AS (SELECT f.fid, f.slot,
+         |    cos(v.lat * $DR) * cos(v.lon * $DR) AS vx,
+         |    sin(v.lon * $DR) * cos(v.lat * $DR) AS vy,
+         |    sin(v.lat * $DR) AS vz
+         |  FROM fidx f JOIN verts v USING (vid)),
+         |inside AS (SELECT fid,
+         |    sum(vx) / sqrt(sum(vx)*sum(vx) + sum(vy)*sum(vy) + sum(vz)*sum(vz)) AS ix,
+         |    sum(vy) / sqrt(sum(vx)*sum(vx) + sum(vy)*sum(vy) + sum(vz)*sum(vz)) AS iy,
+         |    sum(vz) / sqrt(sum(vx)*sum(vx) + sum(vy)*sum(vy) + sum(vz)*sum(vz)) AS iz
+         |  FROM fvec GROUP BY fid),
+         |cents AS (SELECT fid,
+         |    atan2(iy, ix) * 180.0 / pi() AS clon,
+         |    asin(greatest(CAST(-1.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE), iz))) * 180.0 / pi() AS clat
+         |  FROM inside),
+         |fedges AS (SELECT a.fid,
+         |    a.vy * b.vz - a.vz * b.vy AS nx,
+         |    a.vz * b.vx - a.vx * b.vz AS ny,
+         |    a.vx * b.vy - a.vy * b.vx AS nz
+         |  FROM fvec a JOIN fvec b ON a.fid = b.fid AND b.slot = (a.slot + 1) % 3),
+         |fsigned AS (SELECT e.fid, e.nx, e.ny, e.nz,
+         |    CASE WHEN e.nx * i.ix + e.ny * i.iy + e.nz * i.iz < 0 THEN -1 ELSE 1 END AS sg
+         |  FROM fedges e JOIN inside i ON e.fid = i.fid),
+         |r1_in AS (SELECT id,
+         |  (x * 3.6 - 180.0) * $DR AS lam0,
+         |  (y * 1.7 - 85.0) * $DR AS phi0 FROM pts),
+         |${rotSql("r1", "lam0", "phi0", rot0, rot1, rot2, "lam", "phi")},
+         |pv AS (SELECT id, lam, phi,
+         |  cos(lam) * cos(phi) AS px, sin(lam) * cos(phi) AS py, sin(phi) AS pz FROM r11),
+         |contain AS (SELECT p.id, f.fid
+         |  FROM pv p JOIN fsigned f ON TRUE
+         |  GROUP BY p.id, f.fid
+         |  HAVING bool_and((f.nx * p.px + f.ny * p.py + f.nz * p.pz) * f.sg >= -${dl(1e-12)})),
+         |fsel AS (SELECT id, min(fid) AS fid FROM contain GROUP BY id),
+         |r2_in AS (SELECT p.id, s.fid, p.lam AS lamr, p.phi AS phir, c.clon, c.clat,
+         |  CASE WHEN abs(c.clat) > 89.0 THEN 0.0 ELSE -c.clon END AS rd0,
+         |  -c.clat AS rd1,
+         |  CASE WHEN abs(c.clat) > 89.0 THEN -30.0 ELSE 30.0 END AS rd2
+         |  FROM pv p JOIN fsel s ON p.id = s.id JOIN cents c ON s.fid = c.fid),
+         |${rotSql("r2", "lamr", "phir", "rd0", "rd1", "rd2", "flam", "fphi")},
+         |st AS (SELECT id, fid, flam, fphi,
+         |  (1.0 / (1.0 + cos(fphi) * cos(flam))) * cos(fphi) * sin(flam) * sqrt(2.0) AS zx,
+         |  (1.0 / (1.0 + cos(fphi) * cos(flam))) * sin(fphi) * sqrt(2.0) AS zy
+         |  FROM r21),
+         |wp AS (SELECT
+         |  exp(0.0) * cos(0.0) AS w0x, exp(0.0) * sin(0.0) AS w0y,
+         |  exp(ln(sqrt(0.25 + 0.75)))
+         |    * cos(atan2(sqrt(3.0) / 2, CAST(-0.5 AS DOUBLE))) AS w1x,
+         |  exp(ln(sqrt(0.25 + 0.75)))
+         |    * sin(atan2(sqrt(3.0) / 2, CAST(-0.5 AS DOUBLE))) AS w1y,
+         |  exp(2 * ln(sqrt(0.25 + 0.75)))
+         |    * cos(2 * atan2(sqrt(3.0) / 2, CAST(-0.5 AS DOUBLE))) AS w2x,
+         |  exp(2 * ln(sqrt(0.25 + 0.75)))
+         |    * sin(2 * atan2(sqrt(3.0) / 2, CAST(-0.5 AS DOUBLE))) AS w2y),
+         |sec0 AS (SELECT s.*, w.*,
+         |  s.zx * w.w0x - s.zy * w.w0y AS c0,
+         |  s.zx * w.w1x - s.zy * w.w1y AS c1,
+         |  s.zx * w.w2x - s.zy * w.w2y AS c2
+         |  FROM st s, wp w),
+         |sec AS (SELECT *,
+         |  CASE WHEN c2 > (CASE WHEN c1 > c0 THEN c1 ELSE c0 END) THEN 2
+         |       WHEN c1 > c0 THEN 1 ELSE 0 END AS sector
+         |  FROM sec0),
+         |rz AS (SELECT *,
+         |  CASE sector WHEN 0 THEN w0x WHEN 1 THEN w1x ELSE w2x END AS rotx,
+         |  CASE sector WHEN 0 THEN w0y WHEN 1 THEN w1y ELSE w2y END AS roty,
+         |  sqrt(zx * zx + zy * zy) AS nz2
+         |  FROM sec),
+         |kb AS (SELECT *,
+         |  1.0 - (rotx * zx - roty * zy) AS yyx,
+         |  -(roty * zx + rotx * zy) AS yyy
+         |  FROM rz),
+         |$gStages,
+         |ksq AS (SELECT *,
+         |  exp(0.5 * ln(sqrt(yyx * yyx + yyy * yyy))) * cos(0.5 * atan2(yyy, yyx)) AS syx,
+         |  exp(0.5 * ln(sqrt(yyx * yyx + yyy * yyy))) * sin(0.5 * atan2(yyy, yyx)) AS syy
+         |  FROM $gl),
+         |kk0 AS (SELECT *,
+         |  $w1 - (syx * ${gl}x - syy * ${gl}y) AS k0x,
+         |  -(syy * ${gl}x + syx * ${gl}y) AS k0y
+         |  FROM ksq),
+         |kk1 AS (SELECT *,
+         |  k0x * rotx - k0y * roty AS k1x,
+         |  k0y * rotx + k0x * roty AS k1y
+         |  FROM kk0),
+         |kk AS (SELECT *,
+         |  k1x * rotx - k1y * roty AS kkx,
+         |  k1y * rotx + k1x * roty AS kky
+         |  FROM kk1),
+         |hb AS (SELECT *,
+         |  exp(3 * ln(sqrt(zx * zx + zy * zy))) * cos(3 * atan2(zy, zx)) AS z3x,
+         |  exp(3 * ln(sqrt(zx * zx + zy * zy))) * sin(3 * atan2(zy, zx)) AS z3y
+         |  FROM kk),
+         |$hStages,
+         |hh AS (SELECT *,
+         |  ${hl}x * zx - ${hl}y * zy AS hhx,
+         |  ${hl}y * zx + ${hl}x * zy AS hhy
+         |  FROM $hl),
+         |mix AS (SELECT id, fid,
+         |  CASE WHEN nz2 < 0.3 THEN hhx
+         |       WHEN nz2 > 0.5 THEN kkx
+         |       ELSE kkx * ((nz2 - 0.3) / 0.2) + hhx * (1.0 - (nz2 - 0.3) / 0.2) END AS qx,
+         |  CASE WHEN nz2 < 0.3 THEN hhy
+         |       WHEN nz2 > 0.5 THEN kky
+         |       ELSE kky * ((nz2 - 0.3) / 0.2) + hhy * (1.0 - (nz2 - 0.3) / 0.2) END AS qy
+         |  FROM hh)
+         |SELECT id, CAST(fid AS BIGINT) AS face_id,
+         |  CAST(floor(qx * 1000000.0) AS BIGINT) AS lx_int,
+         |  CAST(floor(-qy * 1000000.0) AS BIGINT) AS ly_int
+         |FROM mix ORDER BY id""".stripMargin
+  }
+
   /** The q_ann_ivf mirror (verified cell-exact against the engine during
    * authoring): XXH64-of-long seed selection, 3 Lloyd rounds, probe + rank. */
   private lazy val annIvfSql: String = {
@@ -2527,6 +2870,24 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // dymaxion2: same pipeline through the GNOMONIC facet projector
+    "q_dymaxion2" -> ((s, dir) => {
+      val fl = udf { (lon: Double, lat: Double) =>
+        graft.geom.Dymaxion.gnomonic
+          .faceLocal(lon * math.Pi / 180.0, lat * math.Pi / 180.0)
+          .map { case (fid, gx, gy) => Array(fid.toDouble, gx, gy) }.orNull
+      }
+      points(s, dir)
+        .withColumn("lon", col("x") * 3.6 - 180.0)
+        .withColumn("lat", col("y") * 1.7 - 85.0)
+        .withColumn("r", fl(col("lon"), col("lat")))
+        .select(col("id"),
+          element_at(col("r"), 1).cast("long").as("face_id"),
+          floor(element_at(col("r"), 2) * 1000000.0).cast("long").as("gx_int"),
+          floor(element_at(col("r"), 3) * 1000000.0).cast("long").as("gy_int"))
+        .orderBy("id")
+    }),
+
     // -proj cahill_keyes: the full 12-zone octant transform — constants
     // construction, octant routing, zone dispatch, circular-arc split, and
     // octant placement are ALL re-derived in the SQL mirror (cahillSql).
@@ -2583,6 +2944,25 @@ object SparkEntry {
         .withColumn("lat", col("y") * 1.7 - 85.0)
         .withColumn("r", fl(col("lon"), col("lat")))
         .filter(col("r").isNotNull) // mirror drops no-face ids via inner joins
+        .select(col("id"),
+          element_at(col("r"), 1).cast("long").as("face_id"),
+          floor(element_at(col("r"), 2) * 1000000.0).cast("long").as("lx_int"),
+          floor(element_at(col("r"), 3) * 1000000.0).cast("long").as("ly_int"))
+        .orderBy("id")
+    }),
+
+    // the CALM aspect of the same kernel (Kunimune's published rotation)
+    "q_lee_calm" -> ((s, dir) => {
+      val fl = udf { (lon: Double, lat: Double) =>
+        graft.geom.Lee.calm.base
+          .faceLocal(lon * math.Pi / 180.0, lat * math.Pi / 180.0)
+          .map { case (fid, lx, ly) => Array(fid.toDouble, lx, ly) }.orNull
+      }
+      points(s, dir)
+        .withColumn("lon", col("x") * 3.6 - 180.0)
+        .withColumn("lat", col("y") * 1.7 - 85.0)
+        .withColumn("r", fl(col("lon"), col("lat")))
+        .filter(col("r").isNotNull)
         .select(col("id"),
           element_at(col("r"), 1).cast("long").as("face_id"),
           floor(element_at(col("r"), 2) * 1000000.0).cast("long").as("lx_int"),
@@ -3719,175 +4099,12 @@ object SparkEntry {
     // 7-step center Horner over z^3, 120-degree sector pick, annulus blend.
     // The polar-face centroid test uses |lat| > 89 (ulp-safe stand-in for
     // the kernel's exact ±90; the other centroids sit at ±19.47).
-    "q_lee" -> {
-      val DR = "(pi() / 180.0)"
-      def rotSql(pre: String, lamc: String, phic: String,
-                 d0: String, d1: String, d2: String,
-                 outl: String, outp: String): String =
-        s"""${pre}0 AS (SELECT *,
-           |  CASE WHEN $lamc + ($d0) * $DR > pi() THEN $lamc + ($d0) * $DR - 2 * pi()
-           |       WHEN $lamc + ($d0) * $DR < -pi() THEN $lamc + ($d0) * $DR + 2 * pi()
-           |       ELSE $lamc + ($d0) * $DR END AS ${pre}_laml FROM ${pre}_in),
-           |${pre}1 AS (SELECT *,
-           |  atan2(sin(${pre}_laml) * cos($phic) * cos(($d2) * $DR)
-           |      - (sin($phic) * cos(($d1) * $DR)
-           |         + cos(${pre}_laml) * cos($phic) * sin(($d1) * $DR)) * sin(($d2) * $DR),
-           |    cos(${pre}_laml) * cos($phic) * cos(($d1) * $DR)
-           |      - sin($phic) * sin(($d1) * $DR)) AS $outl,
-           |  asin(greatest(CAST(-1.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
-           |    (sin($phic) * cos(($d1) * $DR)
-           |     + cos(${pre}_laml) * cos($phic) * sin(($d1) * $DR)) * cos(($d2) * $DR)
-           |    + sin(${pre}_laml) * cos($phic) * sin(($d2) * $DR)))) AS $outp
-           |  FROM ${pre}0)""".stripMargin
-      val coef = Seq(1.15470053837925, 0.192450089729875, 0.0481125224324687,
-        0.010309826235529, 3.34114739114366e-4, -1.50351632601465e-3,
-        -1.2304417796231e-3, -6.75190201960282e-4,
-        -2.84084537293856e-4, -8.21205120500051e-5,
-        -1.59257630018706e-6, 1.91691805888369e-5,
-        1.73095888028726e-5, 1.03865580818367e-5,
-        4.70614523937179e-6, 1.4413500104181e-6,
-        1.92757960170179e-8, -3.82869799649063e-7,
-        -3.57526015225576e-7, -2.2175964844211e-7)
-      val h0 = Seq("1.0", "CAST(1.0 AS DOUBLE) / 8", "CAST(3.0 AS DOUBLE) / 56",
-        "CAST(1.0 AS DOUBLE) / 32", "CAST(35.0 AS DOUBLE) / 1664",
-        "CAST(63.0 AS DOUBLE) / 4096", "CAST(231.0 AS DOUBLE) / 19456")
-      val gStages = coef.reverse.zipWithIndex.map { case (c, idx) =>
-        if (idx == 0)
-          s"g0 AS (SELECT *, CAST(${dl(c)} AS DOUBLE) AS g0x, CAST(0.0 AS DOUBLE) AS g0y FROM kb)"
-        else
-          s"g$idx AS (SELECT *, ${dl(c)} + g${idx - 1}x * yyx - g${idx - 1}y * yyy AS g${idx}x, " +
-            s"g${idx - 1}y * yyx + g${idx - 1}x * yyy AS g${idx}y FROM g${idx - 1})"
-      }.mkString(",\n")
-      val gl = s"g${coef.length - 1}"
-      val hStages = h0.reverse.zipWithIndex.map { case (c, idx) =>
-        if (idx == 0)
-          s"h0 AS (SELECT *, CAST($c AS DOUBLE) AS h0x, CAST(0.0 AS DOUBLE) AS h0y FROM hb)"
-        else
-          s"h$idx AS (SELECT *, ($c) + h${idx - 1}x * z3x - h${idx - 1}y * z3y AS h${idx}x, " +
-            s"h${idx - 1}y * z3x + h${idx - 1}x * z3y AS h${idx}y FROM h${idx - 1})"
-      }.mkString(",\n")
-      val hl = s"h${h0.length - 1}"
-      val markleyLat = math.acos(1.0 / 3) * 0.5 * 180.0 / math.Pi
-      val w1 = dl(1.4021821053254548)
-      s"""WITH $ptsSql,
-         |verts AS (
-         |  SELECT 0 AS vid, CAST(0.0 AS DOUBLE) AS lon, CAST(90.0 AS DOUBLE) AS lat
-         |  UNION ALL SELECT 1, -180.0, -(asin(CAST(1.0 AS DOUBLE) / 3.0) * 180.0 / pi())
-         |  UNION ALL SELECT 2, -60.0, -(asin(CAST(1.0 AS DOUBLE) / 3.0) * 180.0 / pi())
-         |  UNION ALL SELECT 3, 60.0, -(asin(CAST(1.0 AS DOUBLE) / 3.0) * 180.0 / pi())),
-         |fidx(fid, slot, vid) AS (VALUES
-         |  (0,0,1),(0,1,2),(0,2,3),(1,0,0),(1,1,2),(1,2,1),
-         |  (2,0,0),(2,1,3),(2,2,2),(3,0,0),(3,1,1),(3,2,3)),
-         |fvec AS (SELECT f.fid, f.slot,
-         |    cos(v.lat * $DR) * cos(v.lon * $DR) AS vx,
-         |    sin(v.lon * $DR) * cos(v.lat * $DR) AS vy,
-         |    sin(v.lat * $DR) AS vz
-         |  FROM fidx f JOIN verts v USING (vid)),
-         |inside AS (SELECT fid,
-         |    sum(vx) / sqrt(sum(vx)*sum(vx) + sum(vy)*sum(vy) + sum(vz)*sum(vz)) AS ix,
-         |    sum(vy) / sqrt(sum(vx)*sum(vx) + sum(vy)*sum(vy) + sum(vz)*sum(vz)) AS iy,
-         |    sum(vz) / sqrt(sum(vx)*sum(vx) + sum(vy)*sum(vy) + sum(vz)*sum(vz)) AS iz
-         |  FROM fvec GROUP BY fid),
-         |cents AS (SELECT fid,
-         |    atan2(iy, ix) * 180.0 / pi() AS clon,
-         |    asin(greatest(CAST(-1.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE), iz))) * 180.0 / pi() AS clat
-         |  FROM inside),
-         |fedges AS (SELECT a.fid,
-         |    a.vy * b.vz - a.vz * b.vy AS nx,
-         |    a.vz * b.vx - a.vx * b.vz AS ny,
-         |    a.vx * b.vy - a.vy * b.vx AS nz
-         |  FROM fvec a JOIN fvec b ON a.fid = b.fid AND b.slot = (a.slot + 1) % 3),
-         |fsigned AS (SELECT e.fid, e.nx, e.ny, e.nz,
-         |    CASE WHEN e.nx * i.ix + e.ny * i.iy + e.nz * i.iz < 0 THEN -1 ELSE 1 END AS sg
-         |  FROM fedges e JOIN inside i ON e.fid = i.fid),
-         |r1_in AS (SELECT id,
-         |  (x * 3.6 - 180.0) * $DR AS lam0,
-         |  (y * 1.7 - 85.0) * $DR AS phi0 FROM pts),
-         |${rotSql("r1", "lam0", "phi0", "115.0", dl(markleyLat - 90.0), "180.0", "lam", "phi")},
-         |pv AS (SELECT id, lam, phi,
-         |  cos(lam) * cos(phi) AS px, sin(lam) * cos(phi) AS py, sin(phi) AS pz FROM r11),
-         |contain AS (SELECT p.id, f.fid
-         |  FROM pv p JOIN fsigned f ON TRUE
-         |  GROUP BY p.id, f.fid
-         |  HAVING bool_and((f.nx * p.px + f.ny * p.py + f.nz * p.pz) * f.sg >= -${dl(1e-12)})),
-         |fsel AS (SELECT id, min(fid) AS fid FROM contain GROUP BY id),
-         |r2_in AS (SELECT p.id, s.fid, p.lam AS lamr, p.phi AS phir, c.clon, c.clat,
-         |  CASE WHEN abs(c.clat) > 89.0 THEN 0.0 ELSE -c.clon END AS rd0,
-         |  -c.clat AS rd1,
-         |  CASE WHEN abs(c.clat) > 89.0 THEN -30.0 ELSE 30.0 END AS rd2
-         |  FROM pv p JOIN fsel s ON p.id = s.id JOIN cents c ON s.fid = c.fid),
-         |${rotSql("r2", "lamr", "phir", "rd0", "rd1", "rd2", "flam", "fphi")},
-         |st AS (SELECT id, fid, flam, fphi,
-         |  (1.0 / (1.0 + cos(fphi) * cos(flam))) * cos(fphi) * sin(flam) * sqrt(2.0) AS zx,
-         |  (1.0 / (1.0 + cos(fphi) * cos(flam))) * sin(fphi) * sqrt(2.0) AS zy
-         |  FROM r21),
-         |wp AS (SELECT
-         |  exp(0.0) * cos(0.0) AS w0x, exp(0.0) * sin(0.0) AS w0y,
-         |  exp(ln(sqrt(0.25 + 0.75)))
-         |    * cos(atan2(sqrt(3.0) / 2, CAST(-0.5 AS DOUBLE))) AS w1x,
-         |  exp(ln(sqrt(0.25 + 0.75)))
-         |    * sin(atan2(sqrt(3.0) / 2, CAST(-0.5 AS DOUBLE))) AS w1y,
-         |  exp(2 * ln(sqrt(0.25 + 0.75)))
-         |    * cos(2 * atan2(sqrt(3.0) / 2, CAST(-0.5 AS DOUBLE))) AS w2x,
-         |  exp(2 * ln(sqrt(0.25 + 0.75)))
-         |    * sin(2 * atan2(sqrt(3.0) / 2, CAST(-0.5 AS DOUBLE))) AS w2y),
-         |sec0 AS (SELECT s.*, w.*,
-         |  s.zx * w.w0x - s.zy * w.w0y AS c0,
-         |  s.zx * w.w1x - s.zy * w.w1y AS c1,
-         |  s.zx * w.w2x - s.zy * w.w2y AS c2
-         |  FROM st s, wp w),
-         |sec AS (SELECT *,
-         |  CASE WHEN c2 > (CASE WHEN c1 > c0 THEN c1 ELSE c0 END) THEN 2
-         |       WHEN c1 > c0 THEN 1 ELSE 0 END AS sector
-         |  FROM sec0),
-         |rz AS (SELECT *,
-         |  CASE sector WHEN 0 THEN w0x WHEN 1 THEN w1x ELSE w2x END AS rotx,
-         |  CASE sector WHEN 0 THEN w0y WHEN 1 THEN w1y ELSE w2y END AS roty,
-         |  sqrt(zx * zx + zy * zy) AS nz2
-         |  FROM sec),
-         |kb AS (SELECT *,
-         |  1.0 - (rotx * zx - roty * zy) AS yyx,
-         |  -(roty * zx + rotx * zy) AS yyy
-         |  FROM rz),
-         |$gStages,
-         |ksq AS (SELECT *,
-         |  exp(0.5 * ln(sqrt(yyx * yyx + yyy * yyy))) * cos(0.5 * atan2(yyy, yyx)) AS syx,
-         |  exp(0.5 * ln(sqrt(yyx * yyx + yyy * yyy))) * sin(0.5 * atan2(yyy, yyx)) AS syy
-         |  FROM $gl),
-         |kk0 AS (SELECT *,
-         |  $w1 - (syx * ${gl}x - syy * ${gl}y) AS k0x,
-         |  -(syy * ${gl}x + syx * ${gl}y) AS k0y
-         |  FROM ksq),
-         |kk1 AS (SELECT *,
-         |  k0x * rotx - k0y * roty AS k1x,
-         |  k0y * rotx + k0x * roty AS k1y
-         |  FROM kk0),
-         |kk AS (SELECT *,
-         |  k1x * rotx - k1y * roty AS kkx,
-         |  k1y * rotx + k1x * roty AS kky
-         |  FROM kk1),
-         |hb AS (SELECT *,
-         |  exp(3 * ln(sqrt(zx * zx + zy * zy))) * cos(3 * atan2(zy, zx)) AS z3x,
-         |  exp(3 * ln(sqrt(zx * zx + zy * zy))) * sin(3 * atan2(zy, zx)) AS z3y
-         |  FROM kk),
-         |$hStages,
-         |hh AS (SELECT *,
-         |  ${hl}x * zx - ${hl}y * zy AS hhx,
-         |  ${hl}y * zx + ${hl}x * zy AS hhy
-         |  FROM $hl),
-         |mix AS (SELECT id, fid,
-         |  CASE WHEN nz2 < 0.3 THEN hhx
-         |       WHEN nz2 > 0.5 THEN kkx
-         |       ELSE kkx * ((nz2 - 0.3) / 0.2) + hhx * (1.0 - (nz2 - 0.3) / 0.2) END AS qx,
-         |  CASE WHEN nz2 < 0.3 THEN hhy
-         |       WHEN nz2 > 0.5 THEN kky
-         |       ELSE kky * ((nz2 - 0.3) / 0.2) + hhy * (1.0 - (nz2 - 0.3) / 0.2) END AS qy
-         |  FROM hh)
-         |SELECT id, CAST(fid AS BIGINT) AS face_id,
-         |  CAST(floor(qx * 1000000.0) AS BIGINT) AS lx_int,
-         |  CAST(floor(-qy * 1000000.0) AS BIGINT) AS ly_int
-         |FROM mix ORDER BY id""".stripMargin
-    },
+    "q_lee" -> leeOracleSql("115.0",
+      dl(math.acos(1.0 / 3) * 0.5 * 180.0 / math.Pi - 90.0), "180.0"),
+
+    // CALM aspect: identical pipeline under Kunimune's published rotation
+    "q_lee_calm" -> leeOracleSql(dl(64.7261399569101), dl(-39.84470062116125),
+      dl(-119.02303523591051)),
 
     // -proj narukawa2022: full forward mirror — orientation basis and facet
     // frames derived in SQL from the published tetrahedron vertices; oblique
@@ -4003,160 +4220,11 @@ object SparkEntry {
     // circle midpoint) — only the 20 vertex-index triples are literal.
     // Face pick = min id among faces whose every edge-plane test passes at
     // the kernel's -1e-12 tolerance (the engine scans in id order).
-    "q_dymaxion" -> {
-      val sqrt3 = dl(math.sqrt(3))
-      val gz = dl(math.sqrt(5 + 2 * math.sqrt(5)) / math.sqrt(15))
-      val gel = dl(math.sqrt(8) / math.sqrt(5 + math.sqrt(5)))
-      val gdve = dl(math.sqrt(3 + math.sqrt(5)) / math.sqrt(5 + math.sqrt(5)))
-      val r0 = dl(-83.65929); val r1 = dl(25.44458); val r2 = dl(-87.45184)
-      val idx = Seq((0, 3, 11), (0, 5, 3), (0, 7, 5), (0, 9, 7), (0, 11, 9),
-        (2, 11, 3), (3, 4, 2), (4, 3, 5), (5, 6, 4), (6, 5, 7),
-        (7, 8, 6), (8, 7, 9), (9, 10, 8), (10, 9, 11), (11, 2, 10),
-        (1, 2, 4), (1, 4, 6), (1, 6, 8), (1, 8, 10), (1, 10, 2))
-      val facesValues = idx.zipWithIndex.map { case ((a, b, c), f) =>
-        s"($f,0,$a),($f,1,$b),($f,2,$c)"
-      }.mkString(",")
-      s"""WITH $ptsSql,
-         |verts AS (
-         |  SELECT 0 AS vid, CAST(0.0 AS DOUBLE) AS lon, CAST(90.0 AS DOUBLE) AS lat
-         |  UNION ALL SELECT 1, 0.0, -90.0
-         |  UNION ALL SELECT i + 2, CAST(((i * 36 + 180) % 360) - 180 AS DOUBLE),
-         |    CASE WHEN i % 2 = 1 THEN atan(${dl(0.5)}) * 180.0 / pi()
-         |         ELSE -(atan(${dl(0.5)}) * 180.0 / pi()) END
-         |  FROM generate_series(0, 9) t(i)),
-         |fidx(fid, slot, vid) AS (VALUES $facesValues),
-         |f20 AS (SELECT f.fid, f.slot, v.lon, v.lat FROM fidx f JOIN verts v USING (vid)),
-         |fvec AS (SELECT fid, slot, lon, lat,
-         |    cos(lat * pi() / 180.0) * cos(lon * pi() / 180.0) AS vx,
-         |    sin(lon * pi() / 180.0) * cos(lat * pi() / 180.0) AS vy,
-         |    sin(lat * pi() / 180.0) AS vz
-         |  FROM f20),
-         |csum AS (SELECT fid, sum(vx) AS sx, sum(vy) AS sy, sum(vz) AS sz FROM fvec GROUP BY fid),
-         |sites20 AS (SELECT fid,
-         |    atan2(sy / sqrt(sx*sx + sy*sy + sz*sz), sx / sqrt(sx*sx + sy*sy + sz*sz)) * 180.0 / pi() AS slon,
-         |    asin(greatest(CAST(-1.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
-         |      sz / sqrt(sx*sx + sy*sy + sz*sz)))) * 180.0 / pi() AS slat
-         |  FROM csum),
-         |midv AS (SELECT
-         |    a.vx + b.vx AS mx, a.vy + b.vy AS my, a.vz + b.vz AS mz
-         |  FROM (SELECT * FROM fvec WHERE fid = 14 AND slot = 1) a,
-         |       (SELECT * FROM fvec WHERE fid = 14 AND slot = 2) b),
-         |mid AS (SELECT
-         |    atan2(my / sqrt(mx*mx + my*my + mz*mz), mx / sqrt(mx*mx + my*my + mz*mz)) * 180.0 / pi() AS mlon,
-         |    asin(greatest(CAST(-1.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
-         |      mz / sqrt(mx*mx + my*my + mz*mz)))) * 180.0 / pi() AS mlat
-         |  FROM midv),
-         |f24 AS (
-         |  SELECT fid, slot, lon, lat FROM f20 WHERE fid NOT IN (14, 15, 19)
-         |  UNION ALL SELECT 15, 0, slon, slat FROM sites20 WHERE fid = 15
-         |  UNION ALL SELECT 15, slot, lon, lat FROM f20 WHERE fid = 15 AND slot IN (1, 2)
-         |  UNION ALL SELECT 14, 1, mlon, mlat FROM mid
-         |  UNION ALL SELECT 14, slot, lon, lat FROM f20 WHERE fid = 14 AND slot IN (0, 2)
-         |  UNION ALL SELECT 19, 1, mlon, mlat FROM mid
-         |  UNION ALL SELECT 19, slot, lon, lat FROM f20 WHERE fid = 19 AND slot IN (0, 2)
-         |  UNION ALL SELECT 20, 0, lon, lat FROM f20 WHERE fid = 15 AND slot = 0
-         |  UNION ALL SELECT 20, 1, slon, slat FROM sites20 WHERE fid = 15
-         |  UNION ALL SELECT 20, 2, lon, lat FROM f20 WHERE fid = 15 AND slot = 2
-         |  UNION ALL SELECT 21, slot, lon, lat FROM f20 WHERE fid = 15 AND slot IN (0, 1)
-         |  UNION ALL SELECT 21, 2, slon, slat FROM sites20 WHERE fid = 15
-         |  UNION ALL SELECT 22, slot, lon, lat FROM f20 WHERE fid = 14 AND slot IN (0, 1)
-         |  UNION ALL SELECT 22, 2, mlon, mlat FROM mid
-         |  UNION ALL SELECT 23, 0, mlon, mlat FROM mid
-         |  UNION ALL SELECT 23, 1, lon, lat FROM f20 WHERE fid = 19 AND slot = 0
-         |  UNION ALL SELECT 23, 2, lon, lat FROM f20 WHERE fid = 19 AND slot = 1),
-         |sites24 AS (
-         |  SELECT fid, slon, slat FROM sites20
-         |  UNION ALL SELECT 20, slon, slat FROM sites20 WHERE fid = 15
-         |  UNION ALL SELECT 21, slon, slat FROM sites20 WHERE fid = 15
-         |  UNION ALL SELECT 22, slon, slat FROM sites20 WHERE fid = 14
-         |  UNION ALL SELECT 23, slon, slat FROM sites20 WHERE fid = 19),
-         |fvec24 AS (SELECT fid, slot, lon, lat,
-         |    cos(lat * pi() / 180.0) * cos(lon * pi() / 180.0) AS vx,
-         |    sin(lon * pi() / 180.0) * cos(lat * pi() / 180.0) AS vy,
-         |    sin(lat * pi() / 180.0) AS vz
-         |  FROM f24),
-         |inside AS (SELECT fid,
-         |    sum(vx) / sqrt(sum(vx)*sum(vx) + sum(vy)*sum(vy) + sum(vz)*sum(vz)) AS ix,
-         |    sum(vy) / sqrt(sum(vx)*sum(vx) + sum(vy)*sum(vy) + sum(vz)*sum(vz)) AS iy,
-         |    sum(vz) / sqrt(sum(vx)*sum(vx) + sum(vy)*sum(vy) + sum(vz)*sum(vz)) AS iz
-         |  FROM fvec24 GROUP BY fid),
-         |fedges AS (SELECT a.fid,
-         |    a.vy * b.vz - a.vz * b.vy AS nx,
-         |    a.vz * b.vx - a.vx * b.vz AS ny,
-         |    a.vx * b.vy - a.vy * b.vx AS nz
-         |  FROM fvec24 a JOIN fvec24 b ON a.fid = b.fid AND b.slot = (a.slot + 1) % 3),
-         |fsigned AS (SELECT e.fid, e.nx, e.ny, e.nz,
-         |    CASE WHEN e.nx * i.ix + e.ny * i.iy + e.nz * i.iz < 0 THEN -1 ELSE 1 END AS sg
-         |  FROM fedges e JOIN inside i ON e.fid = i.fid),
-         |pin AS (SELECT id,
-         |    (x * 3.6 - 180.0) * pi() / 180.0 AS lam0,
-         |    (y * 1.7 - 85.0) * pi() / 180.0 AS phi0
-         |  FROM pts),
-         |prot0 AS (SELECT id,
-         |    CASE WHEN lam0 + $r0 * pi() / 180.0 > pi()
-         |         THEN lam0 + $r0 * pi() / 180.0 - 2 * pi()
-         |         WHEN lam0 + $r0 * pi() / 180.0 < -pi()
-         |         THEN lam0 + $r0 * pi() / 180.0 + 2 * pi()
-         |         ELSE lam0 + $r0 * pi() / 180.0 END AS laml, phi0
-         |  FROM pin),
-         |prot AS (SELECT id,
-         |    atan2(sin(laml) * cos(phi0) * cos($r2 * pi() / 180.0)
-         |        - (sin(phi0) * cos($r1 * pi() / 180.0)
-         |           + cos(laml) * cos(phi0) * sin($r1 * pi() / 180.0))
-         |          * sin($r2 * pi() / 180.0),
-         |      cos(laml) * cos(phi0) * cos($r1 * pi() / 180.0)
-         |        - sin(phi0) * sin($r1 * pi() / 180.0)) AS lam,
-         |    asin(greatest(CAST(-1.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
-         |      (sin(phi0) * cos($r1 * pi() / 180.0)
-         |       + cos(laml) * cos(phi0) * sin($r1 * pi() / 180.0))
-         |      * cos($r2 * pi() / 180.0)
-         |      + sin(laml) * cos(phi0) * sin($r2 * pi() / 180.0)))) AS phi
-         |  FROM prot0),
-         |pvec AS (SELECT id, lam, phi,
-         |    cos(lam) * cos(phi) AS px, sin(lam) * cos(phi) AS py, sin(phi) AS pz
-         |  FROM prot),
-         |contain AS (SELECT p.id, f.fid
-         |  FROM pvec p JOIN fsigned f ON TRUE
-         |  GROUP BY p.id, f.fid
-         |  HAVING bool_and((f.nx * p.px + f.ny * p.py + f.nz * p.pz) * f.sg >= -${dl(1e-12)})),
-         |fsel AS (SELECT id, min(fid) AS fid FROM contain GROUP BY id),
-         |floc0 AS (SELECT p.id, s.fid, p.lam, p.phi, c.slon, c.slat,
-         |    CASE WHEN abs(c.slat - ${dl(52.62)}) < 1 OR abs(c.slat + ${dl(10.81)}) < 1
-         |         THEN 0.0 ELSE 60.0 END AS dir
-         |  FROM pvec p JOIN fsel s ON p.id = s.id JOIN sites24 c ON s.fid = c.fid),
-         |floc1 AS (SELECT id, fid, slon, slat, dir,
-         |    CASE WHEN lam + (-slon) * pi() / 180.0 > pi()
-         |         THEN lam + (-slon) * pi() / 180.0 - 2 * pi()
-         |         WHEN lam + (-slon) * pi() / 180.0 < -pi()
-         |         THEN lam + (-slon) * pi() / 180.0 + 2 * pi()
-         |         ELSE lam + (-slon) * pi() / 180.0 END AS laml, phi
-         |  FROM floc0),
-         |floc AS (SELECT id, fid,
-         |    atan2(sin(laml) * cos(phi) * cos(dir * pi() / 180.0)
-         |        - (sin(phi) * cos((-slat) * pi() / 180.0)
-         |           + cos(laml) * cos(phi) * sin((-slat) * pi() / 180.0))
-         |          * sin(dir * pi() / 180.0),
-         |      cos(laml) * cos(phi) * cos((-slat) * pi() / 180.0)
-         |        - sin(phi) * sin((-slat) * pi() / 180.0)) AS lam2,
-         |    asin(greatest(CAST(-1.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
-         |      (sin(phi) * cos((-slat) * pi() / 180.0)
-         |       + cos(laml) * cos(phi) * sin((-slat) * pi() / 180.0)) * cos(dir * pi() / 180.0)
-         |      + sin(laml) * cos(phi) * sin(dir * pi() / 180.0)))) AS phi2
-         |  FROM floc1),
-         |gf AS (SELECT id, fid,
-         |    cos(phi2) * sin(lam2) * (($gz) / (cos(phi2) * cos(lam2))) AS gx0,
-         |    sin(phi2) * (($gz) / (cos(phi2) * cos(lam2))) AS gy0
-         |  FROM floc),
-         |ga AS (SELECT id, fid,
-         |    atan2(2 * gy0 / $sqrt3 + $gel / 3 - $gel / 2, $gdve) AS a1p,
-         |    atan2(gx0 - gy0 / $sqrt3 + $gel / 3 - $gel / 2, $gdve) AS a2p,
-         |    atan2($gel / 3 - gx0 - gy0 / $sqrt3 - $gel / 2, $gdve) AS a3p
-         |  FROM gf)
-         |SELECT id, CAST(fid AS BIGINT) AS face_id,
-         |  CAST(floor($sqrt3 * (a2p - a3p) * 1000000.0) AS BIGINT) AS gx_int,
-         |  CAST(floor(-(2 * a1p - a2p - a3p) * 1000000.0) AS BIGINT) AS gy_int
-         |FROM ga ORDER BY id""".stripMargin
-    },
+    "q_dymaxion" -> dymaxionOracleSql(grayFuller = true),
+
+    // gnomonic-facet variant (dymaxion2): same rotation/face-find pipeline,
+    // gnomonic local projector, no facet direction twist
+    "q_dymaxion2" -> dymaxionOracleSql(grayFuller = false),
 
     "q_img_cell" -> imgCellSql,
 
