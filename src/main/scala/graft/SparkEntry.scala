@@ -2888,6 +2888,24 @@ object SparkEntry {
         .orderBy("id")
     }),
 
+    // -proj butterfly: the truncated-octahedron FACE FIND (octant dispatch
+    // + corner-normal tests over the derived 32-face solid, Pacific aspect)
+    // — the facet transform itself is oracle-backed by q_cahill, the
+    // unfolding by ButterflySpec
+    "q_butterfly" -> ((s, dir) => {
+      val fl = udf { (lon: Double, lat: Double) =>
+        val lam = graft.geom.Polyhedral.normalizeRadians(
+          (lon - 157.5) * math.Pi / 180.0)
+        graft.geom.Butterfly.butterfly.faceLocal(lam, lat * math.Pi / 180.0)
+          .map(_._1.toLong).getOrElse(-1L)
+      }
+      points(s, dir)
+        .withColumn("lon", col("x") * 3.6 - 180.0)
+        .withColumn("lat", col("y") * 1.7 - 85.0)
+        .select(col("id"), fl(col("lon"), col("lat")).as("face_id"))
+        .orderBy("id")
+    }),
+
     // -proj cahill_keyes: the full 12-zone octant transform — constants
     // construction, octant routing, zone dispatch, circular-arc split, and
     // octant placement are ALL re-derived in the SQL mirror (cahillSql).
@@ -4089,6 +4107,94 @@ object SparkEntry {
          |FROM ll ORDER BY id""".stripMargin,
 
     "q_proj_crs" -> projCrsSql,
+
+    // -proj butterfly face find: octahedron → 17-degree truncated hexagons
+    // (slot pairing mirrors the kernel's edge walk), the kernel's
+    // degrees-roundtrip before corner normals, octant dispatch + three
+    // corner-plane tests. Duplicated shared vertices are bit-identical by
+    // construction (symmetric addScaled expressions), so the kernel's
+    // object-identity canonicalization needs no mirror.
+    "q_butterfly" -> {
+      val DR = "(pi() / 180.0)"
+      s"""WITH $ptsSql,
+         |overts AS (
+         |  SELECT 0 AS vid, CAST(0.0 AS DOUBLE) AS lon, CAST(90.0 AS DOUBLE) AS lat
+         |  UNION ALL SELECT 1, -90.0, 0.0
+         |  UNION ALL SELECT 2, 0.0, 0.0
+         |  UNION ALL SELECT 3, 90.0, 0.0
+         |  UNION ALL SELECT 4, 180.0, 0.0
+         |  UNION ALL SELECT 5, 0.0, -90.0),
+         |ofaces(fid, slot, vid) AS (VALUES
+         |  (0,0,0),(0,1,2),(0,2,1),(1,0,0),(1,1,3),(1,2,2),
+         |  (2,0,5),(2,1,1),(2,2,2),(3,0,5),(3,1,2),(3,2,3),
+         |  (4,0,0),(4,1,1),(4,2,4),(5,0,0),(5,1,4),(5,2,3),
+         |  (6,0,5),(6,1,4),(6,2,1),(7,0,5),(7,1,3),(7,2,4)),
+         |ovec AS (SELECT f.fid, f.slot,
+         |    cos(v.lon * $DR) * cos(v.lat * $DR) AS vx,
+         |    sin(v.lon * $DR) * cos(v.lat * $DR) AS vy,
+         |    sin(v.lat * $DR) AS vz
+         |  FROM ofaces f JOIN overts v USING (vid)),
+         |hexraw AS (
+         |  SELECT a.fid, 2 * k.k AS hslot,
+         |    a.vx * cos(17 * $DR) + b.vx * sin(17 * $DR) AS sx,
+         |    a.vy * cos(17 * $DR) + b.vy * sin(17 * $DR) AS sy,
+         |    a.vz * cos(17 * $DR) + b.vz * sin(17 * $DR) AS sz
+         |  FROM generate_series(0, 2) k(k)
+         |  JOIN ovec a ON a.slot = (k.k + 2) % 3
+         |  JOIN ovec b ON b.fid = a.fid AND b.slot = k.k
+         |  UNION ALL
+         |  SELECT a.fid, 2 * k.k + 1,
+         |    b.vx * cos(17 * $DR) + a.vx * sin(17 * $DR),
+         |    b.vy * cos(17 * $DR) + a.vy * sin(17 * $DR),
+         |    b.vz * cos(17 * $DR) + a.vz * sin(17 * $DR)
+         |  FROM generate_series(0, 2) k(k)
+         |  JOIN ovec a ON a.slot = (k.k + 2) % 3
+         |  JOIN ovec b ON b.fid = a.fid AND b.slot = k.k),
+         |hexdeg AS (SELECT fid, hslot,
+         |    atan2(sy / sqrt(sx*sx + sy*sy + sz*sz), sx / sqrt(sx*sx + sy*sy + sz*sz)) * 180.0 / pi() AS hlon,
+         |    asin(greatest(CAST(-1.0 AS DOUBLE), least(CAST(1.0 AS DOUBLE),
+         |      sz / sqrt(sx*sx + sy*sy + sz*sz)))) * 180.0 / pi() AS hlat
+         |  FROM hexraw),
+         |hexvec AS (SELECT fid, hslot,
+         |    cos(hlon * $DR) * cos(hlat * $DR) AS hx,
+         |    sin(hlon * $DR) * cos(hlat * $DR) AS hy,
+         |    sin(hlat * $DR) AS hz
+         |  FROM hexdeg),
+         |cnorm AS (SELECT a.fid, i.i AS ci,
+         |    a.hy * b.hz - a.hz * b.hy AS nx,
+         |    a.hz * b.hx - a.hx * b.hz AS ny,
+         |    a.hx * b.hy - a.hy * b.hx AS nz
+         |  FROM generate_series(0, 2) i(i)
+         |  JOIN hexvec a ON a.hslot = (i.i * 2 + 2) % 6
+         |  JOIN hexvec b ON b.fid = a.fid AND b.hslot = (i.i * 2 + 1) % 6),
+         |p0 AS (SELECT id,
+         |  CASE WHEN (x * 3.6 - 180.0 - ${dl(157.5)}) * $DR > pi()
+         |       THEN (x * 3.6 - 180.0 - ${dl(157.5)}) * $DR - 2 * pi()
+         |       WHEN (x * 3.6 - 180.0 - ${dl(157.5)}) * $DR < -pi()
+         |       THEN (x * 3.6 - 180.0 - ${dl(157.5)}) * $DR + 2 * pi()
+         |       ELSE (x * 3.6 - 180.0 - ${dl(157.5)}) * $DR END AS lam,
+         |  (y * 1.7 - 85.0) * $DR AS phi
+         |  FROM pts),
+         |pv AS (SELECT id, lam, phi,
+         |  cos(phi) * cos(lam) AS px, cos(phi) * sin(lam) AS py, sin(phi) AS pz,
+         |  CASE WHEN lam < -pi() / 2 THEN CASE WHEN phi < 0 THEN 6 ELSE 4 END
+         |       WHEN lam < 0 THEN CASE WHEN phi < 0 THEN 2 ELSE 0 END
+         |       WHEN lam < pi() / 2 THEN CASE WHEN phi < 0 THEN 3 ELSE 1 END
+         |       ELSE CASE WHEN phi < 0 THEN 7 ELSE 5 END END AS base
+         |  FROM p0),
+         |tests AS (SELECT p.id, p.base,
+         |    max(CASE WHEN c.ci = 0 THEN c.nx * p.px + c.ny * p.py + c.nz * p.pz END) AS d0,
+         |    max(CASE WHEN c.ci = 1 THEN c.nx * p.px + c.ny * p.py + c.nz * p.pz END) AS d1,
+         |    max(CASE WHEN c.ci = 2 THEN c.nx * p.px + c.ny * p.py + c.nz * p.pz END) AS d2
+         |  FROM pv p JOIN cnorm c ON c.fid = p.base
+         |  GROUP BY p.id, p.base)
+         |SELECT id, CAST(
+         |  CASE WHEN d0 < 0 THEN 8 + 3 * base
+         |       WHEN d1 < 0 THEN 8 + 3 * base + 1
+         |       WHEN d2 < 0 THEN 8 + 3 * base + 2
+         |       ELSE base END AS BIGINT) AS face_id
+         |FROM tests ORDER BY id""".stripMargin
+    },
 
     // -proj cahill_keyes: full-construction mirror (see cahillSql scaladoc)
     "q_cahill" -> cahillSql,
