@@ -183,7 +183,11 @@ object Ann {
       while (p < planes) { out(p + 1) = sig ^ (1L << p); p += 1 }
       out
     }
-    val idSigs = v.withColumn("_sig", sigUdf(col("vec"))).select("id", "_sig")
+    // (id, sig) materialized once (see Dedup.materializeOnce): probes AND base
+    // each re-read it behind capBuckets — without the checkpoint the sig UDF
+    // runs up to 4x, guarded only by fragile exchange reuse
+    val idSigs = Dedup.materializeOnce(
+      v.withColumn("_sig", sigUdf(col("vec"))).select("id", "_sig"))
     // degenerate-bucket cap on both sides (see Dedup.capBuckets): one
     // megabucket of identical signatures would make the probe join quadratic
     val probes = Dedup.capBuckets(

@@ -28,6 +28,19 @@ object Dedup {
   private val capSeq = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /**
+   * Materialize a tiny id-only LSH projection ONCE before it fans out to
+   * multiple consumers (capBuckets' count agg + probe join, then both sides
+   * of the candidate self-join). Without this the expensive signature chain
+   * (per-shingle hashing over the whole corpus) is only computed once if
+   * Catalyst happens to reuse the exchange — a plan-shape-dependent guarantee
+   * that silently turns into a 3-4x recompute if either consumer's projection
+   * drifts. The checkpointed frame is (id, bucket)-shaped (~16 bytes/row),
+   * so eager local materialization is cheap at any corpus scale.
+   */
+  private[operators] def materializeOnce(df: DataFrame): DataFrame =
+    df.localCheckpoint(true)
+
+  /**
    * Degenerate-bucket guard for LSH band joins: any bucket with more than
    * `maxBucket` members is dropped before the bucket equi-join. Without the
    * cap, one pathological bucket (every empty caption hashing to one band
@@ -160,9 +173,9 @@ object Dedup {
     // the banded self-join shuffles (id, bucket) ONLY — carrying the document
     // text through the bands-way-exploded shuffle would move ~2*bands x the
     // corpus; texts are hash-joined back per candidate pair instead
-    val banded = capBuckets(docs
+    val banded = capBuckets(materializeOnce(docs
       .withColumn("_bucket", explode(bandUdf(sigUdf(col("text")))))
-      .select(col("id"), col("_bucket")), "_bucket", maxBucket)
+      .select(col("id"), col("_bucket"))), "_bucket", maxBucket)
 
     val cand = banded.as("a").join(banded.as("b"),
         col("a._bucket") === col("b._bucket") && col("a.id") < col("b.id"))
@@ -224,9 +237,9 @@ object Dedup {
     val shUdf = udf((t: String) => simhash(t, shingleN))
     val bandsUdf = udf((h: Long) =>
       (0 until 4).map(b => (b.toLong << 16) | ((h >>> (16 * b)) & 0xffffL)).toArray)
-    val banded = capBuckets(df
+    val banded = capBuckets(materializeOnce(df
       .select(col(idCol).cast("long").as("id"), shUdf(col(textCol)).as("sh"))
-      .withColumn("_bucket", explode(bandsUdf(col("sh")))), "_bucket", maxBucket)
+      .withColumn("_bucket", explode(bandsUdf(col("sh"))))), "_bucket", maxBucket)
     val hamUdf = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
     banded.as("a").join(banded.as("b"),
         col("a._bucket") === col("b._bucket") && col("a.id") < col("b.id"))
@@ -257,7 +270,10 @@ object Dedup {
       out
     }
     val vecs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-    val sigs = vecs.withColumn("_sig", sigUdf(col("v"))).select("id", "_sig")
+    // (id, sig) materialized once: consumed by the probe explode AND the base
+    // side, each behind its own capBuckets double-read
+    val sigs = materializeOnce(
+      vecs.withColumn("_sig", sigUdf(col("v"))).select("id", "_sig"))
     // both sides capped: pairs per bucket are then bounded by maxBucket²
     val probes = capBuckets(
       sigs.withColumn("_bucket", explode(probesUdf(col("_sig"))))

@@ -141,6 +141,30 @@ class PlanSpec extends SparkSuite {
     assert(bad.isEmpty, s"document text rode a band shuffle: $bad")
   }
 
+  test("minhash signature chain is materialized once (no UDF recompute fan-out)") {
+    import spark.implicits._
+    val docs = (0 until 100).map(i => (i.toLong, s"body words $i tok " * 6))
+      .toDF("doc_id", "text")
+    val df = graft.operators.Dedup.minhashPairs(spark, docs, "doc_id", "text", threshold = 0.3)
+    val plan = df.queryExecution.executedPlan.toString
+    // the banded (id, bucket) projection is a checkpointed RDD scan, so the
+    // sig/band UDF chain is OUT of the final plan entirely — only the jaccard
+    // verifier UDF remains
+    assert(plan.contains("ExistingRDD"), "banded projection should be a checkpoint scan")
+    val udfCount = "(?i)scalaudf".r.findAllIn(plan).size
+    assert(udfCount <= 2, s"expected only the jaccard verifier UDF, got $udfCount:\n${plan.take(1500)}")
+  }
+
+  test("lshTopK signature projection is materialized once") {
+    import spark.implicits._
+    val rng = new graft.tables.SplitMix64(5)
+    val vecs = (0 until 150).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextDouble().toFloat).toSeq)).toDF("vec_id", "embedding")
+    val df = graft.operators.Ann.lshTopK(spark, vecs, "vec_id", "embedding", k = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD"), "sig projection should be a checkpoint scan")
+  }
+
   test("exact dedup: no exchange carries the text column (128-bit key decision)") {
     import spark.implicits._
     val docs = (0 until 100).map(i => (i.toLong, s"document body $i " * 10))
