@@ -36,6 +36,10 @@ object SparkEntry {
       derivedX(col("c_custkey")).as("x"),
       derivedY(col("c_custkey")).as("y"))
 
+  /** Closed flat rectangle ring (CCW) — the mosaic-family oracle fixture. */
+  private def oRect(x0: Double, y0: Double, w: Double, h: Double): Array[Double] =
+    Array(x0, y0, x0 + w, y0, x0 + w, y0 + h, x0, y0 + h, x0, y0)
+
   /** Shoelace area of a flat closed ring column (loop order = Geom kernel). */
   private lazy val ringAreaUdf = udf { (ring: Seq[Double]) =>
     val n = ring.length / 2
@@ -48,6 +52,30 @@ object SparkEntry {
     s"""pts AS (SELECT c_custkey AS id,
        |  ${derivedXSql("c_custkey")} AS x,
        |  ${derivedYSql("c_custkey")} AS y FROM customer)""".stripMargin
+
+  /** Shared 3-rect overlap CTE for the mosaic-family oracles (A 10x10 on
+   * the integer lattice, B 8x8 at +0.5, C 12x12 at +0.25 — dyadic offsets
+   * keep every pairwise and triple overlap width strictly nonzero):
+   * pairwise + triple intersection areas, dyadic-exact in double. */
+  private lazy val mosaicOvSql: String =
+    """gs AS (SELECT DISTINCT id % 50 AS g FROM pts),
+      |r AS (SELECT g,
+      |  CAST(g * 3 % 13 AS DOUBLE) AS ax, CAST(g * 5 % 17 AS DOUBLE) AS ay,
+      |  CAST(g * 5 % 13 AS DOUBLE) + 5.0e-1 AS bx, CAST(g * 8 % 17 AS DOUBLE) + 5.0e-1 AS by,
+      |  CAST(g * 7 % 13 AS DOUBLE) + 2.5e-1 AS cx, CAST(g * 11 % 17 AS DOUBLE) + 2.5e-1 AS cy
+      |  FROM gs),
+      |ov AS (SELECT g,
+      |  greatest(least(ax + 10.0, bx + 8.0) - greatest(ax, bx), 0) *
+      |  greatest(least(ay + 10.0, by + 8.0) - greatest(ay, by), 0) AS pab,
+      |  greatest(least(ax + 10.0, cx + 12.0) - greatest(ax, cx), 0) *
+      |  greatest(least(ay + 10.0, cy + 12.0) - greatest(ay, cy), 0) AS pac,
+      |  greatest(least(bx + 8.0, cx + 12.0) - greatest(bx, cx), 0) *
+      |  greatest(least(by + 8.0, cy + 12.0) - greatest(by, cy), 0) AS pbc,
+      |  greatest(least(least(ax + 10.0, bx + 8.0), cx + 12.0)
+      |    - greatest(greatest(ax, bx), cx), 0) *
+      |  greatest(least(least(ay + 10.0, by + 8.0), cy + 12.0)
+      |    - greatest(greatest(ay, by), cy), 0) AS t
+      |  FROM r)""".stripMargin
 
   /** The fixed 8-shape oracle polygon layer, emitted as SQL VALUES edges.
    * Coordinates are CAST to DOUBLE (DuckDB parses the literals as DECIMAL,
@@ -2677,6 +2705,174 @@ object SparkEntry {
         .orderBy("g", "rule", "shape")
     }),
 
+    // -union (ref mapshaper-union.mjs:9): two-layer coverage union through
+    // the full mosaic kernel (snap/cut/trace/classify/dissolve), validated
+    // on 50 two-rect families against inclusion-exclusion area + the
+    // connectivity count. B carries a dyadic +0.5 offset so every pair is
+    // STRICTLY overlapping or strictly separated — no knife-edge touches.
+    "q_union" -> ((s, dir) => {
+      val kernel = udf { (g: Long) =>
+        val out = Overlay.union(
+          Seq(Seq(oRect((g * 3 % 13).toDouble, (g * 5 % 17).toDouble, 10.0, 10.0))),
+          Seq(Seq(oRect((g * 5 % 13).toDouble + 0.5, (g * 8 % 17).toDouble + 0.5, 8.0, 8.0))))
+        (out.length.toLong, math.round(Overlay.layerArea(out) * 100.0))
+      }
+      points(s, dir).select((col("id") % 50).as("g")).distinct()
+        .withColumn("r", kernel(col("g")))
+        .select(col("g"), col("r._1").as("n_rings"), col("r._2").as("area_int"))
+        .orderBy("g")
+    }),
+
+    // -mosaic (ref mapshaper-mosaic.mjs:10-59): tiles of the 3-layer
+    // arrangement, observed as total area per layer-membership mask — each
+    // Venn cell has an inclusion-exclusion closed form. Dyadic offsets
+    // (0 / 0.5 / 0.25) keep every pairwise AND triple overlap width nonzero.
+    "q_mosaic" -> ((s, dir) => {
+      val kernel = udf { (g: Long) =>
+        val m = Overlay.mosaic(Seq(
+          Seq(oRect((g * 3 % 13).toDouble, (g * 5 % 17).toDouble, 10.0, 10.0)),
+          Seq(oRect((g * 5 % 13).toDouble + 0.5, (g * 8 % 17).toDouble + 0.5, 8.0, 8.0)),
+          Seq(oRect((g * 7 % 13).toDouble + 0.25, (g * 11 % 17).toDouble + 0.25, 12.0, 12.0))))
+        m.faces.groupBy { f =>
+          (if (f.inLayer(0)) 1 else 0) | (if (f.inLayer(1)) 2 else 0) |
+            (if (f.inLayer(2)) 4 else 0)
+        }.toSeq.map { case (mask, fs) =>
+          (mask.toLong, math.round(fs.map(Overlay.faceArea).sum * 10000.0))
+        }
+      }
+      points(s, dir).select((col("id") % 50).as("g")).distinct()
+        .withColumn("ma", explode(kernel(col("g"))))
+        .select(col("g"), col("ma._1").as("mask"), col("ma._2").as("area_int"))
+        .orderBy("g", "mask")
+    }),
+
+    // -clean (ref mapshaper-clean.mjs:18-112): every mosaic tile assigned to
+    // exactly one claimant per overlap rule, shapes rebuilt index-aligned —
+    // per-shape kept areas have inclusion-exclusion closed forms (areas
+    // 100/64/144 make every rule pick a different overlap winner).
+    "q_clean" -> ((s, dir) => {
+      import s.implicits._
+      val rules = Seq("max-area", "max-id", "min-area", "min-id")
+      val kernel = udf { (g: Long) =>
+        val shapes: Seq[Overlay.Shape] = Seq(
+          Seq(oRect((g * 3 % 13).toDouble, (g * 5 % 17).toDouble, 10.0, 10.0)),
+          Seq(oRect((g * 5 % 13).toDouble + 0.5, (g * 8 % 17).toDouble + 0.5, 8.0, 8.0)),
+          Seq(oRect((g * 7 % 13).toDouble + 0.25, (g * 11 % 17).toDouble + 0.25, 12.0, 12.0)))
+        rules.flatMap { r =>
+          Overlay.clean(shapes, r).zipWithIndex.map { case (rings, i) =>
+            (r, i.toLong, math.round(Overlay.layerArea(rings) * 10000.0))
+          }
+        }
+      }
+      points(s, dir).select((col("id") % 50).as("g")).distinct()
+        .withColumn("rsa", explode(kernel(col("g"))))
+        .select(col("g"), col("rsa._1").as("rule"), col("rsa._2").as("shape"),
+          col("rsa._3").as("area_int"))
+        .orderBy("g", "rule", "shape")
+    }),
+
+    // -polygons / polygonize (ref mapshaper-polygons.mjs:14-40): bounded
+    // faces of a line arrangement. A deterministic n x m grid of full-span
+    // lines with varying column widths / row heights gives closed forms for
+    // the face count, total area, and the sum of squared face areas
+    // (= sum(w^2) * sum(h^2)).
+    "q_polygonize" -> ((s, dir) => {
+      val kernel = udf { (g: Long) =>
+        val n = (g % 3 + 2).toInt
+        val m = (g % 2 + 2).toInt
+        val ws = (1 to n).map(i => ((g + 7 * i) % 4 + 1).toDouble)
+        val hs = (1 to m).map(j => ((g + 5 * j) % 3 + 1).toDouble)
+        val xs = ws.scanLeft(0.0)(_ + _)
+        val ys = hs.scanLeft(0.0)(_ + _)
+        val lines = xs.map(x => Array(x, 0.0, x, ys.last)) ++
+          ys.map(y => Array(0.0, y, xs.last, y))
+        val areas = Buffer.polygonize(lines).map(Overlay.faceArea)
+        (areas.length.toLong, math.round(areas.sum * 100.0),
+          math.round(areas.map(a => a * a).sum))
+      }
+      points(s, dir).select((col("id") % 50).as("g")).distinct()
+        .withColumn("r", kernel(col("g")))
+        .select(col("g"), col("r._1").as("n_faces"), col("r._2").as("area_int"),
+          col("r._3").as("sq_sum"))
+        .orderBy("g")
+    }),
+
+    // -divide (ref mapshaper-divide.mjs:20-40): polyline cut at polygon
+    // boundaries, pieces tagged inside/outside. A 4-segment horizontal line
+    // through a width-w rect has closed-form piece counts and lengths on
+    // both sides (cut points land at x=0 — a line vertex — and x=w).
+    "q_divide" -> ((s, dir) => {
+      val kernel = udf { (g: Long) =>
+        val w = (g % 8 + 2).toDouble
+        val h = (g % 5 + 1).toDouble
+        val c = h / 2.0
+        val line = Array(-5.0, c, 0.0, c, 5.0, c, 10.0, c, 15.0, c)
+        val poly = Seq(oRect(0.0, 0.0, w, h))
+        Buffer.divideLine(line, poly).groupBy(_._2).toSeq.map { case (inside, ps) =>
+          (inside, ps.length.toLong,
+            math.round(ps.map(p => math.abs(p._1(2) - p._1(0))).sum * 100.0))
+        }
+      }
+      points(s, dir).select((col("id") % 50).as("g")).distinct()
+        .withColumn("r", explode(kernel(col("g"))))
+        .select(col("g"), col("r._1").as("inside"), col("r._2").as("n_pieces"),
+          col("r._3").as("len_int"))
+        .orderBy("g", "inside")
+    }),
+
+    // -inlay (ref mapshaper-inlay.mjs:7 — erase + union): 6x6 inlay swept
+    // across a 12x12 base through disjoint / overlapping / contained /
+    // edge-touching positions; coverage area is inclusion-exclusion and the
+    // output ring count is 2 only when strictly disjoint (touching merges,
+    // a contained inlay's hole boundary cancels against the inlay ring).
+    "q_inlay" -> ((s, dir) => {
+      val kernel = udf { (g: Long) =>
+        val dx = (g % 5 * 5 - 8).toDouble
+        val out = Overlay.inlay(
+          Seq(Seq(oRect(0.0, 0.0, 12.0, 12.0))),
+          Seq(Seq(oRect(dx, 3.0, 6.0, 6.0))))
+        (out.length.toLong, math.round(Overlay.layerArea(out) * 100.0))
+      }
+      points(s, dir).select((col("id") % 50).as("g")).distinct()
+        .withColumn("r", kernel(col("g")))
+        .select(col("g"), col("r._1").as("n_rings"), col("r._2").as("area_int"))
+        .orderBy("g")
+    }),
+
+    // -stitch (ref mapshaper-stitch.mjs:12-60): a polygon cut at the
+    // antimeridian (east piece ending at lon 180, west piece starting at
+    // -180) is re-merged — the west piece shifts +360 and the duplicate cut
+    // edge cancels in the dissolve; an untouched control ring rides along.
+    // Output rings sorted by min lon for a deterministic rank.
+    "q_stitch" -> ((s, dir) => {
+      val kernel = udf { (g: Long) =>
+        val h = (g % 5 + 1).toDouble
+        val y0 = (g % 7).toDouble
+        val w1 = (g % 4 + 3).toDouble
+        val w2 = (g % 3 + 2).toDouble
+        val east = oRect(180.0 - w1, y0, w1, h)
+        val west = oRect(-180.0, y0, w2, h)
+        val ctrl = oRect(-60.0 + (g % 20).toDouble, y0, 5.0, h)
+        val out = Stitch.antimeridian(Seq(east, west, ctrl))
+        out.map { r =>
+          var mn = Double.MaxValue; var mx = Double.MinValue
+          var i = 0
+          while (i < r.length) {
+            mn = math.min(mn, r(i)); mx = math.max(mx, r(i)); i += 2
+          }
+          (math.round(Overlay.layerArea(Seq(r)) * 100.0),
+            math.round(mn * 100.0), math.round(mx * 100.0))
+        }.sortBy(_._2).zipWithIndex.map { case ((a, mn, mx), i) =>
+          (i.toLong, a, mn, mx)
+        }
+      }
+      points(s, dir).select((col("id") % 50).as("g")).distinct()
+        .withColumn("r", explode(kernel(col("g"))))
+        .select(col("g"), col("r._1").as("rk"), col("r._2").as("area_int"),
+          col("r._3").as("lon_min_int"), col("r._4").as("lon_max_int"))
+        .orderBy("g", "rk")
+    }),
+
     // -rotate: spherical Euler-angle rotation (d3 semantics, ref
     // mapshaper-spherical-rotation.mjs) — trig mirrored in DuckDB, floor 1e6
     "q_rotate" -> ((s, dir) => {
@@ -4612,6 +4808,137 @@ object SparkEntry {
          |  FROM r)
          |SELECT * FROM ($rows) ORDER BY g, rule, shape""".stripMargin
     },
+
+    // -union: inclusion-exclusion area of the two-rect coverage + the
+    // connectivity count (1 ring iff the overlap is strictly positive in
+    // both axes; the +0.5 dyadic offset on B rules out exact edge touches)
+    "q_union" ->
+      s"""WITH $ptsSql,
+         |gs AS (SELECT DISTINCT id % 50 AS g FROM pts),
+         |r AS (SELECT g,
+         |  CAST(g * 3 % 13 AS DOUBLE) AS ax, CAST(g * 5 % 17 AS DOUBLE) AS ay,
+         |  CAST(g * 5 % 13 AS DOUBLE) + 5.0e-1 AS bx, CAST(g * 8 % 17 AS DOUBLE) + 5.0e-1 AS by
+         |  FROM gs),
+         |o AS (SELECT g,
+         |  least(ax + 10.0, bx + 8.0) - greatest(ax, bx) AS wx,
+         |  least(ay + 10.0, by + 8.0) - greatest(ay, by) AS wy FROM r)
+         |SELECT g,
+         |  CAST(CASE WHEN wx > 0 AND wy > 0 THEN 1 ELSE 2 END AS BIGINT) AS n_rings,
+         |  CAST(round((164.0 - greatest(wx, 0) * greatest(wy, 0)) * 100.0) AS BIGINT) AS area_int
+         |FROM o ORDER BY g""".stripMargin,
+
+    // -mosaic: per-membership-mask tile areas — every Venn cell of the
+    // 3-rect arrangement has an inclusion-exclusion closed form; only
+    // nonempty cells appear (areas are dyadic-exact so > 0 is exact)
+    "q_mosaic" ->
+      s"""WITH $ptsSql,
+         |$mosaicOvSql,
+         |m AS (
+         |  SELECT g, 1 AS mask, 100.0 - pab - pac + t AS area FROM ov UNION ALL
+         |  SELECT g, 2, 64.0 - pab - pbc + t FROM ov UNION ALL
+         |  SELECT g, 3, pab - t FROM ov UNION ALL
+         |  SELECT g, 4, 144.0 - pac - pbc + t FROM ov UNION ALL
+         |  SELECT g, 5, pac - t FROM ov UNION ALL
+         |  SELECT g, 6, pbc - t FROM ov UNION ALL
+         |  SELECT g, 7, t FROM ov)
+         |SELECT g, CAST(mask AS BIGINT) AS mask,
+         |  CAST(round(area * 10000.0) AS BIGINT) AS area_int
+         |FROM m WHERE area > 0 ORDER BY g, mask""".stripMargin,
+
+    // -clean: per-shape kept areas under each overlap rule (shape areas
+    // 100/64/144 make every rule pick a different overlap winner; ties
+    // cannot occur). Same claim logic as q_dissolve2_rules, but through
+    // Overlay.clean's index-aligned rebuild.
+    "q_clean" -> {
+      val rows = Seq(
+        ("max-area", Seq("100.0 - pac", "64.0 - pab - pbc + t", "144.0")),
+        ("max-id",   Seq("100.0 - pab - pac + t", "64.0 - pbc", "144.0")),
+        ("min-area", Seq("100.0 - pab", "64.0", "144.0 - pac - pbc + t")),
+        ("min-id",   Seq("100.0", "64.0 - pab", "144.0 - pac - pbc + t"))
+      ).flatMap { case (rule, as) =>
+        as.zipWithIndex.map { case (a, i) =>
+          s"SELECT g, '$rule' AS rule, CAST($i AS BIGINT) AS shape, " +
+            s"CAST(round(($a) * 10000.0) AS BIGINT) AS area_int FROM ov"
+        }
+      }.mkString("\nUNION ALL ")
+      s"""WITH $ptsSql,
+         |$mosaicOvSql
+         |SELECT * FROM ($rows) ORDER BY g, rule, shape""".stripMargin
+    },
+
+    // -polygons: an n x m grid of full-span lines has n*m bounded faces;
+    // total area = sum(w) * sum(h), sum of squared face areas factorizes
+    // as sum(w^2) * sum(h^2)
+    "q_polygonize" ->
+      s"""WITH $ptsSql,
+         |gs AS (SELECT DISTINCT id % 50 AS g FROM pts),
+         |dims AS (SELECT g, g % 3 + 2 AS n, g % 2 + 2 AS m FROM gs),
+         |ws AS (SELECT g, CAST((g + 7 * i.i) % 4 + 1 AS DOUBLE) AS w
+         |  FROM dims CROSS JOIN range(1, 5) i(i) WHERE i.i <= n),
+         |hs AS (SELECT g, CAST((g + 5 * j.j) % 3 + 1 AS DOUBLE) AS h
+         |  FROM dims CROSS JOIN range(1, 4) j(j) WHERE j.j <= m),
+         |wa AS (SELECT g, sum(w) AS sw, sum(w * w) AS sw2 FROM ws GROUP BY g),
+         |ha AS (SELECT g, sum(h) AS sh, sum(h * h) AS sh2 FROM hs GROUP BY g)
+         |SELECT d.g AS g, CAST(d.n * d.m AS BIGINT) AS n_faces,
+         |  CAST(round(wa.sw * ha.sh * 100.0) AS BIGINT) AS area_int,
+         |  CAST(round(wa.sw2 * ha.sh2) AS BIGINT) AS sq_sum
+         |FROM dims d JOIN wa ON wa.g = d.g JOIN ha ON ha.g = d.g
+         |ORDER BY g""".stripMargin,
+
+    // -divide: piece counts and lengths on each side of the rect boundary
+    // (cuts land at x = 0, a line vertex, and x = w; breakpoints at
+    // -5/0/5/10/15 give the piece-count case split)
+    "q_divide" ->
+      s"""WITH $ptsSql,
+         |gs AS (SELECT DISTINCT id % 50 AS g FROM pts),
+         |p AS (SELECT g, CAST(g % 8 + 2 AS DOUBLE) AS w FROM gs),
+         |u AS (
+         |  SELECT g, TRUE AS inside,
+         |    CAST(CASE WHEN w > 5 THEN 2 ELSE 1 END AS BIGINT) AS n_pieces,
+         |    CAST(round(w * 100.0) AS BIGINT) AS len_int FROM p
+         |  UNION ALL
+         |  SELECT g, FALSE,
+         |    CAST(CASE WHEN w < 5 THEN 4 ELSE 3 END AS BIGINT),
+         |    CAST(round((20.0 - w) * 100.0) AS BIGINT) FROM p)
+         |SELECT g, inside, n_pieces, len_int FROM u ORDER BY g, inside""".stripMargin,
+
+    // -inlay: coverage area is inclusion-exclusion; ring count is 2 only in
+    // the strictly-disjoint position (g % 5 = 0 -> dx = -8); the
+    // edge-touching dx = 12 position merges via exact shared-edge cancel
+    "q_inlay" ->
+      s"""WITH $ptsSql,
+         |gs AS (SELECT DISTINCT id % 50 AS g FROM pts),
+         |p AS (SELECT g, CAST(g % 5 * 5 - 8 AS DOUBLE) AS dx FROM gs),
+         |o AS (SELECT g, dx,
+         |  greatest(least(12.0, dx + 6.0) - greatest(0.0, dx), 0) * 6.0 AS ov FROM p)
+         |SELECT g,
+         |  CAST(CASE WHEN g % 5 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_rings,
+         |  CAST(round((180.0 - ov) * 100.0) AS BIGINT) AS area_int
+         |FROM o ORDER BY g""".stripMargin,
+
+    // -stitch: the merged ring spans [180 - w1, 180 + w2] in the 0..360
+    // frame (area (w1 + w2) * h); the control ring is untouched; rank is
+    // by min lon so the control (far west) is always rank 0
+    "q_stitch" ->
+      s"""WITH $ptsSql,
+         |gs AS (SELECT DISTINCT id % 50 AS g FROM pts),
+         |p AS (SELECT g,
+         |  CAST(g % 5 + 1 AS DOUBLE) AS h,
+         |  CAST(g % 4 + 3 AS DOUBLE) AS w1,
+         |  CAST(g % 3 + 2 AS DOUBLE) AS w2,
+         |  CAST(g % 20 AS DOUBLE) - 60.0 AS cx FROM gs),
+         |u AS (
+         |  SELECT g, CAST(0 AS BIGINT) AS rk,
+         |    CAST(round(5.0 * h * 100.0) AS BIGINT) AS area_int,
+         |    CAST(round(cx * 100.0) AS BIGINT) AS lon_min_int,
+         |    CAST(round((cx + 5.0) * 100.0) AS BIGINT) AS lon_max_int FROM p
+         |  UNION ALL
+         |  SELECT g, CAST(1 AS BIGINT),
+         |    CAST(round((w1 + w2) * h * 100.0) AS BIGINT),
+         |    CAST(round((180.0 - w1) * 100.0) AS BIGINT),
+         |    CAST(round((180.0 + w2) * 100.0) AS BIGINT) FROM p)
+         |SELECT g, rk, area_int, lon_min_int, lon_max_int FROM u
+         |ORDER BY g, rk""".stripMargin,
 
     // feature getters: closed forms over the same integer-valued rects
     "q_each_geom" -> {
