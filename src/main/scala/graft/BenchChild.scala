@@ -9,13 +9,14 @@ import org.apache.spark.sql.SparkSession
  * parallelism level gets its own process — exactly like separate
  * spark-submit runs on a real cluster.
  *
- * args: cores imagesPath rep. Prints "CHILDSEC <seconds>".
+ * args: cores imagesPath rep [nRuns]. Prints "CHILDSEC <seconds>".
  */
 object BenchChild {
   def main(args: Array[String]): Unit = {
     val cores = args(0).toInt
     val imagesPath = args(1)
     val rep = args(2).toInt
+    val nRuns = if (args.length > 3) args(3).toInt else 3
     val s = SparkSession.builder()
       .master(s"local[$cores]")
       .appName("graft-bench-child")
@@ -34,7 +35,10 @@ object BenchChild {
       Bench.headline(s, input, rep)
       (System.nanoTime() - t0) / 1e9
     }
-    val t = Seq(run(), run(), run()).min // min-of-3: rejects co-tenant noise
+    // min-of-nRuns; scaling samples use nRuns=1 (replication happens in the
+    // parent's interleaved rounds — in-child repeats would triple the wall
+    // cost of the long low-core runs without adding independent windows)
+    val t = Seq.fill(nRuns)(run()).min
     println(f"CHILDSEC $t%.4f")
     s.stop()
   }
