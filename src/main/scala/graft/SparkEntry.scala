@@ -1544,6 +1544,90 @@ object SparkEntry {
        |ORDER BY q, r, k""".stripMargin
   }
 
+  /** Shared threshold machinery for the q_simplify* oracles: 14 unrolled
+   * weighted-Visvalingam elimination rounds over the 8 16-point paths,
+   * prefix-max clamp, sqrt*0.65 scaling, and the exact global rank-select
+   * cutoff — ends with CTEs `s0` (indexed vertices), `thrs` (g, vi, z per
+   * interior vertex) and `iv` (the pct=0.5 interval). Callers append their
+   * own final SELECT. */
+  private lazy val simplifyThrSql: String = {
+      val c65 = dl(0.65)
+      val c07 = dl(0.7)
+      val rounds = (1 to 14).map { k =>
+        s"""a$k AS (SELECT g, idx, x, y,
+           |  lag(x) OVER (PARTITION BY g ORDER BY idx) AS px,
+           |  lag(y) OVER (PARTITION BY g ORDER BY idx) AS py,
+           |  lead(x) OVER (PARTITION BY g ORDER BY idx) AS nx,
+           |  lead(y) OVER (PARTITION BY g ORDER BY idx) AS ny
+           |  FROM s${k - 1} WHERE alive),
+           |v$k AS (SELECT g, idx,
+           |  (1.0 - CASE WHEN sqrt((px - x) * (px - x) + (py - y) * (py - y))
+           |              * sqrt((x - nx) * (x - nx) + (y - ny) * (y - ny)) > 0
+           |    THEN least(CAST(1.0 AS DOUBLE), greatest(CAST(-1.0 AS DOUBLE),
+           |      ((px - x) * (nx - x) + (py - y) * (ny - y))
+           |      / (sqrt((px - x) * (px - x) + (py - y) * (py - y))
+           |         * sqrt((x - nx) * (x - nx) + (y - ny) * (y - ny)))))
+           |    ELSE 0.0 END * $c07)
+           |  * abs(((py - ny) * (x - nx) + (y - ny) * (nx - px)) / 2.0) AS v
+           |  FROM a$k WHERE px IS NOT NULL AND nx IS NOT NULL),
+           |m$k AS MATERIALIZED (SELECT g, idx AS rem, v FROM (
+           |  SELECT g, idx, v, row_number() OVER (PARTITION BY g ORDER BY v, idx) AS rn
+           |  FROM v$k) WHERE rn = 1),
+           |s$k AS MATERIALIZED (SELECT s.g, s.idx, s.x, s.y,
+           |  s.alive AND s.idx <> m.rem AS alive
+           |  FROM s${k - 1} s JOIN m$k m ON s.g = m.g)""".stripMargin
+      }.mkString(",\n")
+      val rec = (1 to 14).map(k => s"SELECT $k AS k, g, rem, v FROM m$k")
+        .mkString("\nUNION ALL ")
+      s"""$ptsSql,
+         |s0 AS MATERIALIZED (SELECT CAST((id - 1) // 16 AS BIGINT) AS g,
+         |  row_number() OVER (PARTITION BY (id - 1) // 16 ORDER BY id) - 1 AS idx,
+         |  x, y, TRUE AS alive
+         |  FROM pts WHERE id >= 1 AND id <= 128),
+         |$rounds,
+         |rec AS ($rec),
+         |thr AS (SELECT g, rem AS vi, max(v) OVER (PARTITION BY g ORDER BY k) AS t FROM rec),
+         |thrs AS (SELECT g, vi, sqrt(t) * $c65 AS z FROM thr),
+         |iv AS (SELECT z AS iv FROM thrs ORDER BY z LIMIT 1 OFFSET 56)""".stripMargin
+  }
+
+
+  /** The q_grid_hex SQL: the pointy-top hexagon lattice itself — same hex
+   * CTE as [[gridMirrorSql]], emitting the hexagon's center, second vertex
+   * and 6-term shoelace area (loop order = Geom.signedRingArea). */
+  private def hexMirrorSql: String = {
+    val size = 4.0
+    val SQC = dl(math.sqrt(3.0) * size)
+    val KC2 = dl(size * 1.5)
+    val vcols = (0 until 6).map { i =>
+      val a = math.Pi / 6.0 + math.Pi / 3.0 * i
+      s"cx + ${dl(size * math.cos(a))} AS v${i}x, cy + ${dl(size * math.sin(a))} AS v${i}y"
+    }.mkString(",\n       |    ")
+    val shoelace = (0 until 6).map { i =>
+      val j = (i + 1) % 6
+      s"(v${i}x * v${j}y - v${j}x * v${i}y)"
+    }.mkString(" + ")
+    s"""WITH rr AS (SELECT unnest(range(-1, 6)) AS r),
+       |qq AS (SELECT r,
+       |    unnest(range(CAST(floor(0.0 / $SQC - CAST(r AS DOUBLE) / 2.0) AS BIGINT) - 1,
+       |                 CAST(ceil(30.0 / $SQC - CAST(r AS DOUBLE) / 2.0) AS BIGINT) + 2)) AS q
+       |  FROM rr),
+       |hex AS (SELECT q, r,
+       |    $SQC * (CAST(q AS DOUBLE) + CAST(r AS DOUBLE) / 2.0) AS cx,
+       |    $KC2 * CAST(r AS DOUBLE) AS cy
+       |  FROM qq),
+       |hexv AS (SELECT q, r, cx, cy,
+       |    $vcols
+       |  FROM hex)
+       |SELECT q, r,
+       |  CAST(floor(cx * 1000000.0) AS BIGINT) AS cx_int,
+       |  CAST(floor(cy * 1000000.0) AS BIGINT) AS cy_int,
+       |  CAST(floor((($shoelace) / 2.0) * 1000000.0) AS BIGINT) AS area_int,
+       |  CAST(floor(v1x * 1000000.0) AS BIGINT) AS v1x_int,
+       |  CAST(floor(v1y * 1000000.0) AS BIGINT) AS v1y_int
+       |FROM hexv ORDER BY q, r""".stripMargin
+  }
+
   /** The q_proj_crs SQL: same formulas (Snyder), same operation order, with
    * all projection constants interpolated from the very [[Crs]] objects the
    * Spark side uses — byte-identical double literals on both engines. */
@@ -2324,6 +2408,27 @@ object SparkEntry {
         .orderBy("g")
     }),
 
+    // -simplify variable=: per-ring interval = global interval * clamp(w);
+    // weights (g%5)/4 span {0,.25,.5,.75,1} — w=0 keeps all 16 vertices,
+    // w=1 matches the plain pct=0.5 filter. Oracle shares the q_simplify
+    // threshold machinery and checks counts + the second kept vertex.
+    "q_simplify_variable" -> ((s, dir) => {
+      val paths = points(s, dir).where(col("id") >= 1 && col("id") <= 128)
+        .withColumn("g", floor((col("id") - 1) / 16).cast("long"))
+        .groupBy("g")
+        .agg(array_sort(collect_list(struct(col("id"), col("x"), col("y")))).as("pts"))
+        .select(col("g"),
+          flatten(transform(col("pts"),
+            p => array(p.getField("x"), p.getField("y")))).as("ring"))
+        .withColumn("w", (col("g") % 5).cast("double") / 4.0)
+      SimplifyOp.simplifyVariable(s, paths, "ring", "w", pct = 0.5,
+          method = graft.geom.Simplify.WeightedVisvalingam, exactPct = true)
+        .select(col("g"), col("n_before"), col("n_after"),
+          floor(element_at(col("simplified"), 3) * 1000000.0).cast("long").as("x2_int"),
+          floor(element_at(col("simplified"), 4) * 1000000.0).cast("long").as("y2_int"))
+        .orderBy("g")
+    }),
+
     // -clip bbox2= fast path: rectangle clip of polygon rings
     "q_clip_rect" -> ((s, dir) => {
       import s.implicits._
@@ -2738,6 +2843,31 @@ object SparkEntry {
         .orderBy("g", "rule", "shape")
     }),
 
+    // -dissolve2 gap_fill_area= (ref mapshaper-polygon-dissolve2.mjs:85-92 +
+    // MosaicIndex.removeGaps): 50 picture-frame families — four overlapping
+    // wall rects enclose a central h x h gap; dyadic h values keep h^2 exact,
+    // so "filled iff h^2 < 2.0" and the output area/ring count are closed
+    // forms (frame 10x10: filled -> area 100, 1 ring; kept gap -> 100 - h^2,
+    // 2 rings).
+    "q_dissolve2_gaps" -> ((s, dir) => {
+      val kernel = udf { (g: Long) =>
+        val w = 10.0
+        val a = (g * 3 % 4).toDouble + 2.0
+        val h = 0.25 + (g % 5).toDouble * 0.375
+        val shapes: Seq[Overlay.Shape] = Seq(
+          Seq(oRect(0, 0, w, a)),            // bottom wall (up to gap)
+          Seq(oRect(0, a + h, w, w - a - h)), // top wall
+          Seq(oRect(0, 0, a, w)),            // left wall
+          Seq(oRect(a + h, 0, w - a - h, w))) // right wall
+        val out = Overlay.dissolve2GapFill(shapes, gapFillArea = 2.0)
+        (out.length.toLong, math.round(Overlay.layerArea(out) * 100.0))
+      }
+      points(s, dir).select((col("id") % 50).as("g")).distinct()
+        .withColumn("r", kernel(col("g")))
+        .select(col("g"), col("r._1").as("n_rings"), col("r._2").as("area_int"))
+        .orderBy("g")
+    }),
+
     // -union (ref mapshaper-union.mjs:9): two-layer coverage union through
     // the full mosaic kernel (snap/cut/trace/classify/dissolve), validated
     // on 50 two-rect families against inclusion-exclusion area + the
@@ -3097,6 +3227,59 @@ object SparkEntry {
         .orderBy("p_partkey")
     }),
 
+    // -classify non-adjacent (ref src/color/graph-color.mjs:8-163 via
+    // mapshaper-classify.mjs:59): 5x5 lattice of unit squares; adjacency is
+    // the distributed shared-edge self-join, then the reference's exact
+    // greedy runs on the collected id pairs. With 2 colors the result is
+    // parity-FORCED: the first pop is the max-degree max-id node (3,3)
+    // (even parity -> color 0) and every later pop has a colored neighbor
+    // (saturated nodes bubble past all unsaturated ones), so the oracle is
+    // the closed-form checkerboard. The order-sensitive 3/4-color paths are
+    // replica-golden spec-tested (NonAdjacentSpec).
+    "q_classify_color" -> ((s, dir) => {
+      import s.implicits._
+      val n = 5
+      val verts = (for {
+        i <- 0 until n * n
+        (dx, dy, q) <- Seq((0, 0, 0), (1, 0, 1), (1, 1, 2), (0, 1, 3), (0, 0, 4))
+      } yield (i.toLong, 0, q, (i % n + dx).toDouble, (i / n + dy).toDouble))
+        .toDF("id", "ring", "seq", "x", "y")
+      val adj = Classify.sharedEdgeAdjacency(verts)
+      Classify.nonAdjacentDF(s, verts.select("id").distinct(), adj, nColors = 2)
+        .orderBy("id")
+    }),
+
+    // CSV import parity (ref src/text/mapshaper-delim-import.mjs:100-219):
+    // string-fields= protects leading-zero FIPS from numeric detection,
+    // missing values in detected-numeric lat/lon become null without
+    // disqualifying the column; DuckDB re-reads the same file all-varchar
+    // and applies the expected conversions independently.
+    "q_csv_types" -> ((s, dir) => {
+      val df = graft.sources.DelimImport.read(s,
+        "/root/reference/test/data/text/empty_fields2.csv",
+        graft.sources.DelimImport.Options(stringFields = Seq("Voters_FIPS")))
+      df.select(col("County").as("county"), col("Voters_FIPS").as("fips"),
+          col("Precinct").as("precinct"),
+          floor(col("Residence_Addresses_Latitude") * 1000000.0).cast("long").as("lat_int"),
+          floor(col("Residence_Addresses_Longitude") * 1000000.0).cast("long").as("lon_int"),
+          col("Residence_Addresses_LatLongAccuracy").as("acc"))
+        .orderBy("precinct")
+    }),
+
+    // CSV auto-detection at file scale (states.csv, 52 records): every
+    // column of parseable-or-missing numerics converts (leading-zero FIPS
+    // included — no string hint here), text columns stay strings.
+    "q_csv_infer" -> ((s, dir) => {
+      val df = graft.sources.DelimImport.read(s,
+        "/root/reference/test/data/text/states.csv")
+      df.select(col("STATE_ABBR").as("abbr"), col("STATE_NAME").as("name"),
+          col("STATE_FIPS").cast("long").as("fips"),
+          col("POP2010").cast("long").as("pop"),
+          floor(col("POP10_SQMI") * 100.0).cast("long").as("dens_int"),
+          col("SUB_REGION").as("region"))
+        .orderBy("abbr")
+    }),
+
     // -clip on polylines: horizontal segments vs a rectangle polygon — the
     // clipped (inside) length has the closed form |[max(x,20), min(x+7,70)]|,
     // so the full divide-at-intersections kernel is DuckDB-verified
@@ -3423,6 +3606,20 @@ object SparkEntry {
           floor(element_at(col("ring"), 3) * 1000000.0).cast("long").as("v1x_int"),
           floor(element_at(col("ring"), 4) * 1000000.0).cast("long").as("v1y_int"))
         .orderBy("q", "r", "k")),
+
+    // -grid type=hex2 (pointy-top hexagons, ref mapshaper-hex-grid.mjs:33):
+    // the full hex lattice — enumeration bounds, centers, all six ring
+    // vertices and the shoelace area — re-derived in SQL (same dl()
+    // constants and op order as the rhombus/triangle mirrors)
+    "q_grid_hex" -> ((s, dir) =>
+      Grids.hexGrid(s, 0.0, 0.0, 30.0, 20.0, 4.0)
+        .select(col("q"), col("r"),
+          floor(col("cx") * 1000000.0).cast("long").as("cx_int"),
+          floor(col("cy") * 1000000.0).cast("long").as("cy_int"),
+          floor(ringAreaUdf(col("ring")) * 1000000.0).cast("long").as("area_int"),
+          floor(element_at(col("ring"), 3) * 1000000.0).cast("long").as("v1x_int"),
+          floor(element_at(col("ring"), 4) * 1000000.0).cast("long").as("v1y_int"))
+        .orderBy("q", "r")),
 
     // -subdivide expression=: reference count-median bisection while the
     // predicate holds; the leaf-size multiset is closed-form (balanced
@@ -4935,6 +5132,16 @@ object SparkEntry {
     // -union: inclusion-exclusion area of the two-rect coverage + the
     // connectivity count (1 ring iff the overlap is strictly positive in
     // both axes; the +0.5 dyadic offset on B rules out exact edge touches)
+    // picture-frame gap fill: filled iff h^2 < threshold; h dyadic -> exact
+    "q_dissolve2_gaps" ->
+      s"""WITH $ptsSql,
+         |gs AS (SELECT DISTINCT id % 50 AS g FROM pts),
+         |r AS (SELECT g, 2.5e-1 + CAST(g % 5 AS DOUBLE) * 3.75e-1 AS h FROM gs)
+         |SELECT g,
+         |  CAST(CASE WHEN h * h < 2.0 THEN 1 ELSE 2 END AS BIGINT) AS n_rings,
+         |  CAST(round((100.0 - CASE WHEN h * h < 2.0 THEN 0.0 ELSE h * h END) * 100.0) AS BIGINT) AS area_int
+         |FROM r ORDER BY g""".stripMargin,
+
     "q_union" ->
       s"""WITH $ptsSql,
          |gs AS (SELECT DISTINCT id % 50 AS g FROM pts),
@@ -5726,6 +5933,33 @@ object SparkEntry {
         |       WHEN p_brand = 'Brand#23' THEN '#b23' ELSE '#oth' END AS cat_color
         |FROM cls ORDER BY p_partkey""".stripMargin,
 
+    // forced 2-coloring of the 5x5 lattice: checkerboard parity
+    "q_classify_color" ->
+      """SELECT CAST(id AS BIGINT) AS id,
+        |  CAST(((id // 5) + (id % 5)) % 2 AS BIGINT) AS color_id
+        |FROM (SELECT unnest(range(0, 25)) AS id)
+        |ORDER BY id""".stripMargin,
+
+    // independent all-varchar re-read + expected conversions
+    "q_csv_types" ->
+      """SELECT County AS county, Voters_FIPS AS fips, Precinct AS precinct,
+        |  CAST(floor(TRY_CAST(Residence_Addresses_Latitude AS DOUBLE) * 1000000.0) AS BIGINT) AS lat_int,
+        |  CAST(floor(TRY_CAST(Residence_Addresses_Longitude AS DOUBLE) * 1000000.0) AS BIGINT) AS lon_int,
+        |  COALESCE(Residence_Addresses_LatLongAccuracy, '') AS acc
+        |FROM read_csv('/root/reference/test/data/text/empty_fields2.csv',
+        |  all_varchar=true, header=true)
+        |ORDER BY precinct""".stripMargin,
+
+    "q_csv_infer" ->
+      """SELECT STATE_ABBR AS abbr, STATE_NAME AS name,
+        |  CAST(trunc(TRY_CAST(STATE_FIPS AS DOUBLE)) AS BIGINT) AS fips,
+        |  CAST(trunc(TRY_CAST(POP2010 AS DOUBLE)) AS BIGINT) AS pop,
+        |  CAST(floor(TRY_CAST(POP10_SQMI AS DOUBLE) * 100.0) AS BIGINT) AS dens_int,
+        |  SUB_REGION AS region
+        |FROM read_csv('/root/reference/test/data/text/states.csv',
+        |  all_varchar=true, header=true)
+        |ORDER BY abbr""".stripMargin,
+
     "q_clip_lines" ->
       s"""WITH $ptsSql
          |SELECT id,
@@ -6044,6 +6278,8 @@ object SparkEntry {
     "q_grid_rhombus" -> gridMirrorSql(rhombus = true),
 
     "q_grid_triangle" -> gridMirrorSql(rhombus = false),
+
+    "q_grid_hex" -> hexMirrorSql,
 
     // balanced halving: the leaf-size multiset of the count-median subdivide
     // is a pure function of n and the predicate — recursive CTE mirror
@@ -6779,50 +7015,29 @@ object SparkEntry {
     // IEEE op order; tie rule (v, idx) = the MinHeap's lexicographic order),
     // prefix-max monotonic clamp, sqrt*0.65 scaling, EXACT global rank-select
     // cutoff (k = floor((1-pct)*n)), and the >= retention filter
-    "q_simplify" -> {
-      val c65 = dl(0.65)
-      val c07 = dl(0.7)
-      val rounds = (1 to 14).map { k =>
-        s"""a$k AS (SELECT g, idx, x, y,
-           |  lag(x) OVER (PARTITION BY g ORDER BY idx) AS px,
-           |  lag(y) OVER (PARTITION BY g ORDER BY idx) AS py,
-           |  lead(x) OVER (PARTITION BY g ORDER BY idx) AS nx,
-           |  lead(y) OVER (PARTITION BY g ORDER BY idx) AS ny
-           |  FROM s${k - 1} WHERE alive),
-           |v$k AS (SELECT g, idx,
-           |  (1.0 - CASE WHEN sqrt((px - x) * (px - x) + (py - y) * (py - y))
-           |              * sqrt((x - nx) * (x - nx) + (y - ny) * (y - ny)) > 0
-           |    THEN least(CAST(1.0 AS DOUBLE), greatest(CAST(-1.0 AS DOUBLE),
-           |      ((px - x) * (nx - x) + (py - y) * (ny - y))
-           |      / (sqrt((px - x) * (px - x) + (py - y) * (py - y))
-           |         * sqrt((x - nx) * (x - nx) + (y - ny) * (y - ny)))))
-           |    ELSE 0.0 END * $c07)
-           |  * abs(((py - ny) * (x - nx) + (y - ny) * (nx - px)) / 2.0) AS v
-           |  FROM a$k WHERE px IS NOT NULL AND nx IS NOT NULL),
-           |m$k AS MATERIALIZED (SELECT g, idx AS rem, v FROM (
-           |  SELECT g, idx, v, row_number() OVER (PARTITION BY g ORDER BY v, idx) AS rn
-           |  FROM v$k) WHERE rn = 1),
-           |s$k AS MATERIALIZED (SELECT s.g, s.idx, s.x, s.y,
-           |  s.alive AND s.idx <> m.rem AS alive
-           |  FROM s${k - 1} s JOIN m$k m ON s.g = m.g)""".stripMargin
-      }.mkString(",\n")
-      val rec = (1 to 14).map(k => s"SELECT $k AS k, g, rem, v FROM m$k")
-        .mkString("\nUNION ALL ")
-      s"""WITH $ptsSql,
-         |s0 AS MATERIALIZED (SELECT CAST((id - 1) // 16 AS BIGINT) AS g,
-         |  row_number() OVER (PARTITION BY (id - 1) // 16 ORDER BY id) - 1 AS idx,
-         |  x, y, TRUE AS alive
-         |  FROM pts WHERE id >= 1 AND id <= 128),
-         |$rounds,
-         |rec AS ($rec),
-         |thr AS (SELECT g, rem AS vi, max(v) OVER (PARTITION BY g ORDER BY k) AS t FROM rec),
-         |thrs AS (SELECT g, vi, sqrt(t) * $c65 AS z FROM thr),
-         |iv AS (SELECT z AS iv FROM thrs ORDER BY z LIMIT 1 OFFSET 56)
+    "q_simplify" ->
+      s"""WITH $simplifyThrSql
          |SELECT g, CAST(16 AS BIGINT) AS n_before,
          |  CAST(2 + sum(CASE WHEN z >= iv THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
          |  CAST(floor(iv * 1000000000.0) AS BIGINT) AS interval_int
-         |FROM thrs, iv GROUP BY g, iv ORDER BY g""".stripMargin
-    },
+         |FROM thrs, iv GROUP BY g, iv ORDER BY g""".stripMargin,
+
+    // -simplify variable=: per-ring interval = global interval * clamp(w);
+    // same threshold machinery, weight w(g) = (g%5)/4 spans {0,.25,.5,.75,1}
+    "q_simplify_variable" ->
+      s"""WITH $simplifyThrSql,
+         |wt AS (SELECT DISTINCT g, CAST(g % 5 AS DOUBLE) / 4.0 AS w FROM thrs),
+         |kept AS (SELECT t.g,
+         |    sum(CASE WHEN t.z >= i.iv * w.w THEN 1 ELSE 0 END) AS n_int,
+         |    min(CASE WHEN t.z >= i.iv * w.w THEN t.vi ELSE 15 END) AS vi2
+         |  FROM thrs t JOIN wt w ON w.g = t.g, iv i GROUP BY t.g, w.w, i.iv)
+         |SELECT k.g, CAST(16 AS BIGINT) AS n_before,
+         |  CAST(2 + k.n_int AS BIGINT) AS n_after,
+         |  CAST(floor(s.x * 1000000.0) AS BIGINT) AS x2_int,
+         |  CAST(floor(s.y * 1000000.0) AS BIGINT) AS y2_int
+         |FROM kept k JOIN s0 s ON s.g = k.g AND s.idx = k.vi2
+         |ORDER BY k.g""".stripMargin,
+
 
     // -densify: per-segment j/k insertion, exact mirror
     "q_densify" ->

@@ -134,4 +134,133 @@ object Classify {
     val innerBreaks = equalIntervalBreaks(inner, "v", numBreaks - 2)
     lower +: innerBreaks :+ upper
   }
+
+  // ------------------------------------------------------------------
+  // -classify non-adjacent: greedy saturation coloring of the polygon
+  // neighbor graph (ref src/color/graph-color.mjs:8-163, dispatched from
+  // src/commands/mapshaper-classify.mjs:59). The reference's exact order
+  // semantics are kept: queue initially stable-ascending on neighbor
+  // count (popped from the end -> most neighbors first), updated items
+  // bubble forward while (saturation desc, common desc, uncolored asc)
+  // beats the next item, and color preference is (use-count asc, color
+  // index asc) with the first non-conflicting candidate taken.
+  //
+  // Scale shape: coloring is for STYLING the polygon layer — the bounded
+  // side of every spatial join in this engine (same bounded-input
+  // contract as -cluster). The adjacency EXTRACTION from geometry is
+  // distributed (edge-key self-join, see sharedEdgeAdjacency); only the
+  // (a, b) id pairs are collected, never geometry. The queue itself is
+  // inherently sequential — the reference's bubble history makes results
+  // order-dependent, so a parallel recoloring would change outputs.
+  // ------------------------------------------------------------------
+
+  /** Exact greedy from graph-color.mjs. `nabes` must list every node id
+   * (record order = index order); neighbor lists use ascending-id order
+   * (the reference's arc-traversal order is an arc-storage artifact; this
+   * is the deterministic equivalent). Returns nodeId -> colorId; nodes the
+   * greedy could not color keep the fallback (most-preferred) color, as in
+   * the reference. */
+  def nonAdjacentColors(nabes: IndexedSeq[Seq[Int]], nColors: Int): Array[Int] = {
+    require(nColors > 0, "nColors must be positive")
+    val n = nabes.length
+    val colorId = Array.fill(n)(-1)
+    val nabeColors = Array.fill(n)(scala.collection.mutable.ArrayBuffer.empty[Int])
+    val uncolored = Array.tabulate(n)(i => nabes(i).length)
+    val saturation = new Array[Int](n)
+    val common = new Array[Int](n)
+    // color preference state (getUpdateFunction): counts asc, index asc
+    val counts = new Array[Int](nColors)
+    var colorIds: Array[Int] = Array.range(0, nColors)
+    def bumpColor(c: Int): Unit = {
+      counts(c) += 1
+      colorIds = colorIds.sortBy(i => (counts(i), i)) // stable by construction
+    }
+    // queue: stable sort ascending on uncolored; pop from the end
+    val sorted = scala.collection.mutable.ArrayBuffer(
+      Array.range(0, n).sortBy(uncolored): _*)
+    def betterThan(a: Int, b: Int): Boolean =
+      if (saturation(a) != saturation(b)) saturation(a) > saturation(b)
+      else if (common(a) != common(b)) common(a) > common(b)
+      else uncolored(a) < uncolored(b)
+    while (sorted.nonEmpty) {
+      val d = sorted.remove(sorted.length - 1)
+      val picked = colorIds.find(c => nabes(d).forall(nb => colorId(nb) != c))
+        .getOrElse(colorIds(0)) // no color available: reference's fallback
+      colorId(d) = picked
+      bumpColor(picked)
+      // updateNeighbors, in nabes order; each update bubbles the neighbor
+      // forward past consecutive worse items (the reference's bubble sort)
+      nabes(d).foreach { nb =>
+        if (colorId(nb) == -1) {
+          var i = sorted.indexOf(nb)
+          uncolored(nb) -= 1
+          if (!nabeColors(nb).contains(picked)) {
+            saturation(nb) += 1
+            nabeColors(nb) += picked
+          } else common(nb) += 1
+          var j = i + 1
+          while (j < sorted.length && betterThan(nb, sorted(j))) {
+            sorted(i) = sorted(j)
+            sorted(j) = nb
+            i = j
+            j += 1
+          }
+        }
+      }
+    }
+    colorId
+  }
+
+  /** Distributed shared-edge adjacency of a polygon layer given exploded
+   * ring vertices (id, ring, seq, x, y): consecutive vertices form edges,
+   * canonicalized endpoint-sorted on a snap lattice, then a self-join on
+   * the edge key yields every pair of shapes sharing a boundary segment.
+   * Id-only pairs come back; geometry never shuffles twice. */
+  def sharedEdgeAdjacency(vertices: DataFrame, scale: Double = 1e7): DataFrame = {
+    val w = Window.partitionBy(col("id"), col("ring")).orderBy(col("seq"))
+    val edges = vertices
+      .withColumn("x2", lead(col("x"), 1).over(w))
+      .withColumn("y2", lead(col("y"), 1).over(w))
+      .filter(col("x2").isNotNull)
+      .select(col("id"),
+        least(
+          concat_ws(",", floor(col("x") * scale).cast("long"),
+            floor(col("y") * scale).cast("long")),
+          concat_ws(",", floor(col("x2") * scale).cast("long"),
+            floor(col("y2") * scale).cast("long"))).as("p1"),
+        greatest(
+          concat_ws(",", floor(col("x") * scale).cast("long"),
+            floor(col("y") * scale).cast("long")),
+          concat_ws(",", floor(col("x2") * scale).cast("long"),
+            floor(col("y2") * scale).cast("long"))).as("p2"))
+      .withColumn("ekey", concat_ws("|", col("p1"), col("p2")))
+      .select("id", "ekey")
+    edges.as("l").join(edges.as("r"),
+        col("l.ekey") === col("r.ekey") && col("l.id") < col("r.id"))
+      .select(col("l.id").as("a"), col("r.id").as("b"))
+      .distinct()
+  }
+
+  /** DataFrame wrapper: features (idCol) + undirected adjacency (a, b) ->
+   * (id, color_id). Adjacency and ids are collected under the bounded-layer
+   * contract; record order = ascending id. */
+  def nonAdjacentDF(spark: SparkSession, features: DataFrame, adjacency: DataFrame,
+                    nColors: Int, idCol: String = "id"): DataFrame = {
+    import spark.implicits._
+    val ids = features.select(col(idCol).cast("long").as("id"))
+      .distinct().orderBy("id").as[Long].collect()
+    val index = ids.zipWithIndex.toMap
+    val pairs = adjacency.select(col("a").cast("long"), col("b").cast("long"))
+      .as[(Long, Long)].collect()
+    val nb = Array.fill(ids.length)(scala.collection.mutable.SortedSet.empty[Int])
+    pairs.foreach { case (a, b) =>
+      if (a != b) for (ai <- index.get(a); bi <- index.get(b)) {
+        nb(ai) += bi; nb(bi) += ai
+      }
+    }
+    val colors = nonAdjacentColors(nb.map(_.toSeq).toIndexedSeq, nColors)
+    spark.createDataset(ids.toIndexedSeq.zipWithIndex.map { case (id, i) =>
+      (id, colors(i).toLong)
+    }).toDF("id", "color_id")
+  }
 }

@@ -88,8 +88,9 @@ object SimplifyOp {
    */
   def simplifyVariable(spark: SparkSession, rings: DataFrame, ringCol: String,
                        weightCol: String, pct: Double,
-                       method: Simplify.Method = Simplify.WeightedVisvalingam): DataFrame = {
-    val base = simplify(spark, rings, ringCol, pct, method)
+                       method: Simplify.Method = Simplify.WeightedVisvalingam,
+                       exactPct: Boolean = false): DataFrame = {
+    val base = simplify(spark, rings, ringCol, pct, method, exactPct)
     val interval = base.select("interval").head().getDouble(0)
     val withThr = withThresholds(rings, ringCol, method)
     val filterUdf = udf { (flat: Seq[Double], thr: Seq[Double], w: Double) =>

@@ -236,4 +236,31 @@ object Export {
 
   def gunzip(bytes: Array[Byte]): Array[Byte] =
     new java.util.zip.GZIPInputStream(new java.io.ByteArrayInputStream(bytes)).readAllBytes()
+
+  // --------------------------------------------------------- bbox sidecar
+
+  /** `-o bbox-index`: the reference's export manifest — a JSON array of
+   * `{"bbox":[xmin,ymin,xmax,ymax],"name":<layer>}` per exported layer
+   * (ref src/io/mapshaper-export.mjs:207-223 createIndexFile), written as
+   * `bbox-index.json` next to the other outputs. Numbers use the same
+   * shortest-round-trip formatting as JS JSON.stringify (JDK Double.toString
+   * is shortest-round-trip since 19; integral values print bare). */
+  def bboxIndexJson(layers: Seq[(String, Seq[Seq[Array[Double]]])]): String = {
+    def num(v: Double): String =
+      if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
+      else v.toString
+    layers.map { case (name, shapes) =>
+      val b = bboxOf(shapes)
+      s"""{"bbox":[${num(b(0))},${num(b(1))},${num(b(2))},${num(b(3))}],""" +
+        s""""name":${jsonString(name)}}"""
+    }.mkString("[", ",", "]")
+  }
+
+  private def jsonString(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    } + "\""
 }

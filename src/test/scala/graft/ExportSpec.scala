@@ -160,4 +160,17 @@ class ExportSpec extends SparkSuite {
     val (x, y) = GeoParquet.parseWkbPoint(back(0).getAs[Array[Byte]]("geometry"))
     assert(x == 10.0 && y == 20.0)
   }
+
+  test("bbox-index sidecar: reference-shaped keys, layer order, bounds") {
+    // ref src/io/mapshaper-export.mjs:207-223: [{bbox:[...], name}, ...]
+    val square = Seq(Array(0.0, 0.0, 2.0, 0.0, 2.0, 3.0, 0.0, 3.0, 0.0, 0.0))
+    val tri = Seq(Array(-1.5, -2.0, 4.0, -2.0, 1.0, 5.25, -1.5, -2.0))
+    val json = Export.bboxIndexJson(Seq(
+      ("layer1", Seq(square)), ("lay\"er2", Seq(tri))))
+    assert(json ==
+      """[{"bbox":[0,0,2,3],"name":"layer1"},""" +
+        """{"bbox":[-1.5,-2,4,5.25],"name":"lay\"er2"}]""")
+    // integral bounds print bare (JSON.stringify parity), fractions survive
+    assert(!json.contains("2.0,"))
+  }
 }
