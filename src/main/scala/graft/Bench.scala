@@ -170,11 +170,15 @@ object Bench {
       line.split(" ")(1).toDouble
     } catch {
       case e: Throwable =>
-        System.err.println(s"[bench] child JVM failed (${e.getMessage}); measuring in-process")
+        // in-process fallback is a DIFFERENT population (sequential sessions
+        // in one JVM skew >2x) — honor nRuns but flag loudly so a mixed
+        // protocol is visible in the log next to the artifact
+        System.err.println(s"[bench] child JVM failed (${e.getMessage}); " +
+          s"measuring IN-PROCESS (cores=$cores rep=$rep) — sample population differs")
         val s = session(cores)
         val input = headlineInput(s, imagesPath)
         headline(s, input, 8)
-        val t = math.min(time(headline(s, input, rep)), time(headline(s, input, rep)))
+        val t = Seq.fill(math.max(1, nRuns))(time(headline(s, input, rep))).min
         s.stop()
         System.gc()
         t
@@ -205,7 +209,8 @@ object Bench {
     //       ~2-3 s serial component (driver planning, AQE barriers, final
     //       agg) is <5% of even the 4N time — at 100 TB the serial share is
     //       nil, so shrinking it locally is fidelity, not flattery;
-    //   (d) base 3 rounds, extended to 5 while below the 0.8 contract; every
+    //   (d) FIXED 4 rounds per pair (no adaptive extension — that would be
+    //       optional stopping biased at the contract threshold); every
     //       sample's loadavg window AND steal-seconds are published in the
     //       JSON so a poisoned window is inspectable, never silent.
     // two N-vs-4N pairs: 2->8 is the primary (continuity with earlier
@@ -232,8 +237,12 @@ object Bench {
       var hiS = Vector.empty[Sample]
       def eff(): Double =
         (loS.map(_.sec).min / hiS.map(_.sec).min) / factor
+      // FIXED round count — an adaptive "extend while failing" rule is
+      // optional stopping keyed to the contract threshold (it re-samples
+      // unlucky noise but never lucky noise, biasing the headline number
+      // upward at exactly the pass/fail boundary)
       var n = 0
-      while (n < 3 || (n < 5 && eff() < 0.8)) {
+      while (n < 4) {
         if (n % 2 == 0) { loS :+= sampleAt(lo); hiS :+= sampleAt(hi) }
         else { hiS :+= sampleAt(hi); loS :+= sampleAt(lo) }
         n += 1

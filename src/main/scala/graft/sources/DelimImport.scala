@@ -40,18 +40,25 @@ object DelimImport {
   /** mapshaper-delim-import.mjs:81 — candidate order is significant. */
   val supportedDelimiters: Seq[String] = Seq("|", "\t", ",", ";", " ")
 
-  /** First supported delimiter that occurs before the first line break
-   * (the reference assumes header names contain no alternate delimiters). */
+  /** First supported delimiter that occurs before the first line break —
+   * the reference's regex `^[^\n\r]+<delim>` needs at least one character
+   * before the delimiter, so a line-leading candidate doesn't count. */
   def guessDelimiter(content: String): String = {
     val firstLine = content.takeWhile(c => c != '\n' && c != '\r')
-    supportedDelimiters.find(d => firstLine.contains(d)).getOrElse(",")
+    supportedDelimiters.find(d => firstLine.indexOf(d, 1) > 0).getOrElse(",")
   }
 
   final case class Options(
       fieldTypes: Seq[String] = Nil,    // field-types=
       stringFields: Seq[String] = Nil,  // string-fields=
       decimalComma: Boolean = false,    // decimal-comma
-      csvFields: Seq[String] = Nil)     // csv-fields= (column filter)
+      csvFields: Seq[String] = Nil,     // csv-fields= (column filter)
+      // quoted fields may contain record separators. The reference always
+      // allows this; here it is opt-in for FILE reads because Spark's
+      // multiLine mode gives up input-split parallelism (each file becomes
+      // one task) — at scale, prefer newline-free data. readString always
+      // honors embedded newlines.
+      multiline: Boolean = false)
 
   /** getFieldTypeHints (mapshaper-delim-import.mjs:102-127): later valid
    * hints overwrite earlier ones; malformed hints are skipped. */
@@ -71,11 +78,17 @@ object DelimImport {
     hints
   }
 
+  /** JS String.prototype.trim's whitespace class: Java's \s is ASCII-only,
+   * so the Unicode spaces (NBSP, Zs block, LS/PS, ZWNBSP) are added — an
+   * NBSP-padded Excel number must still parse. */
+  private val JsWs =
+    "[\\s\\u00A0\\u1680\\u2000-\\u200A\\u2028\\u2029\\u202F\\u205F\\u3000\\uFEFF]"
+  private val JsTrim = s"^$JsWs+|$JsWs+$$"
+
   /** JS `Number(clean(trim(s)))` as a Column expression; null when NaN.
    * Stays inside whole-stage codegen (regexps + casts, no UDF). */
   def parseNumberExpr(c: Column, decimalComma: Boolean): Column = {
-    // JS String.prototype.trim removes all whitespace incl. tabs/newlines
-    val t = regexp_replace(c, "^\\s+|\\s+$", "")
+    val t = regexp_replace(c, JsTrim, "")
     val cleaned =
       if (decimalComma) {
         // convertIntlNumString: drop `[ .]ddd` group separators (global),
@@ -112,7 +125,7 @@ object DelimImport {
   /** Missing-in-a-numeric-column test (tryNumericField:188-195): null/blank
    * after trim, or the R-style NA / NaN markers. */
   private def isMissingExpr(c: Column): Column = {
-    val t = regexp_replace(c, "^\\s+|\\s+$", "")
+    val t = regexp_replace(c, JsTrim, "")
     c.isNull || t === "" || t === "NA" || t === "NaN"
   }
 
@@ -157,14 +170,10 @@ object DelimImport {
    * adjustment. */
   def read(spark: SparkSession, path: String, opts: Options = Options()): DataFrame = {
     val p = java.nio.file.Paths.get(path)
-    val headBytes = {
-      val in = java.nio.file.Files.newInputStream(p)
-      try {
-        val buf = new Array[Byte](2000)
-        val n = math.max(in.read(buf), 0)
-        java.util.Arrays.copyOf(buf, n)
-      } finally in.close()
-    }
+    // delimiter guess keeps the reference's 2000-char sample; the header
+    // line itself is then read in FULL (a wide header must not silently
+    // fall back to Spark's mangled names)
+    val headBytes = readUpTo(p, 2000)
     detectEncodingFromBOM(headBytes) match {
       case "utf16be" | "utf16le" =>
         // not ascii-compatible: decode whole file (BOM consumed by UTF-16
@@ -179,31 +188,139 @@ object DelimImport {
         val head = new String(headBytes, java.nio.charset.StandardCharsets.UTF_8)
           .stripPrefix("\uFEFF")
         val delim = guessDelimiter(head)
-        val firstLine = head.takeWhile(c => c != '\n' && c != '\r')
-        adjustTypes(rawScan(spark, delim).csv(path), opts,
-          Some(splitHeaderLine(firstLine, delim)))
+        if (delim == " ") readFixedWidth(spark, p, opts)
+        else {
+          val firstLine = fullFirstLine(p, head)
+          adjustTypes(rawScan(spark, delim, opts.multiline).csv(path), opts,
+            Some(splitHeaderLine(firstLine, delim)))
+        }
     }
   }
 
-  /** Import from an in-memory string (the reference's importDelim). */
-  def readString(spark: SparkSession, content: String, opts: Options = Options()): DataFrame = {
-    import spark.implicits._
-    val ds = spark.createDataset(content.split("\r\n|\r|\n", -1).toSeq)
-    val delim = guessDelimiter(content)
-    val firstLine = content.takeWhile(c => c != '\n' && c != '\r')
-    adjustTypes(rawScan(spark, delim).csv(ds), opts,
-      Some(splitHeaderLine(firstLine, delim)))
+  private def readUpTo(p: java.nio.file.Path, n: Int): Array[Byte] = {
+    val in = java.nio.file.Files.newInputStream(p)
+    try {
+      val buf = new Array[Byte](n)
+      var off = 0
+      var r = 0
+      while (off < n && { r = in.read(buf, off, n - off); r > 0 }) off += r
+      java.util.Arrays.copyOf(buf, off)
+    } finally in.close()
   }
 
-  private def rawScan(spark: SparkSession, delimiter: String) =
+  /** Complete first line: extend past the 2000-byte sample when the sample
+   * holds no line break (capped at 1 MiB). */
+  private def fullFirstLine(p: java.nio.file.Path, head: String): String =
+    if (head.exists(c => c == '\n' || c == '\r'))
+      head.takeWhile(c => c != '\n' && c != '\r')
+    else
+      new String(readUpTo(p, 1 << 20), java.nio.charset.StandardCharsets.UTF_8)
+        .stripPrefix("\uFEFF")
+        .takeWhile(c => c != '\n' && c != '\r')
+
+  /** Import from an in-memory string (the reference's importDelim). The
+   * content is staged to a driver-local temp file so the quote-aware CSV
+   * parser sees the raw text (embedded newlines in quoted fields survive —
+   * the reference's parseDelimText semantics). */
+  def readString(spark: SparkSession, content: String, opts: Options = Options()): DataFrame = {
+    if (guessDelimiter(content) == " ")
+      return fixedWidthFromString(spark, content, opts)
+    val tmp = java.nio.file.Files.createTempFile("graft_delim", ".csv")
+    java.nio.file.Files.write(tmp, content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    tmp.toFile.deleteOnExit()
+    read(spark, tmp.toString, opts.copy(multiline = true))
+  }
+
+  private def rawScan(spark: SparkSession, delimiter: String, multiline: Boolean) =
     spark.read
       .option("header", "true")
       .option("delimiter", delimiter)
-      // keep empty strings as "" (reference records hold '' not null)
+      // keep empty strings as "" (reference records hold '' not null);
+      // the NUL sentinel never appears in text, so nothing maps to null
       .option("nullValue", "\u0000")
       .option("ignoreLeadingWhiteSpace", "false")
       .option("ignoreTrailingWhiteSpace", "false")
+      .option("multiLine", multiline.toString)
       .option("inferSchema", "false")
+
+  // ---------------------------------------------------------- fixed-width
+
+  /** A space "delimiter" means a fixed-width table in the reference
+   * (mapshaper-delim-reader.mjs:16 -> mapshaper-fixed-width.mjs:56-111):
+   * column boundaries are inferred from a 2000-char sample (a column starts
+   * where a header char follows a space, and every line must be blank in
+   * the position before a header start), then each field is
+   * `line.substring(start, end).trim()`. Boundary inference runs on the
+   * driver sample; the slicing is a distributed substring projection over
+   * spark.read.text, so the scan parallelizes like any text source. */
+  final case class FwField(name: String, start: Int, end: Option[Int])
+
+  def parseFixedWidthInfo(sample: String): Seq[FwField] = {
+    val lines0 = sample.split("\r\n|\r|\n", -1).toSeq
+    val lines = if (lines0.length > 2) lines0.dropRight(1) else lines0
+    if (lines.isEmpty) return Nil
+    val headerLine = lines.head
+    val n = lines.map(_.length).max
+    def contentChar(str: String, i: Int): Boolean = i < str.length && str.charAt(i) != ' '
+    def emptyCol(i: Int): Boolean = !lines.exists(l => contentChar(l, i))
+    val out = scala.collection.mutable.ArrayBuffer.empty[FwField]
+    var colStart = 0
+    var inContent = false
+    var inHeader = false
+    var i = 0
+    while (i <= n) {
+      val isHeaderChar = contentChar(headerLine, i)
+      val isContentChar = !emptyCol(i)
+      val isColStart = isHeaderChar && !inHeader
+      if (isColStart && inContent) return Nil // data spans a header boundary
+      if (i == n || (i > 0 && isColStart)) {
+        val colEnd = if (i == n) None else Some(i - 1)
+        out += FwField(substrTrim(headerLine, colStart, colEnd), colStart, colEnd)
+        colStart = i
+      }
+      inContent = isContentChar
+      inHeader = isHeaderChar
+      i += 1
+    }
+    out.toSeq
+  }
+
+  private def substrTrim(line: String, start: Int, end: Option[Int]): String = {
+    val e = math.min(end.getOrElse(line.length), line.length)
+    if (start >= e) "" else line.substring(start, e).trim
+  }
+
+  private def fixedWidthDf(spark: SparkSession, lines: DataFrame,
+                           fields: Seq[FwField], headerLine: String,
+                           opts: Options): DataFrame = {
+    // drop header occurrences by exact line match (a data line identical to
+    // the header would be a degenerate table)
+    val data = lines.filter(col("value") =!= headerLine)
+    val cols = fields.filter(_.name.trim.nonEmpty).map { f =>
+      val len = f.end.map(_ - f.start).getOrElse(Int.MaxValue - f.start - 1)
+      regexp_replace(substring(col("value"), f.start + 1, len), JsTrim, "").as(f.name)
+    }
+    adjustTypes(data.select(cols: _*), opts)
+  }
+
+  def readFixedWidth(spark: SparkSession, p: java.nio.file.Path,
+                     opts: Options): DataFrame = {
+    val sample = new String(readUpTo(p, 2000), java.nio.charset.StandardCharsets.UTF_8)
+    val fields = parseFixedWidthInfo(sample)
+    require(fields.nonEmpty, s"cannot infer fixed-width columns from $p")
+    val header = sample.takeWhile(c => c != '\n' && c != '\r')
+    fixedWidthDf(spark, spark.read.text(p.toString), fields, header, opts)
+  }
+
+  def fixedWidthFromString(spark: SparkSession, content: String,
+                           opts: Options): DataFrame = {
+    import spark.implicits._
+    val fields = parseFixedWidthInfo(content.substring(0, math.min(2000, content.length)))
+    require(fields.nonEmpty, "cannot infer fixed-width columns")
+    val lines = content.split("\r\n|\r|\n", -1).toSeq.filter(_.nonEmpty)
+    fixedWidthDf(spark, spark.createDataset(lines).toDF("value"),
+      fields, lines.head, opts)
+  }
 
   /** adjustRecordTypes (mapshaper-delim-import.mjs:133-166) on a DataFrame
    * of all-string columns. One aggregate pass decides detection; one
@@ -233,10 +350,15 @@ object DelimImport {
     val allString = opts.stringFields.contains("*") || hints.get("*").contains("string")
     val allNumber = hints.get("*").contains("number")
 
-    def hintOf(name: String): Option[String] =
-      if (allString) Some("string")
-      else if (allNumber) Some("number")
-      else hints.get(name)
+    // adjustRecordTypes precedence (mapshaper-delim-import.mjs:146-151):
+    // `typeHint == 'number' || singleType == 'number'` is tested FIRST, so
+    // a number hint anywhere (per-field OR '*') beats a string hint
+    def hintOf(name: String): Option[String] = {
+      val h = hints.get(name)
+      if (h.contains("number") || allNumber) Some("number")
+      else if (h.contains("string") || allString) Some("string")
+      else None
+    }
 
     val candidates = picked.filter(n => hintOf(n).isEmpty)
     val detected: Set[String] =

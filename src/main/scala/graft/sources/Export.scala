@@ -242,18 +242,51 @@ object Export {
   /** `-o bbox-index`: the reference's export manifest — a JSON array of
    * `{"bbox":[xmin,ymin,xmax,ymax],"name":<layer>}` per exported layer
    * (ref src/io/mapshaper-export.mjs:207-223 createIndexFile), written as
-   * `bbox-index.json` next to the other outputs. Numbers use the same
-   * shortest-round-trip formatting as JS JSON.stringify (JDK Double.toString
-   * is shortest-round-trip since 19; integral values print bare). */
-  def bboxIndexJson(layers: Seq[(String, Seq[Seq[Array[Double]]])]): String = {
-    def num(v: Double): String =
-      if (v == math.rint(v) && math.abs(v) < 1e15) v.toLong.toString
-      else v.toString
+   * `bbox-index.json` next to the other outputs. Numbers are formatted with
+   * the exact JS `Number::toString` rules so the manifest is byte-identical
+   * to JSON.stringify output. */
+  def bboxIndexJson(layers: Seq[(String, Seq[Seq[Array[Double]]])]): String =
     layers.map { case (name, shapes) =>
       val b = bboxOf(shapes)
-      s"""{"bbox":[${num(b(0))},${num(b(1))},${num(b(2))},${num(b(3))}],""" +
+      s"""{"bbox":[${jsNumber(b(0))},${jsNumber(b(1))},${jsNumber(b(2))},${jsNumber(b(3))}],""" +
         s""""name":${jsonString(name)}}"""
     }.mkString("[", ",", "]")
+
+  /** ECMA-262 Number::toString(10) over the shortest-round-trip digits:
+   * plain decimal while the decimal exponent n is in (-6, 21], JS-style
+   * `d.dddde±k` outside — Java's Double.toString switches to E-notation at
+   * 1e7 where JS stays plain, so the JDK form is re-assembled here.
+   * JSON.stringify maps non-finite values to null and -0 to "0". */
+  def jsNumber(v: Double): String = {
+    if (v.isNaN || v.isInfinite) return "null"
+    if (v == 0.0) return "0"
+    val neg = v < 0
+    val s = java.lang.Double.toString(math.abs(v)) // shortest digits (JDK 19+)
+    val (mant, e10) = s.indexOf('E') match {
+      case -1 => (s, 0)
+      case i => (s.substring(0, i), s.substring(i + 1).toInt)
+    }
+    val dot = mant.indexOf('.')
+    val rawDigits = mant.replace(".", "")
+    val lead = rawDigits.indexWhere(_ != '0') // "0.00123" -> 3 leading zeros
+    val digits0 = rawDigits.substring(lead)
+    val digits = digits0.reverse.dropWhile(_ == '0').reverse match {
+      case "" => "0"
+      case d => d
+    }
+    // value = 0.<digits> * 10^n
+    val n = dot - lead + e10
+    val k = digits.length
+    val body =
+      if (n >= k && n <= 21) digits + ("0" * (n - k))
+      else if (n > 0 && n <= 21) digits.substring(0, n) + "." + digits.substring(n)
+      else if (n > -6 && n <= 0) "0." + ("0" * -n) + digits
+      else {
+        val expo = n - 1
+        val m = if (k == 1) digits else digits.substring(0, 1) + "." + digits.substring(1)
+        m + "e" + (if (expo >= 0) "+" else "") + expo
+      }
+    if (neg) "-" + body else body
   }
 
   private def jsonString(s: String): String =

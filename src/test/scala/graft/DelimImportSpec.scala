@@ -104,6 +104,36 @@ class DelimImportSpec extends SparkSuite {
       Seq(Row(20.1), Row(-5.0)))
   }
 
+  test("guessDelimiter ignores a line-leading candidate (reference regex)") {
+    // ^[^\n\r]+<delim> needs a char before the delimiter
+    assert(DelimImport.guessDelimiter("|a,b\n1,2") == ",")
+    assert(DelimImport.guessDelimiter("|a|b\n1|2") == "|")
+  }
+
+  test("number hint beats string-fields=* (reference checks number first)") {
+    assert(rows("a,b\n001,002",
+      Options(stringFields = Seq("*"), fieldTypes = Seq("b:num"))) ==
+      Seq(Row("001", 2.0)))
+  }
+
+  test("embedded newline inside a quoted field survives") {
+    val got = rows("id,note\n1,\"line one\nline two\"")
+    assert(got == Seq(Row(1.0, "line one\nline two")))
+  }
+
+  test("NBSP-padded numbers parse (JS trim is Unicode)") {
+    assert(rows("a\n\u00A01234\n5") == Seq(Row(1234.0), Row(5.0)))
+  }
+
+  test("space delimiter routes to fixed-width parsing (reference semantics)") {
+    val content = "NAME      POP\nAlabama   4779736\nAlaska    710231"
+    val df = DelimImport.readString(spark, content)
+    assert(df.columns.toSeq == Seq("NAME", "POP"))
+    assert(df.collect().toSeq == Seq(Row("Alabama", 4779736.0), Row("Alaska", 710231.0)))
+    // boundary inference rejects data spanning a header gap
+    assert(DelimImport.parseFixedWidthInfo("AA BB\nxxxxxyy").isEmpty)
+  }
+
   // --- file import end-to-end (delim-import-test.mjs:94-128, 526-540) ---
 
   test("empty_fields2.csv: string-fields protects FIPS, lat/lon numeric with nulls") {

@@ -173,4 +173,17 @@ class ExportSpec extends SparkSuite {
     // integral bounds print bare (JSON.stringify parity), fractions survive
     assert(!json.contains("2.0,"))
   }
+
+  test("jsNumber matches JS Number::toString across the notation switch") {
+    val cases = Seq(
+      20037508.34 -> "20037508.34", // Java says 2.003750834E7
+      1e21 -> "1e+21", 1.5e22 -> "1.5e+22",
+      2.5e-7 -> "2.5e-7", 1e-6 -> "0.000001", 0.001234 -> "0.001234",
+      1e15 -> "1000000000000000", 123.0 -> "123", 5.25 -> "5.25",
+      -1.5 -> "-1.5", 0.0 -> "0", -0.0 -> "0", 0.1 -> "0.1",
+      Double.NaN -> "null", Double.PositiveInfinity -> "null")
+    cases.foreach { case (v, want) =>
+      assert(Export.jsNumber(v) == want, s"jsNumber($v)")
+    }
+  }
 }
