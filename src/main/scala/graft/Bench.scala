@@ -155,7 +155,13 @@ object Bench {
       "java.base/sun.nio.ch", "java.base/sun.nio.cs",
       "java.base/sun.security.action", "java.base/sun.util.calendar"
     ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
-    val cmd = (Seq(javaBin, "-Xmx16g", "-cp", System.getProperty("java.class.path")) ++
+    // ActiveProcessorCount: size the child's GC/JIT/common-pool for its
+    // GRANTED cores, not the host's 32 — that is exactly the separate-
+    // executor semantics the scaling pair simulates, and it stops the
+    // 28 surplus JVM service threads from amplifying co-tenant noise on
+    // the low-core samples (r5: 4-core times varied 35-51s at load<1.3)
+    val cmd = (Seq(javaBin, "-Xmx16g", s"-XX:ActiveProcessorCount=$cores",
+      "-cp", System.getProperty("java.class.path")) ++
       addOpens ++ Seq("graft.BenchChild", cores.toString, imagesPath, rep.toString,
         nRuns.toString))
     try {

@@ -1628,6 +1628,135 @@ object SparkEntry {
        |FROM hexv ORDER BY q, r""".stripMargin
   }
 
+  /** Vincenty DIRECT 6-round unroll (the ellipsoidal AEQD / geodesic-buffer
+   * engine), as a CTE chain `base -> d0..d6 -> fin` over a caller-supplied
+   * `pp(keys..., lat1, lon1, azi, s)`; `fin` exposes lon1, phi2, l, azi2.
+   * Key columns are carried through every round. */
+  private def vincentyChainSql(keys: Seq[String]): String = {
+    val fC = dl(graft.geom.Crs.F)
+    val aC = dl(graft.geom.Crs.A)
+    val bC = dl(graft.geom.Crs.B)
+    val kc = keys.mkString(", ")
+    val rounds = (1 to 6).map { k =>
+      s"""d$k AS MATERIALIZED (SELECT $kc, lon1, s, sinA1, cosA1, sigma1,
+         |  sinU1, cosU1, sinAlpha, cos2Alpha, bigA, bigB,
+         |  cos(2.0 * sigma1 + sigma) AS c2m,
+         |  sin(sigma) AS ss, cos(sigma) AS cs,
+         |  s / ($bC * bigA) + bigB * ss * (c2m + bigB / 4.0 *
+         |    (cs * (-1.0 + 2.0 * c2m * c2m) -
+         |      bigB / 6.0 * c2m * (-3.0 + 4.0 * ss * ss) *
+         |        (-3.0 + 4.0 * c2m * c2m))) AS sigma
+         |  FROM d${k - 1})""".stripMargin
+    }.mkString(",\n")
+    s"""base AS (SELECT $kc, lon1, s,
+       |  sin(azi * (pi() / 180.0)) AS sinA1, cos(azi * (pi() / 180.0)) AS cosA1,
+       |  (1.0 - $fC) * tan(lat1 * (pi() / 180.0)) AS tanU1,
+       |  1.0 / sqrt(1.0 + tanU1 * tanU1) AS cosU1,
+       |  tanU1 * cosU1 AS sinU1,
+       |  atan2(tanU1, cosA1) AS sigma1,
+       |  cosU1 * sinA1 AS sinAlpha,
+       |  1.0 - sinAlpha * sinAlpha AS cos2Alpha,
+       |  cos2Alpha * ($aC * $aC - $bC * $bC) / ($bC * $bC) AS u2,
+       |  1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2))) AS bigA,
+       |  u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2))) AS bigB
+       |  FROM pp),
+       |d0 AS MATERIALIZED (SELECT $kc, lon1, s, sinA1, cosA1, sigma1,
+       |  sinU1, cosU1, sinAlpha, cos2Alpha, bigA, bigB,
+       |  s / ($bC * bigA) AS sigma FROM base),
+       |$rounds,
+       |fin AS (SELECT $kc, lon1,
+       |  cos(2.0 * sigma1 + sigma) AS c2m, sin(sigma) AS ss, cos(sigma) AS cs,
+       |  sinU1 * ss - cosU1 * cs * cosA1 AS tmp,
+       |  atan2(sinU1 * cs + cosU1 * ss * cosA1,
+       |    (1.0 - $fC) * sqrt(sinAlpha * sinAlpha + tmp * tmp)) AS phi2,
+       |  atan2(ss * sinA1, cosU1 * cs - sinU1 * ss * cosA1) AS lambda,
+       |  $fC / 16.0 * cos2Alpha * (4.0 + $fC * (4.0 - 3.0 * cos2Alpha)) AS cc,
+       |  lambda - (1.0 - cc) * $fC * sinAlpha * (sigma + cc * ss *
+       |    (c2m + cc * cs * (-1.0 + 2.0 * c2m * c2m))) AS l,
+       |  atan2(sinAlpha, -tmp) AS azi2
+       |  FROM d6)""".stripMargin
+  }
+
+  /** The q_dots SQL: rejection-sampled dot fill from pure SplitMix64
+   * arithmetic — nextLong call c returns mix(seed + c*GAMMA); draw j
+   * consumes calls 2j+1 (x) and 2j+2 (y); the rect-with-hole fixture makes
+   * even-odd containment a bbox test (accept unless strictly inside the
+   * hole), and the first 10 accepted draws are the dots. */
+  private lazy val dotsSql: String = {
+    import WrapSql._
+    val DBL = dl(1.1102230246251565e-16)
+    s"""WITH $ptsSql,
+       |gs AS (SELECT DISTINCT id % 8 AS g FROM pts),
+       |calls AS (SELECT g, CAST(g * 1000 + 7 AS UBIGINT) AS seed,
+       |    unnest(range(1, 401)) AS c FROM gs),
+       |smin AS (SELECT g, c,
+       |    CAST((CAST(seed AS HUGEINT) + (CAST(c - 1 AS HUGEINT) * CAST('${u(Golden)}' AS HUGEINT)) % $M64) % $M64 AS UBIGINT) AS _zin
+       |  FROM calls),
+       |${splitmix("sm", "_zin", "z")},
+       |dbls AS (SELECT g, c, CAST(z >> 11 AS DOUBLE) * $DBL AS d FROM smout),
+       |draws AS (SELECT a.g, (a.c - 1) // 2 AS j, a.d * 20.0 AS px, b.d * 10.0 AS py
+       |  FROM dbls a JOIN dbls b ON b.g = a.g AND b.c = a.c + 1
+       |  WHERE a.c % 2 = 1),
+       |acc AS (SELECT g, j, px, py,
+       |    row_number() OVER (PARTITION BY g ORDER BY j) - 1 AS k
+       |  FROM draws
+       |  WHERE NOT (px > 8.0 AND px < 12.0 AND py > 3.0 AND py < 7.0))
+       |SELECT g, CAST(k AS BIGINT) AS k,
+       |  CAST(floor(px * 1000000000.0) AS BIGINT) AS x_int,
+       |  CAST(floor(py * 1000000000.0) AS BIGINT) AS y_int
+       |FROM acc WHERE k < 10 ORDER BY g, k""".stripMargin
+  }
+
+  /** The q_albersusa SQL: the composite's full forward path — first-match
+   * bbox routing, each frame's ellipsoidal Albers (Snyder ch.14, same op
+   * order as the q_proj_crs aea mirror), then the placement affine — with
+   * every constant interpolated from the very [[Crs.AlbersUsa]] frames the
+   * Spark side uses (the q_proj_crs precedent: derived constants as
+   * byte-identical double literals). */
+  private lazy val albersUsaSql: String = {
+    import graft.geom.Crs
+    val frames = Seq(Crs.AlbersUsa.Main, Crs.AlbersUsa.AK, Crs.AlbersUsa.HI)
+    val D2R = dl(Crs.D2R); val E2 = dl(Crs.E2); val E = dl(Crs.E)
+    val OME2 = dl(1.0 - Crs.E2); val H2E = dl(1.0 / (2.0 * Crs.E))
+    val AL = dl(Crs.A)
+    def alb(f: Crs.AlbersUsa.Frame): Crs.Albers = f.proj.asInstanceOf[Crs.Albers]
+    val routing = frames.zipWithIndex.map { case (f, i) =>
+      val (x0, y0, x1, y1) = f.bbox
+      s"WHEN lon >= ${dl(x0)} AND lon <= ${dl(x1)} AND lat >= ${dl(y0)} AND lat <= ${dl(y1)} THEN $i"
+    }.mkString("\n       |    ")
+    def perFrame(name: String, v: Crs.AlbersUsa.Frame => Double): String =
+      "CASE frame " + frames.zipWithIndex.map { case (f, i) =>
+        s"WHEN $i THEN ${dl(v(f))}"
+      }.mkString(" ") + s" END AS $name"
+    s"""WITH $ptsSql,
+       |ll AS (SELECT id, x * 1.2 - 180.0 AS lon, y * 0.6 + 15.0 AS lat FROM pts),
+       |fr AS (SELECT id, lon, lat, CASE
+       |    $routing
+       |    ELSE -1 END AS frame FROM ll),
+       |prm AS (SELECT id, lon, lat, frame,
+       |  ${perFrame("nn", f => alb(f).n)},
+       |  ${perFrame("cc2", f => alb(f).c)},
+       |  ${perFrame("rho0v", f => alb(f).rho0)},
+       |  ${perFrame("lon0", f => alb(f).lon0Deg)},
+       |  ${perFrame("aff_a", f => f.affine._1)},
+       |  ${perFrame("aff_d", f => f.affine._4)},
+       |  ${perFrame("aff_tx", f => f.affine._5)},
+       |  ${perFrame("aff_ty", f => f.affine._6)}
+       |  FROM fr WHERE frame >= 0),
+       |tri AS (SELECT *, sin(lat * $D2R) AS sp FROM prm),
+       |qa AS (SELECT *, $OME2 * (sp / (1.0e0 - $E2 * sp * sp) -
+       |    $H2E * ln((1.0e0 - $E * sp) / (1.0e0 + $E * sp))) AS q FROM tri),
+       |pr AS (SELECT *, $AL * sqrt(cc2 - nn * q) / nn AS rho,
+       |  nn * (lon - lon0) * $D2R AS th FROM qa),
+       |xy AS (SELECT id, frame,
+       |  rho * sin(th) * aff_a + aff_tx AS px,
+       |  (rho0v - rho * cos(th)) * aff_d + aff_ty AS py FROM pr)
+       |SELECT id, CAST(frame AS BIGINT) AS frame,
+       |  CAST(floor(px * 100.0) AS BIGINT) AS x_int,
+       |  CAST(floor(py * 100.0) AS BIGINT) AS y_int
+       |FROM xy ORDER BY id""".stripMargin
+  }
+
   /** The q_proj_crs SQL: same formulas (Snyder), same operation order, with
    * all projection constants interpolated from the very [[Crs]] objects the
    * Spark side uses — byte-identical double literals on both engines. */
@@ -1960,6 +2089,26 @@ object SparkEntry {
         .groupBy(col("poly_key"))
         .agg(count(lit(1)).as("n_points"))
         .orderBy("poly_key")),
+
+    // the cell-partitioned scale path (explode-to-cells equi-join + exact
+    // PIP + hot-cell salting) against the SAME ray-cast oracle as the
+    // broadcast path — saltThreshold=4 forces most cells through the salted
+    // branch, so the driver gate covers the 100-TB join shape, not just the
+    // broadcast fast path
+    "q_pip_cell" -> ((s, dir) => {
+      import s.implicits._
+      val layer = Synthetic.oracleLayer
+      val rings = (0 until layer.numRings).map { r =>
+        val s0 = layer.ringStart(r); val e = layer.ringStart(r + 1)
+        (layer.shapeKeys(layer.ringShape(r)),
+          layer.xx.slice(s0, e).toSeq, layer.yy.slice(s0, e).toSeq)
+      }
+      val polyDf = rings.toDF("poly_key", "ring_x", "ring_y")
+      SpatialJoin.cellJoin(s, points(s, dir), "x", "y", polyDf, res = 5,
+          saltThreshold = 4)
+        .select(col("id"), col("poly_key"))
+        .orderBy("id", "poly_key")
+    }),
 
     // first_match semantics: a point joins only its first (lowest-key) polygon
     // (ref: first_match flag, point-polygon-join.mjs:33-47)
@@ -3607,6 +3756,27 @@ object SparkEntry {
           floor(element_at(col("ring"), 4) * 1000000.0).cast("long").as("v1y_int"))
         .orderBy("q", "r", "k")),
 
+    // -dots (ref mapshaper-dot-density.mjs): deterministic rejection
+    // sampling inside a rect-with-hole — every SplitMix64 draw, the bbox
+    // mapping, and the even-odd acceptance (pure bbox arithmetic for this
+    // fixture) are re-derived call-by-call in SQL
+    "q_dots" -> ((s, dir) => {
+      val kernel = udf { (g: Long) =>
+        Grids.dotFill(Seq(oRect(0, 0, 20, 10), oRect(8, 3, 4, 4)),
+          n = 10, seed = g * 1000L + 7L)
+      }
+      points(s, dir).select((col("id") % 8).as("g")).distinct()
+        .withColumn("dots", kernel(col("g")))
+        .withColumn("k",
+          explode(sequence(lit(0), (size(col("dots")) / 2 - 1).cast("int"))))
+        .select(col("g"), col("k").cast("long").as("k"),
+          floor(element_at(col("dots"), col("k") * 2 + 1) * 1000000000.0)
+            .cast("long").as("x_int"),
+          floor(element_at(col("dots"), col("k") * 2 + 2) * 1000000000.0)
+            .cast("long").as("y_int"))
+        .orderBy("g", "k")
+    }),
+
     // -grid type=hex2 (pointy-top hexagons, ref mapshaper-hex-grid.mjs:33):
     // the full hex lattice — enumeration bounds, centers, all six ring
     // vertices and the shoelace area — re-derived in SQL (same dl()
@@ -3863,6 +4033,112 @@ object SparkEntry {
         .select(col("id"), col("r._1").as("lon2_int"), col("r._2").as("lat2_int"),
           col("r._3").as("azi2_int"))
         .orderBy("id")
+    }),
+
+    // -buffer on ellipsoidal CRS: the geodesic point-buffer ring — one
+    // Vincenty direct shot per bearing (ref mapshaper-geodesic.mjs:92-99);
+    // all 8 ring vertices mirrored through the same 6-round chain
+    "q_buffer_geodesic" -> ((s, dir) => {
+      val ringUdf = udf { (lat: Double, lon: Double, r: Double) =>
+        Buffer.geodesicPointBufferRingEllipsoidal(lon, lat, r, nSeg = 8)
+      }
+      points(s, dir).where(col("id") >= 1 && col("id") <= 30)
+        .select(col("id"),
+          ((col("y") - 50.0) * 1.2).as("lat"),
+          ((col("x") - 50.0) * 3.2).as("lon"),
+          ((col("id") % 7).cast("double") * 25000.0 + 5000.0).as("r"))
+        .withColumn("ring", ringUdf(col("lat"), col("lon"), col("r")))
+        .withColumn("k", explode(sequence(lit(0), lit(7))))
+        .select(col("id"), col("k").cast("long").as("k"),
+          floor(element_at(col("ring"), col("k") * 2 + 1) * 10000000.0)
+            .cast("long").as("lon_int"),
+          floor(element_at(col("ring"), col("k") * 2 + 2) * 10000000.0)
+            .cast("long").as("lat_int"))
+        .orderBy("id", "k")
+    }),
+
+    // -proj albersusa: the composite forward — first-match bbox routing
+    // across CONUS/AK/HI frames, per-frame ellipsoidal Albers, inset
+    // scale-about-origin + placement affine — mirrored end to end with
+    // constants interpolated from the same Frame objects
+    "q_albersusa" -> ((s, dir) => {
+      val p = graft.geom.Crs.AlbersUsa()
+      val frames = Seq(graft.geom.Crs.AlbersUsa.Main,
+        graft.geom.Crs.AlbersUsa.AK, graft.geom.Crs.AlbersUsa.HI)
+      val fwd = udf { (lon: Double, lat: Double) =>
+        val fi = frames.indexWhere(_.contains(lon, lat))
+        if (fi < 0) (-1L, 0L, 0L)
+        else {
+          val (x, y) = p.forward(lon, lat)
+          (fi.toLong, math.floor(x * 100.0).toLong, math.floor(y * 100.0).toLong)
+        }
+      }
+      points(s, dir)
+        .select(col("id"), (col("x") * 1.2 - 180.0).as("lon"),
+          (col("y") * 0.6 + 15.0).as("lat"))
+        .withColumn("r", fwd(col("lon"), col("lat")))
+        .filter(col("r._1") >= 0)
+        .select(col("id"), col("r._1").as("frame"),
+          col("r._2").as("x_int"), col("r._3").as("y_int"))
+        .orderBy("id")
+    }),
+
+
+    // .prj (WKT1) reader over ALL 28 reference fixtures: node kind, every
+    // PARAMETER, and the SPHEROID constants — mirrored by a VALUES table
+    // from an independent regex decode of the same files (reader oracle
+    // precedent: q_fgb_read / q_gpkg_read)
+    "q_wkt_read" -> ((s, dir) => {
+      import s.implicits._
+      import scala.jdk.CollectionConverters._
+      val baseDir = java.nio.file.Paths.get("/root/reference/test/data")
+      val walk = java.nio.file.Files.walk(baseDir)
+      val files =
+        try walk.iterator().asScala.filter(_.toString.endsWith(".prj")).toVector
+        finally walk.close()
+      val rows = files.sortBy(_.toString).flatMap { f =>
+        val text = new String(java.nio.file.Files.readAllBytes(f),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val rel = baseDir.relativize(f).toString
+        val node = graft.geom.Wkt.parse(text)
+        val params = node.findAll("PARAMETER").map(pn =>
+          (rel, "param:" + pn.strings.head.toLowerCase, "",
+            math.floor(pn.numbers.head * 1000000.0).toLong))
+        val sph = node.find("SPHEROID").toSeq.flatMap(sn => Seq(
+          (rel, "spheroid", sn.strings.head,
+            math.floor(sn.numbers.head * 1000000.0).toLong),
+          (rel, "rf", "", math.floor(sn.numbers(1) * 1000000.0).toLong)))
+        (rel, "kind", node.kind, 0L) +: (params ++ sph)
+      }
+      rows.toDF("file", "item", "sval", "num_int")
+        .orderBy("file", "item", "num_int")
+    }),
+
+    // -filter-detail (ref mapshaper-detail-filter.mjs): one fixture per
+    // behavior — a needle excursion sliced by the survivor-merge +
+    // tortuosity commit, a gentle stretch restored at full resolution, and
+    // a round loop protected by the roundness gate. All three decisions sit
+    // far from their thresholds, so the surviving vertex list is a closed
+    // form (replica-validated for every g).
+    "q_filter_detail" -> ((s, dir) => {
+      val kernel = udf { (g: Long) =>
+        val hA = 3.0 + (g % 3).toDouble
+        val wB = 2.0 + (g % 2).toDouble
+        val pts = Array(
+          (0.0, 0.0), (30.0, 0.0), (30.0, hA), (30.5, hA), (30.5, 0.0),
+          (80.0, 0.0), (80.0, 1.0), (80.0 + wB, 1.0), (80.0 + wB, 0.0),
+          (130.0, 0.0), (127.0, 2.0), (130.4, 6.0), (134.0, 2.0), (130.8, 0.0),
+          (200.0, 0.0))
+        val (ox, oy) = graft.geom.DetailFilter.filter(
+          pts.map(_._1), pts.map(_._2), distance = 2.0)
+        ox.indices.map(i =>
+          (i.toLong, math.round(ox(i) * 10.0), math.round(oy(i) * 10.0))).toArray
+      }
+      points(s, dir).select((col("id") % 8).as("g")).distinct()
+        .withColumn("v", explode(kernel(col("g"))))
+        .select(col("g"), col("v._1").as("k"), col("v._2").as("x10"),
+          col("v._3").as("y10"))
+        .orderBy("g", "k")
     }),
 
     // -shape: rectangle (densified at 0.5) and circle constructors,
@@ -4311,6 +4587,14 @@ object SparkEntry {
          |FROM pts GROUP BY cx, cy ORDER BY cx, cy""".stripMargin,
 
     "q_pip_join" ->
+      s"""WITH $ptsSql,
+         |$oracleEdgesSql,
+         |$pipHitsSql
+         |SELECT id, CAST(pk AS BIGINT) AS poly_key FROM hits WHERE crossings % 2 = 1
+         |ORDER BY id, poly_key""".stripMargin,
+
+    // the cell-partitioned path must reproduce the broadcast path bit-for-bit
+    "q_pip_cell" ->
       s"""WITH $ptsSql,
          |$oracleEdgesSql,
          |$pipHitsSql
@@ -6281,6 +6565,154 @@ object SparkEntry {
 
     "q_grid_hex" -> hexMirrorSql,
 
+    "q_dots" -> dotsSql,
+
+    "q_albersusa" -> albersUsaSql,
+
+    // closed-form surviving vertices: needle cut, gentle kept, loop protected
+    "q_filter_detail" ->
+      s"""WITH $ptsSql,
+         |gs AS (SELECT DISTINCT id % 8 AS g FROM pts)
+         |SELECT g, CAST(k AS BIGINT) AS k,
+         |  CAST(CASE WHEN k IN (5, 6) THEN 820 + (g % 2) * 10 ELSE x10 END AS BIGINT) AS x10,
+         |  CAST(y10 AS BIGINT) AS y10
+         |FROM gs CROSS JOIN (VALUES
+         |  (0, 0, 0), (1, 300, 0), (2, 305, 0), (3, 800, 0), (4, 800, 10),
+         |  (5, 0, 10), (6, 0, 0), (7, 1300, 0), (8, 1270, 20), (9, 1304, 60),
+         |  (10, 1340, 20), (11, 1308, 0), (12, 2000, 0)) t(k, x10, y10)
+         |ORDER BY g, k""".stripMargin,
+
+    "q_wkt_read" ->
+      """SELECT file, item, sval, CAST(num_int AS BIGINT) AS num_int
+        |FROM (VALUES
+        |  ('dbf/ldid/chinese.prj', 'kind', 'GEOGCS', 0),
+        |  ('dbf/ldid/chinese.prj', 'spheroid', 'WGS_1984', 6378137000000),
+        |  ('dbf/ldid/chinese.prj', 'rf', '', 298257223),
+        |  ('features/centroids/a.prj', 'kind', 'GEOGCS', 0),
+        |  ('features/centroids/a.prj', 'spheroid', 'WGS_1984', 6378137000000),
+        |  ('features/centroids/a.prj', 'rf', '', 298257223),
+        |  ('features/centroids/b.prj', 'kind', 'GEOGCS', 0),
+        |  ('features/centroids/b.prj', 'spheroid', 'WGS_1984', 6378137000000),
+        |  ('features/centroids/b.prj', 'rf', '', 298257223),
+        |  ('features/polygons/ex1.prj', 'kind', 'GEOGCS', 0),
+        |  ('features/polygons/ex1.prj', 'spheroid', 'WGS_1984', 6378137000000),
+        |  ('features/polygons/ex1.prj', 'rf', '', 298257223),
+        |  ('geopackage/Oregon_customCRS.prj', 'kind', 'PROJCS', 0),
+        |  ('geopackage/Oregon_customCRS.prj', 'param:central_meridian', '', -120540000),
+        |  ('geopackage/Oregon_customCRS.prj', 'param:standard_parallel_1', '', 42710000),
+        |  ('geopackage/Oregon_customCRS.prj', 'param:standard_parallel_2', '', 45570000),
+        |  ('geopackage/Oregon_customCRS.prj', 'spheroid', 'WGS 84', 6378137000000),
+        |  ('geopackage/Oregon_customCRS.prj', 'rf', '', 298257223),
+        |  ('geopackage/world_land_robin.prj', 'kind', 'PROJCS', 0),
+        |  ('geopackage/world_land_robin.prj', 'spheroid', 'WGS 84', 6378137000000),
+        |  ('geopackage/world_land_robin.prj', 'rf', '', 298257223),
+        |  ('issues/166/a_utm.prj', 'kind', 'PROJCS', 0),
+        |  ('issues/166/a_utm.prj', 'param:false_easting', '', 500000000000),
+        |  ('issues/166/a_utm.prj', 'param:false_northing', '', 0),
+        |  ('issues/166/a_utm.prj', 'param:central_meridian', '', -75000000),
+        |  ('issues/166/a_utm.prj', 'param:scale_factor', '', 999600),
+        |  ('issues/166/a_utm.prj', 'param:latitude_of_origin', '', 0),
+        |  ('issues/166/a_utm.prj', 'spheroid', 'GRS_1980', 6378137000000),
+        |  ('issues/166/a_utm.prj', 'rf', '', 298257222),
+        |  ('issues/166/b_utm.prj', 'kind', 'PROJCS', 0),
+        |  ('issues/166/b_utm.prj', 'param:false_easting', '', 500000000000),
+        |  ('issues/166/b_utm.prj', 'param:false_northing', '', 0),
+        |  ('issues/166/b_utm.prj', 'param:central_meridian', '', -75000000),
+        |  ('issues/166/b_utm.prj', 'param:scale_factor', '', 999600),
+        |  ('issues/166/b_utm.prj', 'param:latitude_of_origin', '', 0),
+        |  ('issues/166/b_utm.prj', 'spheroid', 'GRS_1980', 6378137000000),
+        |  ('issues/166/b_utm.prj', 'rf', '', 298257222),
+        |  ('issues/166/d_geo.prj', 'kind', 'GEOGCS', 0),
+        |  ('issues/166/d_geo.prj', 'spheroid', 'WGS_1984', 6378137000000),
+        |  ('issues/166/d_geo.prj', 'rf', '', 298257223),
+        |  ('issues/166/e_merc.prj', 'kind', 'PROJCS', 0),
+        |  ('issues/166/e_merc.prj', 'param:central_meridian', '', 0),
+        |  ('issues/166/e_merc.prj', 'param:false_easting', '', 0),
+        |  ('issues/166/e_merc.prj', 'param:false_northing', '', 0),
+        |  ('issues/166/e_merc.prj', 'param:standard_parallel_1', '', 0),
+        |  ('issues/166/e_merc.prj', 'spheroid', 'WGS_1984', 6378137000000),
+        |  ('issues/166/e_merc.prj', 'rf', '', 298257223),
+        |  ('issues/193/gauss_kruger.prj', 'kind', 'PROJCS', 0),
+        |  ('issues/193/gauss_kruger.prj', 'param:false_easting', '', 500000000000),
+        |  ('issues/193/gauss_kruger.prj', 'param:false_northing', '', 0),
+        |  ('issues/193/gauss_kruger.prj', 'param:central_meridian', '', 114000000),
+        |  ('issues/193/gauss_kruger.prj', 'param:scale_factor', '', 1000000),
+        |  ('issues/193/gauss_kruger.prj', 'param:latitude_of_origin', '', 0),
+        |  ('issues/193/gauss_kruger.prj', 'spheroid', 'Krasovsky_1940', 6378245000000),
+        |  ('issues/193/gauss_kruger.prj', 'rf', '', 298300000),
+        |  ('issues/193/three_points.prj', 'kind', 'PROJCS', 0),
+        |  ('issues/193/three_points.prj', 'param:central_meridian', '', 0),
+        |  ('issues/193/three_points.prj', 'param:false_easting', '', 0),
+        |  ('issues/193/three_points.prj', 'param:false_northing', '', 0),
+        |  ('issues/193/three_points.prj', 'param:standard_parallel_1', '', 0),
+        |  ('issues/193/three_points.prj', 'spheroid', 'WGS_1984', 6378137000000),
+        |  ('issues/193/three_points.prj', 'rf', '', 298257223),
+        |  ('issues/518_519_shp_reading/data_corruption_error.prj', 'kind', 'PROJCS', 0),
+        |  ('issues/518_519_shp_reading/data_corruption_error.prj', 'param:latitude_of_origin', '', 0),
+        |  ('issues/518_519_shp_reading/data_corruption_error.prj', 'param:central_meridian', '', 15000000),
+        |  ('issues/518_519_shp_reading/data_corruption_error.prj', 'param:scale_factor', '', 999600),
+        |  ('issues/518_519_shp_reading/data_corruption_error.prj', 'param:false_easting', '', 500000000000),
+        |  ('issues/518_519_shp_reading/data_corruption_error.prj', 'param:false_northing', '', 0),
+        |  ('issues/518_519_shp_reading/data_corruption_error.prj', 'spheroid', 'GRS_1980', 6378137000000),
+        |  ('issues/518_519_shp_reading/data_corruption_error.prj', 'rf', '', 298257222),
+        |  ('issues/518_519_shp_reading/max_callstack_error.prj', 'kind', 'PROJCS', 0),
+        |  ('issues/518_519_shp_reading/max_callstack_error.prj', 'param:false_easting', '', 1500000000000),
+        |  ('issues/518_519_shp_reading/max_callstack_error.prj', 'param:false_northing', '', 0),
+        |  ('issues/518_519_shp_reading/max_callstack_error.prj', 'param:central_meridian', '', 15808277),
+        |  ('issues/518_519_shp_reading/max_callstack_error.prj', 'param:scale_factor', '', 1000000),
+        |  ('issues/518_519_shp_reading/max_callstack_error.prj', 'param:latitude_of_origin', '', 0),
+        |  ('issues/518_519_shp_reading/max_callstack_error.prj', 'spheroid', 'Bessel_1841', 6377397155000),
+        |  ('issues/518_519_shp_reading/max_callstack_error.prj', 'rf', '', 299152812),
+        |  ('issues/invalid_coords/invalid_coordinates.prj', 'kind', 'GEOGCS', 0),
+        |  ('issues/invalid_coords/invalid_coordinates.prj', 'spheroid', 'WGS 84 [EPSG ID 7030]', 6378137000000),
+        |  ('issues/invalid_coords/invalid_coordinates.prj', 'rf', '', 298257223),
+        |  ('ne/ne_110m_admin_0_boundary_lines_land.prj', 'kind', 'GEOGCS', 0),
+        |  ('ne/ne_110m_admin_0_boundary_lines_land.prj', 'spheroid', 'WGS_1984', 6378137000000),
+        |  ('ne/ne_110m_admin_0_boundary_lines_land.prj', 'rf', '', 298257223),
+        |  ('ne/ne_110m_admin_0_pacific_groupings.prj', 'kind', 'GEOGCS', 0),
+        |  ('ne/ne_110m_admin_0_pacific_groupings.prj', 'spheroid', 'WGS_1984', 6378137000000),
+        |  ('ne/ne_110m_admin_0_pacific_groupings.prj', 'rf', '', 298257223),
+        |  ('ne/ne_110m_admin_0_scale_rank.prj', 'kind', 'GEOGCS', 0),
+        |  ('ne/ne_110m_admin_0_scale_rank.prj', 'spheroid', 'WGS_1984', 6378137000000),
+        |  ('ne/ne_110m_admin_0_scale_rank.prj', 'rf', '', 298257223),
+        |  ('ne/ne_110m_admin_1_states_provinces_lines.prj', 'kind', 'GEOGCS', 0),
+        |  ('ne/ne_110m_admin_1_states_provinces_lines.prj', 'spheroid', 'WGS_1984', 6378137000000),
+        |  ('ne/ne_110m_admin_1_states_provinces_lines.prj', 'rf', '', 298257223),
+        |  ('ne/ne_110m_admin_1_states_provinces_shp.prj', 'kind', 'GEOGCS', 0),
+        |  ('ne/ne_110m_admin_1_states_provinces_shp.prj', 'spheroid', 'WGS_1984', 6378137000000),
+        |  ('ne/ne_110m_admin_1_states_provinces_shp.prj', 'rf', '', 298257223),
+        |  ('shapefile/geo_lines.prj', 'kind', 'GEOGCS', 0),
+        |  ('shapefile/geo_lines.prj', 'spheroid', 'WGS_1984', 6378137000000),
+        |  ('shapefile/geo_lines.prj', 'rf', '', 298257223),
+        |  ('shapefile/latin1-property.prj', 'kind', 'GEOGCS', 0),
+        |  ('shapefile/latin1-property.prj', 'spheroid', 'WGS_1984', 6378137000000),
+        |  ('shapefile/latin1-property.prj', 'rf', '', 298257223),
+        |  ('shapefile/nad27/popctr_state1970.prj', 'kind', 'GEOGCS', 0),
+        |  ('shapefile/nad27/popctr_state1970.prj', 'spheroid', 'Clarke 1866', 6378206400000),
+        |  ('shapefile/nad27/popctr_state1970.prj', 'rf', '', 294978698),
+        |  ('shapefile/six_counties.prj', 'kind', 'GEOGCS', 0),
+        |  ('shapefile/six_counties.prj', 'spheroid', 'WGS_1984', 6378137000000),
+        |  ('shapefile/six_counties.prj', 'rf', '', 298257223),
+        |  ('shapefile/three_points.prj', 'kind', 'GEOGCS', 0),
+        |  ('shapefile/three_points.prj', 'spheroid', 'WGS_1984', 6378137000000),
+        |  ('shapefile/three_points.prj', 'rf', '', 298257223),
+        |  ('shapefile/two_states.prj', 'kind', 'GEOGCS', 0),
+        |  ('shapefile/two_states.prj', 'spheroid', 'WGS_1984', 6378137000000),
+        |  ('shapefile/two_states.prj', 'rf', '', 298257223),
+        |  ('shapefile/two_states_mercator.prj', 'kind', 'PROJCS', 0),
+        |  ('shapefile/two_states_mercator.prj', 'param:central_meridian', '', 0),
+        |  ('shapefile/two_states_mercator.prj', 'param:false_easting', '', 0),
+        |  ('shapefile/two_states_mercator.prj', 'param:false_northing', '', 0),
+        |  ('shapefile/two_states_mercator.prj', 'param:standard_parallel_1', '', 0),
+        |  ('shapefile/two_states_mercator.prj', 'spheroid', 'WGS_1984', 6378137000000),
+        |  ('shapefile/two_states_mercator.prj', 'rf', '', 298257223),
+        |  ('shapefile/utf8-property.prj', 'kind', 'GEOGCS', 0),
+        |  ('shapefile/utf8-property.prj', 'spheroid', 'WGS_1984', 6378137000000),
+        |  ('shapefile/utf8-property.prj', 'rf', '', 298257223)
+        |) t(file, item, sval, num_int)
+        |ORDER BY file, item, num_int""".stripMargin,
+
+
     // balanced halving: the leaf-size multiset of the count-median subdivide
     // is a pure function of n and the predicate — recursive CTE mirror
     "q_subdivide" ->
@@ -6627,60 +7059,36 @@ object SparkEntry {
     // Vincenty direct, sigma iteration unrolled to 6 fixed rounds (the
     // operator converges to 1e-14 in <=4 on these <=5000 km shots; the
     // 1e-7-degree floor absorbs the tail)
-    "q_geodesic_direct" -> {
-      val fC = dl(graft.geom.Crs.F)
-      val aC = dl(graft.geom.Crs.A)
-      val bC = dl(graft.geom.Crs.B)
-      val rounds = (1 to 6).map { k =>
-        s"""d$k AS MATERIALIZED (SELECT id, lon1, s, sinA1, cosA1, sigma1,
-           |  sinU1, cosU1, sinAlpha, cos2Alpha, bigA, bigB,
-           |  cos(2.0 * sigma1 + sigma) AS c2m,
-           |  sin(sigma) AS ss, cos(sigma) AS cs,
-           |  s / ($bC * bigA) + bigB * ss * (c2m + bigB / 4.0 *
-           |    (cs * (-1.0 + 2.0 * c2m * c2m) -
-           |      bigB / 6.0 * c2m * (-3.0 + 4.0 * ss * ss) *
-           |        (-3.0 + 4.0 * c2m * c2m))) AS sigma
-           |  FROM d${k - 1})""".stripMargin
-      }.mkString(",\n")
+    "q_geodesic_direct" ->
       s"""WITH $ptsSql,
          |pp AS (SELECT id,
          |  (y - 50.0) * 1.2 AS lat1, (x - 50.0) * 3.2 AS lon1,
          |  CAST((id * 97) % 360 AS DOUBLE) AS azi,
          |  CAST(((id * 131) % 5000) * 1000 + 500 AS DOUBLE) AS s
          |  FROM pts WHERE id >= 1 AND id <= 30),
-         |base AS (SELECT id, lon1, s,
-         |  sin(azi * (pi() / 180.0)) AS sinA1, cos(azi * (pi() / 180.0)) AS cosA1,
-         |  (1.0 - $fC) * tan(lat1 * (pi() / 180.0)) AS tanU1,
-         |  1.0 / sqrt(1.0 + tanU1 * tanU1) AS cosU1,
-         |  tanU1 * cosU1 AS sinU1,
-         |  atan2(tanU1, cosA1) AS sigma1,
-         |  cosU1 * sinA1 AS sinAlpha,
-         |  1.0 - sinAlpha * sinAlpha AS cos2Alpha,
-         |  cos2Alpha * ($aC * $aC - $bC * $bC) / ($bC * $bC) AS u2,
-         |  1.0 + u2 / 16384.0 * (4096.0 + u2 * (-768.0 + u2 * (320.0 - 175.0 * u2))) AS bigA,
-         |  u2 / 1024.0 * (256.0 + u2 * (-128.0 + u2 * (74.0 - 47.0 * u2))) AS bigB
-         |  FROM pp),
-         |d0 AS MATERIALIZED (SELECT id, lon1, s, sinA1, cosA1, sigma1,
-         |  sinU1, cosU1, sinAlpha, cos2Alpha, bigA, bigB,
-         |  s / ($bC * bigA) AS sigma FROM base),
-         |$rounds,
-         |fin AS (SELECT id, lon1,
-         |  cos(2.0 * sigma1 + sigma) AS c2m, sin(sigma) AS ss, cos(sigma) AS cs,
-         |  sinU1 * ss - cosU1 * cs * cosA1 AS tmp,
-         |  atan2(sinU1 * cs + cosU1 * ss * cosA1,
-         |    (1.0 - $fC) * sqrt(sinAlpha * sinAlpha + tmp * tmp)) AS phi2,
-         |  atan2(ss * sinA1, cosU1 * cs - sinU1 * ss * cosA1) AS lambda,
-         |  $fC / 16.0 * cos2Alpha * (4.0 + $fC * (4.0 - 3.0 * cos2Alpha)) AS cc,
-         |  lambda - (1.0 - cc) * $fC * sinAlpha * (sigma + cc * ss *
-         |    (c2m + cc * cs * (-1.0 + 2.0 * c2m * c2m))) AS l,
-         |  atan2(sinAlpha, -tmp) AS azi2
-         |  FROM d6)
+         |${vincentyChainSql(Seq("id"))}
          |SELECT id,
          |  CAST(floor((lon1 + l * (180.0 / pi())) * 10000000.0) AS BIGINT) AS lon2_int,
          |  CAST(floor(phi2 * (180.0 / pi()) * 10000000.0) AS BIGINT) AS lat2_int,
          |  CAST(floor(azi2 * (180.0 / pi()) * 10000.0) AS BIGINT) AS azi2_int
-         |FROM fin ORDER BY id""".stripMargin
-    },
+         |FROM fin ORDER BY id""".stripMargin,
+
+    // geodesic point-buffer ring = one Vincenty direct shot per bearing
+    // (ref mapshaper-geodesic.mjs:92-99): same 6-round chain, keyed (id, k)
+    "q_buffer_geodesic" ->
+      s"""WITH $ptsSql,
+         |pp0 AS (SELECT id,
+         |  (y - 50.0) * 1.2 AS lat1, (x - 50.0) * 3.2 AS lon1,
+         |  CAST(id % 7 AS DOUBLE) * 25000.0 + 5000.0 AS s
+         |  FROM pts WHERE id >= 1 AND id <= 30),
+         |ks AS (SELECT k FROM generate_series(0, 7) t(k)),
+         |pp AS (SELECT id, k, lat1, lon1,
+         |  360.0 * CAST(k AS DOUBLE) / 8.0 AS azi, s FROM pp0, ks),
+         |${vincentyChainSql(Seq("id", "k"))}
+         |SELECT id, CAST(k AS BIGINT) AS k,
+         |  CAST(floor((lon1 + l * (180.0 / pi())) * 10000000.0) AS BIGINT) AS lon_int,
+         |  CAST(floor(phi2 * (180.0 / pi()) * 10000000.0) AS BIGINT) AS lat_int
+         |FROM fin ORDER BY id, k""".stripMargin,
 
     // -shape: rectangle side densification (exact halves) + 37-vertex circle
     // (sin/cos floor-guarded at 1e6)

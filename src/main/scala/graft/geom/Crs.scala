@@ -890,6 +890,8 @@ object Crs {
         val (ux, uy) = mixed.inverseTransform(x, y)
         proj.inverse(ux, uy)
       }
+      /** Placement affine constants (for the oracle mirror). */
+      def affine: (Double, Double, Double, Double, Double, Double) = mixed.affine
     }
 
     // frame parameters from the reference (custom-projections.mjs:30-65)

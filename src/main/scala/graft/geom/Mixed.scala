@@ -78,6 +78,11 @@ object Mixed {
       lonDeg >= lonMin && lonDeg <= lonMax && latDeg >= latMin && latDeg <= latMax
     }
 
+    /** The composed placement affine (a, b, c, d, tx, ty) — read-only view
+     * for mirrors/exports that need the frame constants. */
+    def affine: (Double, Double, Double, Double, Double, Double) =
+      (matrix.a, matrix.b, matrix.c, matrix.d, matrix.tx, matrix.ty)
+
     /** Undo the placement affine (projected output → the frame CRS's own
      * coordinates) — the building block for frame-wise inverses
      * ([[Crs.AlbersUsa]] routes through this). */
