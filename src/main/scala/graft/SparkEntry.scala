@@ -1592,30 +1592,82 @@ object SparkEntry {
   }
 
 
-  /** The q_grid_hex SQL: the pointy-top hexagon lattice itself — same hex
-   * CTE as [[gridMirrorSql]], emitting the hexagon's center, second vertex
-   * and 6-term shoelace area (loop order = Geom.signedRingArea). */
-  private def hexMirrorSql: String = {
+  /** The q_subdivide_count SQL: Subdivide.byCount's data-dependent split
+   * cascade unrolled as a 10-round wavefront — each round counts points per
+   * current leaf and descends the members of over-threshold leaves one
+   * level (split axis = longer box side, mid = (lo+hi)/2, children 2k /
+   * 2k+1), carrying each point's leaf box through the rounds. Rounds past
+   * convergence are no-ops on both sides. */
+  private def subdivideMirrorSql: String = {
+    val rounds = (0 until 10).map { k =>
+      s"""c$k AS (SELECT leaf, count(*) AS c FROM l$k GROUP BY leaf),
+         |l${k + 1} AS (SELECT id, x, y,
+         |  CASE WHEN c > 100 THEN leaf * 2 + (CASE WHEN (CASE WHEN (x1 - x0) >= (y1 - y0)
+         |      THEN x < (x0 + x1) / 2.0 ELSE y < (y0 + y1) / 2.0 END) THEN 0 ELSE 1 END)
+         |    ELSE leaf END AS leaf,
+         |  CASE WHEN c > 100 AND (x1 - x0) >= (y1 - y0) AND x >= (x0 + x1) / 2.0
+         |    THEN (x0 + x1) / 2.0 ELSE x0 END AS x0,
+         |  CASE WHEN c > 100 AND NOT ((x1 - x0) >= (y1 - y0)) AND y >= (y0 + y1) / 2.0
+         |    THEN (y0 + y1) / 2.0 ELSE y0 END AS y0,
+         |  CASE WHEN c > 100 AND (x1 - x0) >= (y1 - y0) AND x < (x0 + x1) / 2.0
+         |    THEN (x0 + x1) / 2.0 ELSE x1 END AS x1,
+         |  CASE WHEN c > 100 AND NOT ((x1 - x0) >= (y1 - y0)) AND y < (y0 + y1) / 2.0
+         |    THEN (y0 + y1) / 2.0 ELSE y1 END AS y1
+         |  FROM l$k JOIN c$k USING (leaf))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $ptsSql,
+       |ext AS (SELECT min(x) AS mnx, min(y) AS mny,
+       |    max(x) + ${dl(1e-9)} AS mxx, max(y) + ${dl(1e-9)} AS mxy FROM pts),
+       |l0 AS (SELECT id, x, y, CAST(1 AS BIGINT) AS leaf,
+       |    mnx AS x0, mny AS y0, mxx AS x1, mxy AS y1 FROM pts, ext),
+       |$rounds
+       |SELECT leaf AS leaf_id, count(*) AS n,
+       |  CAST(floor(min(x) * 1000.0) AS BIGINT) AS xmn_int,
+       |  CAST(floor(max(x) * 1000.0) AS BIGINT) AS xmx_int,
+       |  CAST(floor(min(y) * 1000.0) AS BIGINT) AS ymn_int,
+       |  CAST(floor(max(y) * 1000.0) AS BIGINT) AS ymx_int
+       |FROM l10 GROUP BY leaf ORDER BY leaf""".stripMargin
+  }
+
+  /** The q_grid_hex / q_grid_hex_flat SQL: the hexagon lattice itself —
+   * same hex CTE as [[gridMirrorSql]], emitting the hexagon's center,
+   * second vertex and 6-term shoelace area (loop order =
+   * Geom.signedRingArea). `flatTop = true` transposes the lattice
+   * (reference 'hex'): outer loop over q at 1.5·size pitch, vertices at
+   * 0°/60°/...; `false` is pointy-top (reference 'hex2'). */
+  private def hexMirrorSql(flatTop: Boolean): String = {
     val size = 4.0
     val SQC = dl(math.sqrt(3.0) * size)
     val KC2 = dl(size * 1.5)
     val vcols = (0 until 6).map { i =>
-      val a = math.Pi / 6.0 + math.Pi / 3.0 * i
+      val a = (if (flatTop) 0.0 else math.Pi / 6.0) + math.Pi / 3.0 * i
       s"cx + ${dl(size * math.cos(a))} AS v${i}x, cy + ${dl(size * math.sin(a))} AS v${i}y"
     }.mkString(",\n       |    ")
     val shoelace = (0 until 6).map { i =>
       val j = (i + 1) % 6
       s"(v${i}x * v${j}y - v${j}x * v${i}y)"
     }.mkString(" + ")
-    s"""WITH rr AS (SELECT unnest(range(-1, 6)) AS r),
-       |qq AS (SELECT r,
-       |    unnest(range(CAST(floor(0.0 / $SQC - CAST(r AS DOUBLE) / 2.0) AS BIGINT) - 1,
-       |                 CAST(ceil(30.0 / $SQC - CAST(r AS DOUBLE) / 2.0) AS BIGINT) + 2)) AS q
-       |  FROM rr),
-       |hex AS (SELECT q, r,
-       |    $SQC * (CAST(q AS DOUBLE) + CAST(r AS DOUBLE) / 2.0) AS cx,
-       |    $KC2 * CAST(r AS DOUBLE) AS cy
-       |  FROM qq),
+    val lattice = if (!flatTop)
+      s"""WITH rr AS (SELECT unnest(range(-1, 6)) AS r),
+         |qq AS (SELECT r,
+         |    unnest(range(CAST(floor(0.0 / $SQC - CAST(r AS DOUBLE) / 2.0) AS BIGINT) - 1,
+         |                 CAST(ceil(30.0 / $SQC - CAST(r AS DOUBLE) / 2.0) AS BIGINT) + 2)) AS q
+         |  FROM rr),
+         |hex AS (SELECT q, r,
+         |    $SQC * (CAST(q AS DOUBLE) + CAST(r AS DOUBLE) / 2.0) AS cx,
+         |    $KC2 * CAST(r AS DOUBLE) AS cy
+         |  FROM qq),"""
+    else
+      s"""WITH qq0 AS (SELECT unnest(range(-1, 7)) AS q),
+         |qq AS (SELECT q,
+         |    unnest(range(CAST(floor(0.0 / $SQC - CAST(q AS DOUBLE) / 2.0) AS BIGINT) - 1,
+         |                 CAST(ceil(20.0 / $SQC - CAST(q AS DOUBLE) / 2.0) AS BIGINT) + 2)) AS r
+         |  FROM qq0),
+         |hex AS (SELECT q, r,
+         |    $KC2 * CAST(q AS DOUBLE) AS cx,
+         |    $SQC * (CAST(r AS DOUBLE) + CAST(q AS DOUBLE) / 2.0) AS cy
+         |  FROM qq),"""
+    s"""$lattice
        |hexv AS (SELECT q, r, cx, cy,
        |    $vcols
        |  FROM hex)
@@ -1705,6 +1757,191 @@ object SparkEntry {
        |  CAST(floor(px * 1000000000.0) AS BIGINT) AS x_int,
        |  CAST(floor(py * 1000000000.0) AS BIGINT) AS y_int
        |FROM acc WHERE k < 10 ORDER BY g, k""".stripMargin
+  }
+
+  /** The q_dots_even SQL: dotFillEven replayed draw-by-draw. Two recursive
+   * state machines over the same SplitMix64 call positions the engine
+   * consumes — (1) the Fisher-Yates cell shuffle (calls 1..cells-1, one
+   * `(z>>>1) % (i+1)` swap per step), (2) the probe loop (probe p uses
+   * calls cells+2p / cells+2p+1): first-fill seeds one candidate per
+   * shuffled cell, then dart-throwing; the 3x3-occupancy-window
+   * min-distance test and the x0.9 relaxation every
+   * ceil(cells^0.8)-failed-probes are replayed per step with the placed
+   * points carried as list state. Sizing constants (cols/rows/cellSize/
+   * spacing) are interpolated from the same arithmetic the engine runs. */
+  private lazy val dotsEvenSql: String = {
+    import WrapSql._
+    val DBL = dl(1.1102230246251565e-16)
+    val n = 10
+    val ev = 1.0
+    val rings = Seq(oRect(0, 0, 20, 10), oRect(8, 3, 4, 4))
+    var bx0 = Double.MaxValue; var by0 = Double.MaxValue
+    var bx1 = Double.MinValue; var by1 = Double.MinValue
+    rings.foreach { r =>
+      var i = 0
+      while (i < r.length) {
+        bx0 = math.min(bx0, r(i)); bx1 = math.max(bx1, r(i))
+        by0 = math.min(by0, r(i + 1)); by1 = math.max(by1, r(i + 1))
+        i += 2
+      }
+    }
+    val w = bx1 - bx0; val h = by1 - by0
+    val shpArea = math.abs(rings.map { r =>
+      val m = r.length / 2
+      val xs = Array.tabulate(m)(i => r(i * 2))
+      val ys = Array.tabulate(m)(i => r(i * 2 + 1))
+      graft.geom.Geom.signedRingArea(xs, ys, 0, m)
+    }.sum)
+    val approxQueries = math.max(1L, math.round(n * (w * h) / shpArea))
+    val kf = 0.5 * (ev - 1.0) + 1.0
+    val approxCells = approxQueries * 0.9 * kf
+    val cols = math.max(1, math.round(math.sqrt(approxCells * w / h)).toInt)
+    val rows = math.max(1, math.ceil(cols * h / w).toInt)
+    val cellSize = w / cols
+    val cells = cols * rows
+    val sp0 = cellSize * 0.7 * ev
+    val relax = math.ceil(math.pow(cells.toDouble, 0.8)).toLong
+    val maxProbes = cells.toLong * 10 * math.max(1, n)
+    val maxCall = cells - 1 + 2 * maxProbes + 2
+    val CELL = dl(cellSize); val SP0 = dl(sp0)
+    val WC = dl(w); val HC = dl(h)
+    val X0C = dl(bx0); val Y0C = dl(by0); val Y1C = dl(by1)
+    def cellc(px: String) =
+      s"least(${cols - 1}, greatest(0, CAST(trunc(($px - $X0C) / $CELL) AS INT)))"
+    def cellr(py: String) =
+      s"least(${rows - 1}, greatest(0, CAST(trunc(($py - $Y0C) / $CELL) AS INT)))"
+    val usable =
+      s"len(list_filter(range(1, len(xs) + 1), ii -> " +
+        s"abs(${cellc("xs[CAST(ii AS INT)]")} - cc2) <= 1 AND " +
+        s"abs(${cellr("ys[CAST(ii AS INT)]")} - rr2) <= 1 AND " +
+        s"(xs[CAST(ii AS INT)] - px) * (xs[CAST(ii AS INT)] - px) + " +
+        s"(ys[CAST(ii AS INT)] - py) * (ys[CAST(ii AS INT)] - py) < sp * sp)) = 0"
+    s"""WITH RECURSIVE $ptsSql,
+       |gs AS (SELECT DISTINCT id % 8 AS g FROM pts),
+       |calls AS (SELECT g, CAST(g * 1000 + 7 AS UBIGINT) AS seed,
+       |    unnest(range(1, $maxCall)) AS c FROM gs),
+       |smin AS (SELECT g, c,
+       |    CAST((CAST(seed AS HUGEINT) + (CAST(c - 1 AS HUGEINT) * CAST('${u(Golden)}' AS HUGEINT)) % $M64) % $M64 AS UBIGINT) AS _zin
+       |  FROM calls),
+       |${splitmix("sm", "_zin", "z")},
+       |zz AS (SELECT g, c, z, CAST(z >> 11 AS DOUBLE) * $DBL AS d FROM smout),
+       |sh AS (
+       |  SELECT g, ${cells - 1} AS i, range(0, $cells) AS ord FROM gs
+       |  UNION ALL
+       |  SELECT g, i - 1,
+       |    [CASE WHEN kx = i THEN ord[j + 1]
+       |          WHEN kx = j THEN ord[i + 1]
+       |          ELSE ord[kx + 1] END FOR kx IN range(0, $cells)]
+       |  FROM (SELECT sh.g, sh.i, sh.ord,
+       |          CAST((zz.z >> 1) % CAST(sh.i + 1 AS UBIGINT) AS BIGINT) AS j
+       |        FROM sh JOIN zz ON zz.g = sh.g AND zz.c = $cells - sh.i) s
+       |  WHERE i > 0
+       |),
+       |shf AS (SELECT g, ord FROM sh WHERE i = 0),
+       |st AS (
+       |  SELECT g, 0 AS p, 0 AS placed,
+       |    CAST([] AS DOUBLE[]) AS xs, CAST([] AS DOUBLE[]) AS ys,
+       |    $SP0 AS sp, false AS done FROM gs
+       |  UNION ALL
+       |  SELECT g, p + 1,
+       |    CASE WHEN got THEN placed + 1 ELSE placed END,
+       |    CASE WHEN got THEN list_append(xs, px) ELSE xs END,
+       |    CASE WHEN got THEN list_append(ys, py) ELSE ys END,
+       |    CASE WHEN NOT got AND p >= $cells AND p % $relax = ${relax - 1} THEN sp * 0.9 ELSE sp END,
+       |    (CASE WHEN got THEN placed + 1 ELSE placed END) >= $n OR p + 1 >= $maxProbes
+       |  FROM (
+       |    SELECT *, ((p >= $cells OR py <= $Y1C) AND $usable
+       |        AND NOT (px > 8.0 AND px < 12.0 AND py > 3.0 AND py < 7.0)) AS got
+       |    FROM (
+       |      SELECT *, ${cellc("px")} AS cc2, ${cellr("py")} AS rr2
+       |      FROM (
+       |        SELECT st.g, st.p, st.placed, st.xs, st.ys, st.sp,
+       |          CASE WHEN st.p < $cells
+       |            THEN $X0C + (CAST(shf.ord[st.p + 1] % $cols AS DOUBLE) + a.d) * $CELL
+       |            ELSE $X0C + a.d * $WC END AS px,
+       |          CASE WHEN st.p < $cells
+       |            THEN $Y0C + (CAST(shf.ord[st.p + 1] // $cols AS DOUBLE) + b.d) * $CELL
+       |            ELSE $Y0C + b.d * $HC END AS py
+       |        FROM st
+       |          JOIN shf ON shf.g = st.g
+       |          JOIN zz a ON a.g = st.g AND a.c = $cells + 2 * st.p
+       |          JOIN zz b ON b.g = st.g AND b.c = $cells + 2 * st.p + 1
+       |        WHERE NOT st.done
+       |      ) c1
+       |    ) c2
+       |  ) c3
+       |),
+       |fin AS (SELECT g, xs, ys FROM st WHERE done)
+       |SELECT g, CAST(t.kx AS BIGINT) - 1 AS k,
+       |  CAST(floor(xs[CAST(t.kx AS INT)] * 1000000000.0) AS BIGINT) AS x_int,
+       |  CAST(floor(ys[CAST(t.kx AS INT)] * 1000000000.0) AS BIGINT) AS y_int
+       |FROM fin, (SELECT unnest(range(1, ${n + 1})) AS kx) t
+       |WHERE t.kx <= len(xs)
+       |ORDER BY g, k""".stripMargin
+  }
+
+  /** The q_seam_cut SQL: CutAtFaceSeams replayed end to end. Region =
+   * CahillKeyes.regionKey (octant*3 + side+1: octant from trunc((lon+180)/
+   * 90+1) with the 5→1 wrap and south remap, side from sign((lon+720)%90-
+   * 45)), evaluated through the engine's exact rad→deg round trip. Each
+   * region-changing segment runs the 40-halving bisection as a recursive
+   * CTE with the same (lo+hi)/2 chord interpolation; parts are assembled
+   * from cut ordinals (part p opens at cut p's hi point, closes at cut
+   * p+1's lo point). */
+  private lazy val seamCutSql: String = {
+    def regSql(px: String, py: String): String = {
+      val lon2 = s"((($px) * (pi() / 180.0)) * (180.0 / pi()))"
+      val lat2 = s"((($py) * (pi() / 180.0)) * (180.0 / pi()))"
+      val oct0 = s"CAST(trunc((($lon2 + 180.0) / 90.0) + 1.0) AS INT)"
+      val mer = s"(($lon2 + 720.0) % 90.0 - 45.0)"
+      val side = s"(CASE WHEN $mer < 0.0 THEN -1 WHEN $mer > 0.0 THEN 1 ELSE 0 END)"
+      val oct1 = s"(CASE WHEN $oct0 = 5 THEN 1 ELSE $oct0 END)"
+      val oct = s"(CASE WHEN $lat2 < 0.0 THEN ([0,6,7,8,5])[$oct1 + 1] ELSE $oct1 END)"
+      s"($oct * 3 + ($side + 1))"
+    }
+    s"""WITH RECURSIVE $ptsSql,
+       |gs AS (SELECT DISTINCT id % 50 AS g FROM pts),
+       |vx AS (SELECT g, CAST(j AS INT) AS j,
+       |    (-170.0 + CAST(g % 7 AS DOUBLE) * 3.7) + CAST(j AS DOUBLE) * 38.3 AS px,
+       |    (5.0 + CAST(g % 5 AS DOUBLE) * 6.1) + CAST(j AS DOUBLE) * 0.9 AS py
+       |  FROM gs, (SELECT unnest(range(0, 8)) AS j) t),
+       |vreg AS (SELECT g, j, px, py, ${regSql("px", "py")} AS r FROM vx),
+       |seg AS (SELECT a.g, a.j, a.px AS sx, a.py AS sy, b.px AS ex, b.py AS ey,
+       |    a.r AS fs, b.r AS fe
+       |  FROM vreg a JOIN vreg b ON a.g = b.g AND b.j = a.j + 1),
+       |bis AS (
+       |  SELECT g, j, sx, sy, ex, ey, fs, 0 AS it,
+       |    CAST(0.0 AS DOUBLE) AS lo, CAST(1.0 AS DOUBLE) AS hi
+       |  FROM seg WHERE fs <> fe
+       |  UNION ALL
+       |  SELECT g, j, sx, sy, ex, ey, fs, it + 1,
+       |    CASE WHEN rm = fs THEN m ELSE lo END,
+       |    CASE WHEN rm = fs THEN hi ELSE m END
+       |  FROM (SELECT *, ${regSql("sx + (ex - sx) * m", "sy + (ey - sy) * m")} AS rm
+       |        FROM (SELECT *, (lo + hi) / 2.0 AS m FROM bis WHERE it < 40) b1) b2
+       |),
+       |cuts AS (SELECT g, j, sx + (ex - sx) * lo AS clx, sy + (ey - sy) * lo AS cly,
+       |    sx + (ex - sx) * hi AS chx, sy + (ey - sy) * hi AS chy
+       |  FROM bis WHERE it = 40),
+       |vp AS (SELECT v.g, v.j, v.px, v.py,
+       |    (SELECT count(*) FROM cuts c WHERE c.g = v.g AND c.j < v.j) AS part
+       |  FROM vx v),
+       |pa AS (SELECT g, part, count(*) AS nv,
+       |    arg_min(px, j) AS fvx, arg_min(py, j) AS fvy,
+       |    arg_max(px, j) AS lvx, arg_max(py, j) AS lvy
+       |  FROM vp GROUP BY g, part),
+       |co AS (SELECT g, row_number() OVER (PARTITION BY g ORDER BY j) AS p, chx, chy FROM cuts),
+       |cc AS (SELECT g, row_number() OVER (PARTITION BY g ORDER BY j) - 1 AS p, clx, cly FROM cuts)
+       |SELECT pa.g AS g, CAST(pa.part AS BIGINT) AS part,
+       |  CAST(pa.nv + (CASE WHEN co.p IS NULL THEN 0 ELSE 1 END)
+       |     + (CASE WHEN cc.p IS NULL THEN 0 ELSE 1 END) AS BIGINT) AS n_pts,
+       |  CAST(floor(coalesce(co.chx, pa.fvx) * 1000000000.0) AS BIGINT) AS x0_int,
+       |  CAST(floor(coalesce(co.chy, pa.fvy) * 1000000000.0) AS BIGINT) AS y0_int,
+       |  CAST(floor(coalesce(cc.clx, pa.lvx) * 1000000000.0) AS BIGINT) AS x1_int,
+       |  CAST(floor(coalesce(cc.cly, pa.lvy) * 1000000000.0) AS BIGINT) AS y1_int
+       |FROM pa LEFT JOIN co ON co.g = pa.g AND co.p = pa.part
+       |  LEFT JOIN cc ON cc.g = pa.g AND cc.p = pa.part
+       |ORDER BY pa.g, pa.part""".stripMargin
   }
 
   /** The q_albersusa SQL: the composite's full forward path — first-match
@@ -4456,6 +4693,222 @@ object SparkEntry {
           col("x0") + 1.0, col("y0") + 1.0).as("ring"))
       FilterIslands2(outers.union(holes), "rid", "key", "ring", minArea = 120.0)
         .select(col("rid")).orderBy("rid")
+    }),
+
+    // join where= match filter + keep-first collision determinism (ref
+    // mapshaper-join-filter.mjs:9-29, join-tables.mjs:106-115): only source
+    // rows passing the predicate are eligible, and among colliding source
+    // rows the winner is the SMALLEST under the full-tuple ordering of the
+    // non-key columns (content-derived total order — identical at any
+    // parallelism; mirrored with a row_number window in DuckDB)
+    "q_join_where" -> ((s, dir) => {
+      val src = t(s, dir, "orders")
+        .select("o_custkey", "o_orderkey", "o_orderstatus", "o_totalprice")
+      val r = JoinOp.join(
+        t(s, dir, "customer"), src, "c_custkey", "o_custkey",
+        fields = Seq("o_orderkey", "o_orderstatus", "o_totalprice"),
+        where = Some(col("o_totalprice") > 150000.0))
+      r.joined
+        .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        .orderBy("c_custkey")
+    }),
+
+    // -projections listing: every +proj= id the catalog advertises must be
+    // exactly the reference's own registry (mapshaper-projections.mjs:14-60
+    // + the dymaxion/butterfly/narukawa/lee registrations) — the oracle is
+    // an independent hand-transcribed VALUES list of those 27 ids
+    "q_projections" -> ((s, dir) => {
+      import s.implicits._
+      Graft.projections.map(_._1).toDF("proj_id").orderBy("proj_id")
+    }),
+
+    // -filter-slivers: rings below min-area dropped; closed-form rect
+    // family (areas w*h known exactly), shoelace evaluated by the engine
+    "q_filter_slivers" -> ((s, dir) => {
+      val fams = points(s, dir).select((col("id") % 40).as("g")).distinct()
+        .withColumn("i", explode(array(lit(0), lit(1), lit(2))))
+        .withColumn("w", (col("g") * 3 + col("i") * 5) % 11 + 1)
+        .withColumn("h", (col("g") * 7 + col("i") * 2) % 9 + 1)
+      val rects = fams.select(col("g"), col("i"),
+        array(lit(0.0), lit(0.0), col("w").cast("double"), lit(0.0),
+          col("w").cast("double"), col("h").cast("double"),
+          lit(0.0), col("h").cast("double"), lit(0.0), lit(0.0)).as("ring"))
+      SimplifyOp.filterSlivers(rects, "ring", minArea = 30.0)
+        .select(col("g"), col("i")).orderBy("g", "i")
+    }),
+
+    // -grid type=hex (FLAT-TOP orientation, ref mapshaper-hex-grid.mjs:13):
+    // the transposed lattice — enumeration bounds, centers, six ring
+    // vertices at 0°/60°/... and the shoelace area, all re-derived in SQL
+    "q_grid_hex_flat" -> ((s, dir) =>
+      Grids.hexGrid(s, 0.0, 0.0, 30.0, 20.0, 4.0, flatTop = true)
+        .select(col("q"), col("r"),
+          floor(col("cx") * 1000000.0).cast("long").as("cx_int"),
+          floor(col("cy") * 1000000.0).cast("long").as("cy_int"),
+          floor(ringAreaUdf(col("ring")) * 1000000.0).cast("long").as("area_int"),
+          floor(element_at(col("ring"), 3) * 1000000.0).cast("long").as("v1x_int"),
+          floor(element_at(col("ring"), 4) * 1000000.0).cast("long").as("v1y_int"))
+        .orderBy("q", "r")),
+
+    // DISTRIBUTED dissolve2 (cell-join candidate pairs -> min-label CC ->
+    // mosaic kernel per component) through the driver gate: 50 families of
+    // 3 strictly-overlapping 10x10 rects on disjoint 40-unit tiles, so each
+    // family is one component (min-id label) whose union area has an
+    // inclusion-exclusion closed form
+    "q_dissolve2_dist" -> ((s, dir) => {
+      val mkRect = udf { (g: Long, i: Int) =>
+        val x0 = ((g % 10) * 40 + (g * (3 + 2 * i)) % 9).toDouble
+        val y0 = ((g / 10) * 40 + (g * (5 + 3 * i)) % 9).toDouble
+        Array(x0, y0, x0 + 10, y0, x0 + 10, y0 + 10, x0, y0 + 10, x0, y0)
+      }
+      val shapes = points(s, dir).select((col("id") % 50).as("g")).distinct()
+        .withColumn("i", explode(array(lit(0), lit(1), lit(2))))
+        .select((col("g") * 3 + col("i")).as("sid"),
+          mkRect(col("g"), col("i")).as("ring"))
+      OverlayOp.dissolve2Distributed(s, shapes, "sid", "ring", cellRes = 4)
+        .select(col("component"), col("n_shapes_in"), col("n_rings_out"),
+          round(col("area") * 100.0, 0).cast("long").as("area_int"))
+        .orderBy("component")
+    }),
+
+    // decoded tile stats (raster-tile mean luma per grid cell): real PNG
+    // decode on the engine side; the mirror re-synthesizes every pixel from
+    // the SplitMix64 generator formula and replays the integer tile bounds
+    "q_tile_stats" -> ((s, dir) =>
+      Tiling.tileStats(s, imagesDf(s, dir).where(col("fmt") === "png" &&
+          substring(col("image_id"), 4, 12).cast("long") < 300), tileGrid = 3)
+        .select(col("image_id"), col("tile_x"), col("tile_y"), col("mean_luma"))
+        .orderBy("image_id", "tile_x", "tile_y")),
+
+    // -dots evenness=1: the FULL spaced fill — Fisher-Yates cell shuffle,
+    // per-cell seeded first-fill, dart-throwing with the x0.9 relaxation
+    // schedule and 3x3-window min-distance test — replayed draw-by-draw in
+    // SQL as two recursive-CTE state machines over the same SplitMix64
+    // call positions (ref mapshaper-dot-density.mjs:40-230)
+    "q_dots_even" -> ((s, dir) => {
+      val kernel = udf { (g: Long) =>
+        Grids.dotFillEven(Seq(oRect(0, 0, 20, 10), oRect(8, 3, 4, 4)),
+          n = 10, evenness = 1.0, seed = g * 1000L + 7L)
+      }
+      points(s, dir).select((col("id") % 8).as("g")).distinct()
+        .withColumn("dots", kernel(col("g")))
+        .withColumn("k",
+          explode(sequence(lit(0), (size(col("dots")) / 2 - 1).cast("int"))))
+        .select(col("g"), col("k").cast("long").as("k"),
+          floor(element_at(col("dots"), col("k") * 2 + 1) * 1000000000.0)
+            .cast("long").as("x_int"),
+          floor(element_at(col("dots"), col("k") * 2 + 2) * 1000000000.0)
+            .cast("long").as("y_int"))
+        .orderBy("g", "k")
+    }),
+
+    // -subdivide max-count (quadtree-style binary splits on the longer
+    // axis while a leaf holds > maxPerLeaf points): the whole data-dependent
+    // split cascade is replayed in SQL as a 10-round unrolled wavefront
+    "q_subdivide_count" -> ((s, dir) => {
+      val (assigned, _) = Subdivide.byCount(s, points(s, dir), "x", "y",
+        maxPerLeaf = 100, maxDepth = 10)
+      assigned.groupBy(col("leaf_id"))
+        .agg(count(lit(1)).as("n"),
+          floor(min(col("x")) * 1000.0).cast("long").as("xmn_int"),
+          floor(max(col("x")) * 1000.0).cast("long").as("xmx_int"),
+          floor(min(col("y")) * 1000.0).cast("long").as("ymn_int"),
+          floor(max(col("y")) * 1000.0).cast("long").as("ymx_int"))
+        .orderBy("leaf_id")
+    }),
+
+    // .prj WRITER (-o emits a .prj per exported shapefile): every
+    // WKT1-expressible projection's emitted string vs a hand-transcribed
+    // VALUES mirror of the ESRI WKT1 grammar the reference's own .prj
+    // fixtures use (ref test/data/two_states.prj shape; writer is
+    // Wkt.fromProj, reader-round-tripped in WktSpec)
+    "q_wkt_write" -> ((s, dir) => {
+      import s.implicits._
+      import graft.geom.Crs
+      val cases: Seq[(String, Crs.Proj)] = Seq(
+        "longlat" -> Crs.Longlat,
+        "tmerc" -> Crs.Tmerc(0.0, 114.0, 1.0, 500000.0, 0.0),
+        "lcc" -> Crs.Lcc(33.0, 45.0, 39.0, -96.0),
+        "aea" -> Crs.Albers(29.5, 45.5, 23.0, -96.0),
+        "merc" -> Crs.Mercator(12.0),
+        "robin" -> Crs.Robinson(10.0),
+        "sinu" -> Crs.Sinusoidal(-30.0),
+        "moll" -> Crs.Mollweide(5.0),
+        "wintri" -> Crs.WinkelTripel(0.0),
+        "laea" -> Crs.Laea(45.0, 8.0),
+        "ortho" -> Crs.Orthographic(40.0, -100.0),
+        "stere" -> Crs.Stereographic(60.0, -45.0),
+        "eqc" -> Crs.Equirectangular(30.0, 15.0))
+      cases.map { case (k, p) => (k, Graft.projectionToWkt(p)) }
+        .toDF("proj_id", "wkt").orderBy("proj_id")
+    }),
+
+    // GENERIC mixed/compound projection (the reference's MixedProjection
+    // machinery exposed for user-defined insets, mapshaper-mixed-projection
+    // .mjs): first-match bbox routing into 3 frames — sinusoidal main,
+    // a rotated+scaled+shifted Mercator inset (exercising the full Matrix2D
+    // rotate-about -> scale-about -> translate chain), and a scale-only
+    // Mercator inset. The oracle re-DERIVES the whole affine from the raw
+    // frame literals in SQL (origin forward, rotation trig, accumulator op
+    // order), unlike q_albersusa which interpolates the engine's constants.
+    "q_mixed" -> ((s, dir) => {
+      import graft.geom.{Crs, Mixed}
+      val mixed = Crs.MixedProj(Vector(
+        Mixed.Frame(Crs.Sinusoidal(0.0), (-30.0, -40.0, 30.0, 40.0)),
+        Mixed.Frame(Crs.Mercator(0.0), (30.0, -40.0, 90.0, 40.0),
+          origin = Some((60.0, 10.0)), placement = Some((2000000.0, -1000000.0)),
+          dx = 1000.0, dy = -500.0, scale = 0.5, rotationDeg = 30.0),
+        Mixed.Frame(Crs.Mercator(0.0), (-180.0, -80.0, -30.0, 80.0),
+          origin = Some((-90.0, 0.0)), placement = Some((-4000000.0, 0.0)),
+          scale = 2.0)))
+      val fwd = udf { (lon: Double, lat: Double) =>
+        val fi = mixed.frames.indexWhere(_.contains(lon, lat))
+        if (fi < 0) (-1L, 0L, 0L)
+        else {
+          val (xx, yy) = mixed.forward(lon, lat)
+          (fi.toLong, math.floor(xx * 100.0).toLong, math.floor(yy * 100.0).toLong)
+        }
+      }
+      points(s, dir)
+        .select(col("id"), (col("x") * 2.7 - 180.0).as("lon"),
+          (col("y") * 0.8 - 40.0).as("lat"))
+        .withColumn("r", fwd(col("lon"), col("lat")))
+        .filter(col("r._1") >= 0)
+        .select(col("id"), col("r._1").as("frame"),
+          col("r._2").as("x_int"), col("r._3").as("y_int"))
+        .orderBy("id")
+    }),
+
+    // POLYHEDRAL SEAM CUTTING (the reference's __projection_topology role,
+    // mapshaper-spherical-cutting.mjs): lon/lat paths bisection-cut where
+    // the projection's region id changes, so no part straddles an unfolded
+    // sheet. Fixture: 50 paths marching 38.3°/step across the Cahill-Keyes
+    // octant boundaries (every 45° of longitude). The oracle replays the
+    // ENTIRE pipeline — the CK octant/side region arithmetic, the 40-
+    // halving bisection per crossing segment (recursive CTE, identical FP
+    // interpolation), and the part assembly with per-part lo/hi boundary
+    // vertices — and compares part counts + first/last coordinates at 1e-9°.
+    "q_seam_cut" -> ((s, dir) => {
+      import graft.geom.Crs
+      val p = Crs.ButterflyProj("cahill_keyes", 0.0)
+      val mkPath = udf { (g: Long) =>
+        val lon0 = -170.0 + (g % 7).toDouble * 3.7
+        val lat0 = 5.0 + (g % 5).toDouble * 6.1
+        (0 until 8).flatMap(j => Seq(lon0 + j * 38.3, lat0 + j * 0.9))
+      }
+      val paths = points(s, dir).select((col("id") % 50).as("g")).distinct()
+        .withColumn("path", mkPath(col("g")))
+      SphericalClip.prepare(paths, "g", "path", Crs.CutAtFaceSeams(p.regionAt))
+        .select(col("id").as("g"), col("part").cast("long").as("part"),
+          (size(col("path")) / 2).cast("long").as("n_pts"),
+          floor(element_at(col("path"), 1) * 1000000000.0).cast("long").as("x0_int"),
+          floor(element_at(col("path"), 2) * 1000000000.0).cast("long").as("y0_int"),
+          floor(element_at(col("path"), size(col("path")) - 1) * 1000000000.0)
+            .cast("long").as("x1_int"),
+          floor(element_at(col("path"), size(col("path"))) * 1000000000.0)
+            .cast("long").as("y1_int"))
+        .orderBy("g", "part")
     })
   )
 
@@ -6563,7 +7016,7 @@ object SparkEntry {
 
     "q_grid_triangle" -> gridMirrorSql(rhombus = false),
 
-    "q_grid_hex" -> hexMirrorSql,
+    "q_grid_hex" -> hexMirrorSql(flatTop = false),
 
     "q_dots" -> dotsSql,
 
@@ -7738,6 +8191,157 @@ object SparkEntry {
          |allrings AS (SELECT cx * 1000 + cy AS rid FROM cc
          |  UNION ALL SELECT cx * 1000 + cy + 500000 FROM cc WHERE (cx * 7 + cy) % 5 = 0)
          |SELECT rid FROM allrings WHERE rid NOT IN (SELECT rid FROM removed)
-         |ORDER BY rid""".stripMargin
+         |ORDER BY rid""".stripMargin,
+
+    // keep-first = smallest under the full-tuple ordering of the non-key
+    // source columns, replayed with a row_number window; the where= filter
+    // gates eligibility BEFORE the keep-first pick
+    "q_join_where" ->
+      """WITH src AS (SELECT o_custkey, o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_totalprice > 150000.0),
+        |f AS (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY o_orderkey, o_orderstatus, o_totalprice) AS rn FROM src)
+        |SELECT c_custkey, c_name, o_orderkey, o_orderstatus, o_totalprice
+        |FROM customer LEFT JOIN f ON c_custkey = f.o_custkey AND f.rn = 1
+        |ORDER BY c_custkey""".stripMargin,
+
+    // hand-transcribed from the reference registry: the 27 ids its own src
+    // registers (mapshaper-projections.mjs:14-60 aliases + projection-index
+    // + the dymaxion/butterfly/narukawa/lee register* calls)
+    "q_projections" ->
+      """SELECT proj_id FROM (VALUES
+        |  ('aea'),('aeqd'),('butterfly'),('butterfly2'),('cahill_keyes'),
+        |  ('calm'),('cea'),('dymaxion'),('dymaxion2'),('eqc'),('eqearth'),
+        |  ('gnom'),('laea'),('lcc'),('longlat'),('markley'),('merc'),
+        |  ('moll'),('natearth'),('narukawa2022'),('ortho'),('robin'),
+        |  ('sinu'),('stere'),('tmerc'),('utm'),('wintri')) t(proj_id)
+        |ORDER BY proj_id""".stripMargin,
+
+    "q_filter_slivers" ->
+      """WITH g AS (SELECT DISTINCT (c_custkey % 40) AS g FROM customer),
+        |f AS (SELECT g, CAST(i AS INT) AS i,
+        |    (g * 3 + i * 5) % 11 + 1 AS w, (g * 7 + i * 2) % 9 + 1 AS h
+        |  FROM g, (VALUES (0), (1), (2)) t(i))
+        |SELECT g, i FROM f WHERE CAST(w * h AS DOUBLE) >= 30.0
+        |ORDER BY g, i""".stripMargin,
+
+    "q_grid_hex_flat" -> hexMirrorSql(flatTop = true),
+
+    // one component per family (min sid = 3g); union area of three
+    // pairwise-overlapping 10x10 rects by inclusion-exclusion (integer
+    // arithmetic throughout — the mosaic's traced faces sum to the same)
+    "q_dissolve2_dist" ->
+      """WITH gg AS (SELECT DISTINCT (c_custkey % 50) AS g FROM customer),
+        |r AS (SELECT g, i,
+        |    CAST((g % 10) * 40 + (g * (3 + 2 * i)) % 9 AS DOUBLE) AS x,
+        |    CAST((g // 10) * 40 + (g * (5 + 3 * i)) % 9 AS DOUBLE) AS y
+        |  FROM gg, (VALUES (0), (1), (2)) t(i)),
+        |pw AS (SELECT a.g,
+        |    sum(greatest(0.0, least(a.x, b.x) + 10.0 - greatest(a.x, b.x)) *
+        |        greatest(0.0, least(a.y, b.y) + 10.0 - greatest(a.y, b.y))) AS psum
+        |  FROM r a JOIN r b ON a.g = b.g AND a.i < b.i GROUP BY a.g),
+        |t3 AS (SELECT g,
+        |    greatest(0.0, min(x) + 10.0 - max(x)) *
+        |    greatest(0.0, min(y) + 10.0 - max(y)) AS ov3
+        |  FROM r GROUP BY g)
+        |SELECT pw.g * 3 AS component, CAST(3 AS BIGINT) AS n_shapes_in,
+        |  CAST(1 AS BIGINT) AS n_rings_out,
+        |  CAST(round((300.0 - psum + ov3) * 100.0, 0) AS BIGINT) AS area_int
+        |FROM pw JOIN t3 ON pw.g = t3.g
+        |ORDER BY component""".stripMargin,
+
+    // every PNG pixel re-synthesized from the SplitMix64 generator (shared
+    // ahash chain), tile windows replayed with the same integer bounds
+    // (xa = tx*w/3, xb = max(xa+1, (tx+1)*w/3)); per-pixel luma of a gray
+    // pixel is the gray value itself ((g*299 + g*587 + g*114)/1000 = g)
+    "q_tile_stats" ->
+      s"""WITH ${ahashCtes(300)},
+         |tt AS (SELECT ti FROM generate_series(0, 2) t(ti)),
+         |tc AS (SELECT img.image_id, tx.ti AS tile_x, ty.ti AS tile_y,
+         |    (tx.ti * w) // 3 AS xa,
+         |    greatest((tx.ti * w) // 3 + 1, ((tx.ti + 1) * w) // 3) AS xb,
+         |    (ty.ti * h) // 3 AS ya,
+         |    greatest((ty.ti * h) // 3 + 1, ((ty.ti + 1) * h) // 3) AS yb
+         |  FROM img, tt tx, tt ty)
+         |SELECT c.image_id, CAST(c.tile_x AS INT) AS tile_x,
+         |  CAST(c.tile_y AS INT) AS tile_y,
+         |  CAST(sum(p.g) AS DOUBLE) / count(*) AS mean_luma
+         |FROM px p JOIN tc c ON p.image_id = c.image_id
+         |  AND p.x >= c.xa AND p.x < c.xb AND p.y >= c.ya AND p.y < c.yb
+         |GROUP BY c.image_id, c.tile_x, c.tile_y
+         |ORDER BY 1, 2, 3""".stripMargin,
+
+    "q_subdivide_count" -> subdivideMirrorSql,
+
+    "q_dots_even" -> dotsEvenSql,
+
+    // hand-transcribed ESRI WKT1 strings (the grammar of the reference's
+    // own .prj fixtures); @G = the shared WGS84 GEOGCS block
+    "q_wkt_write" ->
+      """WITH g AS (SELECT 'GEOGCS["GCS_WGS_1984",DATUM["D_WGS_1984",SPHEROID["WGS_1984",6378137.0,298.257223563]],PRIMEM["Greenwich",0.0],UNIT["Degree",0.0174532925199433]]' AS gs),
+        |v AS (SELECT * FROM (VALUES
+        |  ('longlat', '@G'),
+        |  ('tmerc', 'PROJCS["Transverse_Mercator",@G,PROJECTION["Transverse_Mercator"],PARAMETER["False_Easting",500000.0],PARAMETER["False_Northing",0.0],PARAMETER["Central_Meridian",114.0],PARAMETER["Scale_Factor",1.0],PARAMETER["Latitude_Of_Origin",0.0],UNIT["Meter",1.0]]'),
+        |  ('lcc', 'PROJCS["Lambert_Conformal_Conic",@G,PROJECTION["Lambert_Conformal_Conic_2SP"],PARAMETER["Standard_Parallel_1",33.0],PARAMETER["Standard_Parallel_2",45.0],PARAMETER["Latitude_Of_Origin",39.0],PARAMETER["Central_Meridian",-96.0],UNIT["Meter",1.0]]'),
+        |  ('aea', 'PROJCS["Albers",@G,PROJECTION["Albers"],PARAMETER["Standard_Parallel_1",29.5],PARAMETER["Standard_Parallel_2",45.5],PARAMETER["Latitude_Of_Origin",23.0],PARAMETER["Central_Meridian",-96.0],UNIT["Meter",1.0]]'),
+        |  ('merc', 'PROJCS["Mercator",@G,PROJECTION["Mercator"],PARAMETER["Central_Meridian",12.0],UNIT["Meter",1.0]]'),
+        |  ('robin', 'PROJCS["Robinson",@G,PROJECTION["Robinson"],PARAMETER["Central_Meridian",10.0],UNIT["Meter",1.0]]'),
+        |  ('sinu', 'PROJCS["Sinusoidal",@G,PROJECTION["Sinusoidal"],PARAMETER["Central_Meridian",-30.0],UNIT["Meter",1.0]]'),
+        |  ('moll', 'PROJCS["Mollweide",@G,PROJECTION["Mollweide"],PARAMETER["Central_Meridian",5.0],UNIT["Meter",1.0]]'),
+        |  ('wintri', 'PROJCS["Winkel_Tripel",@G,PROJECTION["Winkel_Tripel"],PARAMETER["Central_Meridian",0.0],UNIT["Meter",1.0]]'),
+        |  ('laea', 'PROJCS["Lambert_Azimuthal_Equal_Area",@G,PROJECTION["Lambert_Azimuthal_Equal_Area"],PARAMETER["Latitude_Of_Origin",45.0],PARAMETER["Central_Meridian",8.0],UNIT["Meter",1.0]]'),
+        |  ('ortho', 'PROJCS["Orthographic",@G,PROJECTION["Orthographic"],PARAMETER["Latitude_Of_Origin",40.0],PARAMETER["Central_Meridian",-100.0],UNIT["Meter",1.0]]'),
+        |  ('stere', 'PROJCS["Stereographic",@G,PROJECTION["Stereographic"],PARAMETER["Latitude_Of_Origin",60.0],PARAMETER["Central_Meridian",-45.0],UNIT["Meter",1.0]]'),
+        |  ('eqc', 'PROJCS["Equidistant_Cylindrical",@G,PROJECTION["Equidistant_Cylindrical"],PARAMETER["Standard_Parallel_1",30.0],PARAMETER["Central_Meridian",15.0],UNIT["Meter",1.0]]')
+        |) t(proj_id, w))
+        |SELECT proj_id, replace(w, '@G', gs) AS wkt FROM v, g
+        |ORDER BY proj_id""".stripMargin,
+
+    // the Matrix2D chain from raw literals: rotate-about(ox,oy) then
+    // scale-about then translate, each accumulator term in the engine's
+    // exact op order; mercator/sinusoidal forwards inline (same op order
+    // as Crs); floor x100 = cm-exact
+    "q_mixed" ->
+      s"""WITH $ptsSql,
+         |ll AS (SELECT id, x * 2.7 - 180.0 AS lon, y * 0.8 - 40.0 AS lat FROM pts),
+         |fr AS (SELECT id, lon, lat, CASE
+         |    WHEN lon >= -30.0 AND lon <= 30.0 AND lat >= -40.0 AND lat <= 40.0 THEN 0
+         |    WHEN lon >= 30.0 AND lon <= 90.0 AND lat >= -40.0 AND lat <= 40.0 THEN 1
+         |    WHEN lon >= -180.0 AND lon <= -30.0 AND lat >= -80.0 AND lat <= 80.0 THEN 2
+         |    ELSE -1 END AS frame FROM ll),
+         |k0 AS (SELECT
+         |    (30.0 * pi()) / 180.0 AS q,
+         |    ((60.0 - 0.0) * (pi() / 180.0)) * 6378137.0 AS ox1,
+         |    ln(tan(pi() / 4.0 + ((10.0 * (pi() / 180.0)) / 2.0))) * 6378137.0 AS oy1,
+         |    ((-90.0 - 0.0) * (pi() / 180.0)) * 6378137.0 AS ox2,
+         |    ln(tan(pi() / 4.0 + ((0.0 * (pi() / 180.0)) / 2.0))) * 6378137.0 AS oy2),
+         |k1 AS (SELECT *, cos(q) AS cq, sin(q) AS sq FROM k0),
+         |k2 AS (SELECT *,
+         |    cq * 0.5 AS a1, sq * 0.5 AS b1, (-sq) * 0.5 AS c1, cq * 0.5 AS d1,
+         |    (((ox1 - ox1 * cq) + oy1 * sq) - ox1 * (0.5 - 1.0))
+         |      + ((2000000.0 - ox1) + 1000.0) AS tx1,
+         |    (((oy1 - ox1 * sq) - oy1 * cq) - oy1 * (0.5 - 1.0))
+         |      + ((-1000000.0 - oy1) + (-500.0)) AS ty1,
+         |    (0.0 - ox2 * (2.0 - 1.0)) + ((-4000000.0 - ox2) + 0.0) AS tx2,
+         |    (0.0 - oy2 * (2.0 - 1.0)) + ((0.0 - oy2) + 0.0) AS ty2
+         |  FROM k1),
+         |pm AS (SELECT id, frame,
+         |    ((lon - 0.0) * (pi() / 180.0)) * cos(lat * (pi() / 180.0)) * 6378137.0 AS s_x,
+         |    (lat * (pi() / 180.0)) * 6378137.0 AS s_y,
+         |    ((lon - 0.0) * (pi() / 180.0)) * 6378137.0 AS m_x,
+         |    ln(tan(pi() / 4.0 + ((lat * (pi() / 180.0)) / 2.0))) * 6378137.0 AS m_y
+         |  FROM fr WHERE frame >= 0)
+         |SELECT id, CAST(frame AS BIGINT) AS frame,
+         |  CAST(floor((CASE frame
+         |    WHEN 0 THEN s_x * 1.0 + s_y * 0.0 + 0.0
+         |    WHEN 1 THEN m_x * a1 + m_y * c1 + tx1
+         |    ELSE m_x * 2.0 + m_y * 0.0 + tx2 END) * 100.0) AS BIGINT) AS x_int,
+         |  CAST(floor((CASE frame
+         |    WHEN 0 THEN s_x * 0.0 + s_y * 1.0 + 0.0
+         |    WHEN 1 THEN m_x * b1 + m_y * d1 + ty1
+         |    ELSE m_x * 0.0 + m_y * 2.0 + ty2 END) * 100.0) AS BIGINT) AS y_int
+         |FROM pm, k2 ORDER BY id""".stripMargin,
+
+    "q_seam_cut" -> seamCutSql
   )
 }
