@@ -180,7 +180,16 @@ object Bench {
     // executor semantics the scaling pair simulates, and it stops the
     // 28 surplus JVM service threads from amplifying co-tenant noise on
     // the low-core samples (r5: 4-core times varied 35-51s at load<1.3)
-    val cmd = (Seq(javaBin, "-Xmx16g", s"-XX:ActiveProcessorCount=$cores",
+    //
+    // taskset: ActiveProcessorCount sizes the thread POOLS but the OS still
+    // schedules JIT/GC/IO threads onto surplus host cores, which inflates
+    // the low-core samples — the unpinned 1-core child ran 26% faster than
+    // the serial+parallel model that fits the 2/4/8-core times exactly
+    // (sec_1 98s vs predicted 124s, r5). A real N-core executor's aux
+    // threads share the node's N cores, so pin the child's cpuset to
+    // exactly `cores` CPUs.
+    val affinity = Seq("taskset", "-c", if (cores == 1) "0" else s"0-${cores - 1}")
+    val cmd = (affinity ++ Seq(javaBin, "-Xmx16g", s"-XX:ActiveProcessorCount=$cores",
       "-cp", System.getProperty("java.class.path")) ++
       addOpens ++ Seq("graft.BenchChild", cores.toString, imagesPath, rep.toString,
         nRuns.toString))

@@ -1944,6 +1944,26 @@ object SparkEntry {
        |ORDER BY pa.g, pa.part""".stripMargin
   }
 
+  /** Morton cell-id mirror (CellIndex.encode): chained bitwise CTEs
+   * interleaving the biased 29-bit cell coords. The caller's `mzin` CTE
+   * must provide BIGINT `ix`, `iy` plus the carried `keep` columns; the
+   * produced `mz` CTE has `keep` + the encoded `cell`. */
+  private def mortonCtes(res: Int, keep: Seq[String]): String = {
+    val ks = keep.mkString(", ")
+    val steps = Seq(16 -> 281470681808895L, 8 -> 71777214294589695L,
+      4 -> 1085102592571150095L, 2 -> 3689348814741910323L,
+      1 -> 6148914691236517205L)
+    val chain = steps.zipWithIndex.map { case ((sh, m), i) =>
+      s"""mz${i + 1} AS (SELECT $ks, (zx | (zx << $sh)) & $m AS zx,
+         |    (zy | (zy << $sh)) & $m AS zy FROM mz$i)""".stripMargin
+    }.mkString(",\n")
+    s"""mz0 AS (SELECT $ks, (ix + 268435456) & 536870911 AS zx,
+       |    (iy + 268435456) & 536870911 AS zy FROM mzin),
+       |$chain,
+       |mz AS (SELECT $ks, (CAST($res AS BIGINT) << 58) | (zx << 1) | zy AS cell
+       |  FROM mz5)""".stripMargin
+  }
+
   /** The q_albersusa SQL: the composite's full forward path — first-match
    * bbox routing, each frame's ellipsoidal Albers (Snyder ch.14, same op
    * order as the q_proj_crs aea mirror), then the placement affine — with
@@ -4909,6 +4929,81 @@ object SparkEntry {
           floor(element_at(col("path"), size(col("path"))) * 1000000000.0)
             .cast("long").as("y1_int"))
         .orderBy("g", "part")
+    }),
+
+    // hot-cell SALTING path of the cell-partitioned PIP join: with
+    // saltThreshold=0 every covering cell is "hot", so the polygon side is
+    // replicated saltFactor ways and every point is deterministically
+    // scattered — the skew escape hatch itself must reproduce the broadcast
+    // path's ray-cast mirror bit-for-bit (SkewSpec asserts plan shape; this
+    // asserts the result through the driver gate)
+    "q_pip_salted" -> ((s, dir) => {
+      import s.implicits._
+      val layer = Synthetic.oracleLayer
+      val rings = (0 until layer.numRings).map { r =>
+        val s0 = layer.ringStart(r); val e = layer.ringStart(r + 1)
+        (layer.shapeKeys(layer.ringShape(r)),
+          layer.xx.slice(s0, e).toSeq, layer.yy.slice(s0, e).toSeq)
+      }
+      val polyDf = rings.toDF("poly_key", "ring_x", "ring_y")
+      SpatialJoin.cellJoin(s, points(s, dir), "x", "y", polyDf, res = 5,
+          saltThreshold = 0)
+        .select(col("id"), col("poly_key"))
+        .orderBy("id", "poly_key")
+    }),
+
+    // cell NEIGHBOR DISK (kNN's ring-expansion primitive, codegen
+    // CellDiskExpr): the 5x5 Chebyshev disk of each point's res-6 cell; the
+    // oracle re-derives every id from the biased 29-bit Morton interleave
+    // arithmetic (CellIndex.encode) as a chained bitwise CTE
+    "q_cell_disk" -> ((s, dir) =>
+      points(s, dir).where(col("id") <= 120)
+        .withColumn("cell", GraftCell.cellIdCol(col("x"), col("y"), 6))
+        .select(col("id"),
+          explode(graft.functions.SpatialExprs.cellDisk(col("cell"), 2)).as("ncell"))
+        .orderBy("id", "ncell")),
+
+    // -cluster AT SCALE (the bounded-input contract): grid pre-agg to
+    // weighted cell centroids (res auto-sized; 36 cells here), the weighted
+    // greedy agglomeration on the bounded summary, broadcast assignment
+    // back. Dyadic clump coordinates make every sum/centroid order-
+    // independent and exact, so the 31-round merge sequence is replayed
+    // bit-for-bit in SQL (same unroll pattern as q_cluster_greedy, with
+    // masses; summary order = Morton cell id, mirrored by the same
+    // interleave CTE as q_cell_disk)
+    "q_cluster_scale" -> ((s, dir) => {
+      val pts = points(s, dir).where(col("id") >= 1 && col("id") <= 60)
+        .select(col("id"),
+          (((col("id") % 12) % 4).cast("double") * 30.0 +
+            (col("id") % 7).cast("double") / 64.0).as("px"),
+          (floor((col("id") % 12) / 4).cast("double") * 20.0 +
+            (col("id") % 5).cast("double") / 32.0).as("py"))
+      Cluster.assignPoints(s, pts, "id", "px", "py", k = 5)
+        .select(col("id"), col("cluster_id").cast("long").as("cluster"))
+        .orderBy("id")
+    }),
+
+    // STREAMING spatial ingestion through the driver gate: two file drops
+    // drained by separate AvailableNow queries sharing one checkpoint (the
+    // second is a restart — its source list is only the new files), landing
+    // in an exactly-once parquet sink via the same broadcast codegen PIP as
+    // the batch headline. Exactly-once ⇒ the final table IS the batch
+    // q_pip_join row set: each (point, polygon) match exactly once.
+    "q_stream_pip" -> ((s, dir) => {
+      val base = java.nio.file.Files.createTempDirectory("graft_stream_q").toString
+      val inDir = s"$base/in"; val outDir = s"$base/out"; val ck = s"$base/ck"
+      val src = points(s, dir)
+      def drain(): Unit = graft.streaming.GeoStream.ingestAvailable(
+        graft.streaming.GeoStream.pipAssignStream(s,
+          s.readStream.schema("id LONG, x DOUBLE, y DOUBLE").json(inDir),
+          "x", "y", Synthetic.oracleLayer),
+        outDir, ck)
+      src.where(col("id") % 2 === 0).coalesce(1).write.mode("append").json(inDir)
+      drain()
+      src.where(col("id") % 2 === 1).coalesce(1).write.mode("append").json(inDir)
+      drain()
+      s.read.parquet(outDir).select(col("id"), col("poly_key"))
+        .orderBy("id", "poly_key")
     })
   )
 
@@ -8342,6 +8437,80 @@ object SparkEntry {
          |    ELSE m_x * 0.0 + m_y * 2.0 + ty2 END) * 100.0) AS BIGINT) AS y_int
          |FROM pm, k2 ORDER BY id""".stripMargin,
 
-    "q_seam_cut" -> seamCutSql
+    "q_seam_cut" -> seamCutSql,
+
+    // the salted path must reproduce the broadcast path's mirror bit-for-bit
+    "q_pip_salted" ->
+      s"""WITH $ptsSql,
+         |$oracleEdgesSql,
+         |$pipHitsSql
+         |SELECT id, CAST(pk AS BIGINT) AS poly_key FROM hits WHERE crossings % 2 = 1
+         |ORDER BY id, poly_key""".stripMargin,
+
+    // every disk id re-derived from the Morton interleave arithmetic
+    "q_cell_disk" ->
+      s"""WITH $ptsSql,
+         |mzin AS (SELECT id,
+         |    CAST(floor(x / 5.625) AS BIGINT) + dx AS ix,
+         |    CAST(floor(y / 5.625) AS BIGINT) + dy AS iy
+         |  FROM pts,
+         |    (VALUES (-2), (-1), (0), (1), (2)) tx(dx),
+         |    (VALUES (-2), (-1), (0), (1), (2)) ty(dy)
+         |  WHERE id <= 120),
+         |${mortonCtes(6, Seq("id"))}
+         |SELECT id, cell AS ncell FROM mz ORDER BY id, ncell""".stripMargin,
+
+    // the bounded-input cluster contract end to end: res-12 cell pre-agg
+    // (Morton ids via the interleave CTE), weighted centroids (dyadic-exact
+    // in any order), then the 31-round weighted greedy merge sequence
+    // unrolled exactly as the kernel scans it (strict-<, first-pair ties)
+    "q_cluster_scale" -> {
+      val rounds = (1 to 31).map { k =>
+        s"""cm$k AS MATERIALIZED (SELECT a.cid AS bi, b.cid AS bj,
+           |  b.cx AS bcx, b.cy AS bcy, b.wt AS bwt
+           |  FROM cs${k - 1} a JOIN cs${k - 1} b ON a.cid < b.cid AND a.alive AND b.alive
+           |  ORDER BY (a.cx - b.cx) * (a.cx - b.cx) + (a.cy - b.cy) * (a.cy - b.cy),
+           |    a.cid, b.cid
+           |  LIMIT 1),
+           |cs$k AS MATERIALIZED (SELECT s.cid,
+           |  CASE WHEN s.cid = m.bi THEN (s.cx * s.wt + m.bcx * m.bwt) / (s.wt + m.bwt)
+           |    ELSE s.cx END AS cx,
+           |  CASE WHEN s.cid = m.bi THEN (s.cy * s.wt + m.bcy * m.bwt) / (s.wt + m.bwt)
+           |    ELSE s.cy END AS cy,
+           |  CASE WHEN s.cid = m.bi THEN s.wt + m.bwt ELSE s.wt END AS wt,
+           |  s.alive AND s.cid <> m.bj AS alive
+           |  FROM cs${k - 1} s, cm$k m),
+           |ca$k AS MATERIALIZED (SELECT a.cell,
+           |  CASE WHEN a.root = m.bj THEN m.bi ELSE a.root END AS root
+           |  FROM ca${k - 1} a, cm$k m)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH pp AS (SELECT c_custkey AS id,
+         |    CAST((c_custkey % 12) % 4 AS DOUBLE) * 30.0 + CAST(c_custkey % 7 AS DOUBLE) / 64.0 AS px,
+         |    CAST((c_custkey % 12) // 4 AS DOUBLE) * 20.0 + CAST(c_custkey % 5 AS DOUBLE) / 32.0 AS py
+         |  FROM customer WHERE c_custkey BETWEEN 1 AND 60),
+         |mzin AS (SELECT id, px, py,
+         |    CAST(floor(px / 0.087890625) AS BIGINT) AS ix,
+         |    CAST(floor(py / 0.087890625) AS BIGINT) AS iy FROM pp),
+         |${mortonCtes(12, Seq("id", "px", "py"))},
+         |sumr AS (SELECT cell, sum(px) AS sx, sum(py) AS sy,
+         |    CAST(count(*) AS DOUBLE) AS w FROM mz GROUP BY cell),
+         |items AS (SELECT cell, sx / w AS cx, sy / w AS cy, w AS wt,
+         |    row_number() OVER (ORDER BY cell) - 1 AS cid FROM sumr),
+         |cs0 AS MATERIALIZED (SELECT cid, cx, cy, wt, TRUE AS alive FROM items),
+         |ca0 AS MATERIALIZED (SELECT cell, cid AS root FROM items),
+         |$rounds,
+         |lbl AS (SELECT cell, CAST(dense_rank() OVER (ORDER BY root) - 1 AS BIGINT) AS cluster
+         |  FROM ca31)
+         |SELECT p.id, l.cluster FROM mz p JOIN lbl l ON p.cell = l.cell
+         |ORDER BY p.id""".stripMargin
+    },
+
+    // exactly-once streaming ingest ⇒ the batch PIP row set, no more, no less
+    "q_stream_pip" ->
+      s"""WITH $ptsSql,
+         |$oracleEdgesSql,
+         |$pipHitsSql
+         |SELECT id, CAST(pk AS BIGINT) AS poly_key FROM hits WHERE crossings % 2 = 1
+         |ORDER BY id, poly_key""".stripMargin
   )
 }
