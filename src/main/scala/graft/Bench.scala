@@ -146,12 +146,18 @@ object Bench {
   final case class Sample(sec: Double, load0: Double, load1: Double,
                           steal: Double, otherCores: Double = -1.0,
                           stealFrac: Double = -1.0,
-                          cal0: Double = -1.0, cal1: Double = -1.0) {
-    /** Uncontaminated ⟺ co-tenants averaged <0.5 cores and hypervisor steal
-     * took <5% of the host during the measured window (unknown = clean:
-     * nothing to key a rerun on). */
+                          cal0: Double = -1.0, cal1: Double = -1.0,
+                          fallback: Boolean = false) {
+    /** Uncontaminated ⟺ the child JVM actually ran (an in-process fallback
+     * is a different population and must key a re-sample, not pass silently),
+     * co-tenants averaged <0.5 cores and hypervisor steal took <5% of the
+     * host during the measured window (unknown = clean: nothing to key a
+     * rerun on). Drives ONLY the round-extension rule — the published
+     * minima use every sample (additive noise ⇒ each sample is an upper
+     * bound on the true time, so the global min is the tightest). */
     def clean: Boolean =
-      (otherCores < 0 || otherCores <= 0.5) && (stealFrac < 0 || stealFrac <= 0.05)
+      !fallback &&
+        (otherCores < 0 || otherCores <= 0.5) && (stealFrac < 0 || stealFrac <= 0.05)
     /** Effective clock in this window (Miters/s/thread from the child's
      * register-only spin probe, mean of the before/after brackets); -1 =
      * not measured. */
@@ -162,9 +168,11 @@ object Bench {
    * isolation as separate spark-submit runs; sequential sessions in one JVM
    * slow each other down by >2x). Falls back in-process if spawn fails. */
   /** (headline seconds, child-window stats: wall, host busy, steal, self
-   * CPU — all CPU-seconds over the measured window; None if unavailable). */
+   * CPU — all CPU-seconds over the measured window; None if unavailable;
+   * clock probes; fallback = measured in-process because the child JVM
+   * failed to spawn — a different population that must not read as clean). */
   private def measureAt(cores: Int, imagesPath: String, rep: Int = Rep,
-                        nRuns: Int = 3): (Double, Option[(Double, Double, Double, Double)], Option[(Double, Double)]) = {
+                        nRuns: Int = 3): (Double, Option[(Double, Double, Double, Double)], Option[(Double, Double)], Boolean) = {
     val javaBin = System.getProperty("java.home") + "/bin/java"
     val addOpens = Seq(
       "java.base/java.lang", "java.base/java.lang.invoke",
@@ -182,14 +190,21 @@ object Bench {
     // the low-core samples (r5: 4-core times varied 35-51s at load<1.3)
     //
     // taskset: ActiveProcessorCount sizes the thread POOLS but the OS still
-    // schedules JIT/GC/IO threads onto surplus host cores, which inflates
-    // the low-core samples — the unpinned 1-core child ran 26% faster than
-    // the serial+parallel model that fits the 2/4/8-core times exactly
-    // (sec_1 98s vs predicted 124s, r5). A real N-core executor's aux
-    // threads share the node's N cores, so pin the child's cpuset to
-    // exactly `cores` CPUs.
+    // schedules JIT/GC/IO threads onto surplus host cores; a real N-core
+    // executor's aux threads share the node's N cores, so pin the child's
+    // cpuset to exactly `cores` CPUs.
+    //
+    // UseG1GC: JVM ergonomics at ActiveProcessorCount=1 silently switch to
+    // SerialGC, so the 1-core level ran a DIFFERENT collector than every
+    // other level — measured 108.8s (Serial) vs 125.8s (G1) on the same
+    // pinned core, a 16% cross-level artifact that exactly explains the
+    // 1-core times beating the serial+parallel model fitted by the
+    // 2/4/8-core levels (predicted 124s). Force one collector everywhere;
+    // G1's worker counts still scale with ActiveProcessorCount, which is
+    // the real-node semantics.
     val affinity = Seq("taskset", "-c", if (cores == 1) "0" else s"0-${cores - 1}")
-    val cmd = (affinity ++ Seq(javaBin, "-Xmx16g", s"-XX:ActiveProcessorCount=$cores",
+    val cmd = (affinity ++ Seq(javaBin, "-Xmx16g", "-XX:+UseG1GC",
+      s"-XX:ActiveProcessorCount=$cores",
       "-cp", System.getProperty("java.class.path")) ++
       addOpens ++ Seq("graft.BenchChild", cores.toString, imagesPath, rep.toString,
         nRuns.toString))
@@ -210,7 +225,7 @@ object Bench {
         val f = st.split(" ")
         (f(1).toDouble, f(2).toDouble)
       }
-      (line.split(" ")(1).toDouble, stats, cal)
+      (line.split(" ")(1).toDouble, stats, cal, false)
     } catch {
       case e: Throwable =>
         // in-process fallback is a DIFFERENT population (sequential sessions
@@ -224,7 +239,7 @@ object Bench {
         val t = Seq.fill(math.max(1, nRuns))(time(headline(s, input, rep))).min
         s.stop()
         System.gc()
-        (t, None, None)
+        (t, None, None, true)
     }
   }
 
@@ -268,7 +283,7 @@ object Bench {
     val hostCpus = Runtime.getRuntime.availableProcessors()
     def sampleAt(cores: Int): Sample = {
       val l0 = loadavg(); val st0 = stealSec()
-      val (sec, stats, cal) = measureAt(cores, imagesPath, ScaleRep, nRuns = 1)
+      val (sec, stats, cal, fb) = measureAt(cores, imagesPath, ScaleRep, nRuns = 1)
       val fallbackSteal = stealSec() - st0
       val (c0, c1) = cal.getOrElse((-1.0, -1.0))
       stats match {
@@ -276,8 +291,10 @@ object Bench {
           Sample(sec, l0, loadavg(), steal,
             otherCores = math.max(0.0, busy - self) / wall,
             stealFrac = math.max(0.0, steal) / (wall * hostCpus),
-            cal0 = c0, cal1 = c1)
-        case _ => Sample(sec, l0, loadavg(), fallbackSteal, cal0 = c0, cal1 = c1)
+            cal0 = c0, cal1 = c1, fallback = fb)
+        case _ =>
+          Sample(sec, l0, loadavg(), fallbackSteal, cal0 = c0, cal1 = c1,
+            fallback = fb)
       }
     }
     // Efficiency estimator = min(lo)/min(hi): the sandbox's noise is purely
@@ -289,6 +306,7 @@ object Bench {
     // load 1.1), dragging half the pairs down while min/min sat at 0.94.
     // Per-round paired ratios are still published as evidence, and levels
     // alternate order each round so drift hits both sides symmetrically.
+    def bestSec(ss: Vector[Sample]): Double = ss.map(_.sec).min
     def measurePair(lo: Int, hi: Int, factor: Double): (Vector[Sample], Vector[Sample], Double) = {
       var loS = Vector.empty[Sample]
       var hiS = Vector.empty[Sample]
@@ -306,18 +324,11 @@ object Bench {
         else { hiS :+= sampleAt(hi); loS :+= sampleAt(lo) }
         n += 1
       }
-      // min over clean samples when both levels have one (noise is strictly
-      // additive, so each level's clean minimum is its best estimate of the
-      // true time); all-samples min as the flagged fallback
-      def best(ss: Vector[Sample]): Double = {
-        val cl = ss.filter(_.clean)
-        (if (cl.nonEmpty) cl else ss).map(_.sec).min
-      }
-      (loS, hiS, (best(loS) / best(hiS)) / factor)
-    }
-    def bestSec(ss: Vector[Sample]): Double = {
-      val cl = ss.filter(_.clean)
-      (if (cl.nonEmpty) cl else ss).map(_.sec).min
+      // min over ALL samples: under the additive-noise model every sample
+      // is an upper bound on the true time, so the global min is the
+      // tightest estimate — cleanliness keys re-sampling (above), never
+      // sample exclusion (excluding could only inflate a level's time)
+      (loS, hiS, (bestSec(loS) / bestSec(hiS)) / factor)
     }
     // CLOCK-CALIBRATED efficiency: sec x cal is wall time expressed in a
     // window-independent unit (cal = the child's register-only spin rate in
@@ -330,14 +341,17 @@ object Bench {
     // sandbox's clock lottery that a multi-node cluster (the thing the two
     // parallelism levels stand in for) does not have. The raw wall-clock
     // "efficiency" field stays alongside, unadjusted.
-    def bestWork(ss: Vector[Sample]): Double = {
-      val cl = ss.filter(_.clean)
-      val pool = if (cl.nonEmpty) cl else ss
-      val wc = pool.filter(_.cal > 0)
-      if (wc.nonEmpty) wc.map(s => s.sec * s.cal).min else pool.map(_.sec).min
+    def bestWork(ss: Vector[Sample]): Option[Double] = {
+      val wc = ss.filter(_.cal > 0)
+      if (wc.nonEmpty) Some(wc.map(s => s.sec * s.cal).min) else None
     }
+    // units must agree across the ratio: calibrated work on BOTH levels or
+    // raw seconds on both — never one of each
     def effCal(lo: Vector[Sample], hi: Vector[Sample], factor: Double): Double =
-      (bestWork(lo) / bestWork(hi)) / factor
+      (bestWork(lo), bestWork(hi)) match {
+        case (Some(a), Some(b)) => (a / b) / factor
+        case _ => (bestSec(lo) / bestSec(hi)) / factor
+      }
     val (loCores, hiCores) = (2, 8)
     val (s2, s8, eff) = measurePair(loCores, hiCores, hiCores.toDouble / loCores)
     val tLo = bestSec(s2)

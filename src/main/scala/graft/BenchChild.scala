@@ -100,7 +100,10 @@ object BenchChild {
     // wall, host busy CPU-sec, host steal CPU-sec, own CPU-sec over the
     // measured window — the parent derives other-process CPU (co-tenant
     // contamination loadavg and steal both miss) as busy - self
-    if (hb0 >= 0 && c0 >= 0)
+    // BOTH window brackets must have read successfully — a failed end read
+    // would print garbage negative deltas that the parent's max(0, ·)
+    // clamps into a false "clean, nothing measured" verdict
+    if (hb0 >= 0 && c0 >= 0 && hb1 >= 0 && c1 >= 0)
       println(f"CHILDSTAT $wall%.4f ${hb1 - hb0}%.4f ${hs1 - hs0}%.4f ${c1 - c0}%.4f")
     // clock probe bracketing the measured run (Miters/s/thread before/after)
     println(f"CHILDCAL $cal0%.1f $cal1%.1f")

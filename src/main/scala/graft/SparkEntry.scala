@@ -5002,8 +5002,16 @@ object SparkEntry {
       drain()
       src.where(col("id") % 2 === 1).coalesce(1).write.mode("append").json(inDir)
       drain()
-      s.read.parquet(outDir).select(col("id"), col("poly_key"))
-        .orderBy("id", "poly_key")
+      // materialize (636 rows) so the temp tree can be deleted eagerly —
+      // a lazily-read result would leak a full point-table copy per run
+      import s.implicits._
+      val rows = s.read.parquet(outDir)
+        .select(col("id"), col("poly_key")).orderBy("id", "poly_key")
+        .as[(Long, Long)].collect().toSeq
+      java.nio.file.Files.walk(java.nio.file.Paths.get(base))
+        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      rows.toDF("id", "poly_key").orderBy("id", "poly_key")
     })
   )
 
