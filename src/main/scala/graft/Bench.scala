@@ -307,28 +307,37 @@ object Bench {
     // Per-round paired ratios are still published as evidence, and levels
     // alternate order each round so drift hits both sides symmetrically.
     def bestSec(ss: Vector[Sample]): Double = ss.map(_.sec).min
-    def measurePair(lo: Int, hi: Int, factor: Double): (Vector[Sample], Vector[Sample], Double) = {
-      var loS = Vector.empty[Sample]
-      var hiS = Vector.empty[Sample]
-      // FIXED base round count — an adaptive "extend while failing" rule
-      // would be optional stopping keyed to the contract threshold (it
-      // re-samples unlucky noise but never lucky noise, biasing the
-      // headline number upward at exactly the pass/fail boundary). The
-      // extension below is keyed ONLY on Sample.clean (co-tenant CPU +
-      // steal measured over the child's own window), which is independent
-      // of the measured ratio: contaminated rounds are re-sampled whether
-      // they helped or hurt.
+    // ALL FOUR levels sampled round-robin in ONE interleaved schedule: when
+    // the two pairs ran as separate ~20-minute phases, the host's drifting
+    // condition flipped between them and each run passed one pair while the
+    // other sat in a degraded window (r5 run history: 0.865/0.682 and
+    // 0.756/0.830 in consecutive runs). Interleaving gives every level the
+    // same window population, so a quiet stretch benefits both pairs'
+    // minima instead of whichever phase it landed in.
+    //
+    // FIXED base round count — an adaptive "extend while failing" rule
+    // would be optional stopping keyed to the contract threshold (it
+    // re-samples unlucky noise but never lucky noise, biasing the headline
+    // number upward at exactly the pass/fail boundary). The extension is
+    // keyed ONLY on per-sample contamination (Sample.clean: co-tenant CPU +
+    // steal over the child's own window, or an in-process fallback) and on
+    // a level's internal spread (max/min > 1.15 ⇒ it was measured across
+    // shifting host conditions) — both independent of the measured ratios:
+    // contaminated or scattered rounds are re-sampled whether they helped
+    // or hurt, and min-over-all can only tighten.
+    def measureLevels(levels: Seq[Int]): Map[Int, Vector[Sample]] = {
+      var out = levels.map(_ -> Vector.empty[Sample]).toMap
+      def spreadDirty(ss: Vector[Sample]): Boolean =
+        ss.map(_.sec).max / ss.map(_.sec).min > 1.15
+      def dirty(l: Int): Boolean =
+        out(l).count(_.clean) < 2 || spreadDirty(out(l))
       var n = 0
-      while (n < 4 || (n < 7 && (loS.count(_.clean) < 2 || hiS.count(_.clean) < 2))) {
-        if (n % 2 == 0) { loS :+= sampleAt(lo); hiS :+= sampleAt(hi) }
-        else { hiS :+= sampleAt(hi); loS :+= sampleAt(lo) }
+      while (n < 4 || (n < 8 && levels.exists(dirty))) {
+        val order = if (n % 2 == 0) levels else levels.reverse
+        order.foreach { l => out += l -> (out(l) :+ sampleAt(l)) }
         n += 1
       }
-      // min over ALL samples: under the additive-noise model every sample
-      // is an upper bound on the true time, so the global min is the
-      // tightest estimate — cleanliness keys re-sampling (above), never
-      // sample exclusion (excluding could only inflate a level's time)
-      (loS, hiS, (bestSec(loS) / bestSec(hiS)) / factor)
+      out
     }
     // CLOCK-CALIBRATED efficiency: sec x cal is wall time expressed in a
     // window-independent unit (cal = the child's register-only spin rate in
@@ -353,12 +362,18 @@ object Bench {
         case _ => (bestSec(lo) / bestSec(hi)) / factor
       }
     val (loCores, hiCores) = (2, 8)
-    val (s2, s8, eff) = measurePair(loCores, hiCores, hiCores.toDouble / loCores)
+    val byLevel = measureLevels(Seq(2, 8, 1, 4))
+    val (s2, s8, s1, s4) = (byLevel(2), byLevel(8), byLevel(1), byLevel(4))
+    // min over ALL samples: under the additive-noise model every sample is
+    // an upper bound on the true time, so the global min is the tightest
+    // estimate — cleanliness keys re-sampling, never sample exclusion
+    // (excluding could only inflate a level's time)
+    val eff = (bestSec(s2) / bestSec(s8)) / (hiCores.toDouble / loCores)
+    val eff14 = (bestSec(s1) / bestSec(s4)) / 4.0
     val tLo = bestSec(s2)
     val tHi = bestSec(s8)
     val nLogical = nImages * Rep
     val nLogicalScale = nImages * ScaleRep
-    val (s1, s4, eff14) = measurePair(1, 4, 4.0)
     val (t1, t4) = (bestSec(s1), bestSec(s4))
     val effCal28 = effCal(s2, s8, hiCores.toDouble / loCores)
     val effCal14 = effCal(s1, s4, 4.0)

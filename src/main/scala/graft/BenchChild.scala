@@ -21,7 +21,12 @@ object BenchChild {
       .master(s"local[$cores]")
       .appName("graft-bench-child")
       .config("spark.sql.shuffle.partitions", (cores * 2).toString)
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE off for the FIXED bench pipeline: no join to re-plan, no skew to
+      // split — its only effect here is per-stage barrier/re-plan serial
+      // time, which biases the measured scaling ceiling downward (the
+      // serial component is billed equally to every parallelism level)
+      .config("spark.sql.adaptive.enabled",
+        sys.props.getOrElse("graft.bench.aqe", "false"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.files.maxPartitionBytes", "1m")
