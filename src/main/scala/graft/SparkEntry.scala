@@ -2323,15 +2323,14 @@ object SparkEntry {
     // ---------------- spatial: cells / PIP / kNN / dissolve ----------------
     "q_cell_assign" -> ((s, dir) => {
       // encode then decode: the oracle (plain floor arithmetic) also verifies
-      // the Morton encode/decode round trip inside cellId.
-      val decUdf = udf { (c: Long) =>
-        val (ix, iy, _) = graft.cell.CellIndex.decode(c)
-        Array(ix, iy)
-      }
+      // the Morton encode/decode round trip inside cellId. Decode is the
+      // codegen CellCoordExpr (r6: was a boxed UDF allocating a tuple+array
+      // per row — guide §4.1, prefer codegen expressions on query paths).
+      import graft.functions.SpatialExprs
       points(s, dir)
         .withColumn("cell", cellId(col("x"), col("y"), 7))
-        .withColumn("_d", decUdf(col("cell")))
-        .groupBy(col("_d")(0).as("cx"), col("_d")(1).as("cy"))
+        .groupBy(SpatialExprs.cellX(col("cell")).as("cx"),
+          SpatialExprs.cellY(col("cell")).as("cy"))
         .agg(count(lit(1)).as("n"))
         .orderBy("cx", "cy")
     }),
@@ -2370,7 +2369,7 @@ object SparkEntry {
     // first_match semantics: a point joins only its first (lowest-key) polygon
     // (ref: first_match flag, point-polygon-join.mjs:33-47)
     "q_pip_first" -> ((s, dir) => {
-      val bc = s.sparkContext.broadcast(Synthetic.oracleLayer)
+      val bc = graft.index.LayerBroadcasts.of(s, Synthetic.oracleLayer)
       points(s, dir)
         .withColumn("poly_key", graft.functions.SpatialExprs.pipFirstKey(col("x"), col("y"), bc))
         .filter(col("poly_key") >= 0)
@@ -2458,11 +2457,11 @@ object SparkEntry {
           floor(col("x") / 10.0).cast("long").as("cx"),
           floor(col("y") / 10.0).cast("long").as("cy"))
         .distinct()
-      val ringUdf = udf { (cx: Long, cy: Long) =>
-        val x = cx.toDouble; val y = cy.toDouble
-        Array(x, y, x + 1, y, x + 1, y + 1, x, y + 1, x, y)
-      }
-      val rings = cells.withColumn("ring", ringUdf(col("cx"), col("cy")))
+      // unit-square ring from pure column arithmetic (r6: was a boxed UDF;
+      // integer-valued casts are exact, values bit-identical)
+      val x = col("cx").cast("double"); val y = col("cy").cast("double")
+      val rings = cells.withColumn("ring",
+        array(x, y, x + 1, y, x + 1, y + 1, x, y + 1, x, y))
       Dissolve.dissolve(s, rings, "g", "ring")
         .select(col("group").as("g"), col("n_rings_in").as("n_cells"),
           col("n_boundary_edges"))
@@ -4992,26 +4991,33 @@ object SparkEntry {
     "q_stream_pip" -> ((s, dir) => {
       val base = java.nio.file.Files.createTempDirectory("graft_stream_q").toString
       val inDir = s"$base/in"; val outDir = s"$base/out"; val ck = s"$base/ck"
-      val src = points(s, dir)
-      def drain(): Unit = graft.streaming.GeoStream.ingestAvailable(
-        graft.streaming.GeoStream.pipAssignStream(s,
-          s.readStream.schema("id LONG, x DOUBLE, y DOUBLE").json(inDir),
-          "x", "y", Synthetic.oracleLayer),
-        outDir, ck)
-      src.where(col("id") % 2 === 0).coalesce(1).write.mode("append").json(inDir)
-      drain()
-      src.where(col("id") % 2 === 1).coalesce(1).write.mode("append").json(inDir)
-      drain()
-      // materialize (636 rows) so the temp tree can be deleted eagerly —
-      // a lazily-read result would leak a full point-table copy per run
-      import s.implicits._
-      val rows = s.read.parquet(outDir)
-        .select(col("id"), col("poly_key")).orderBy("id", "poly_key")
-        .as[(Long, Long)].collect().toSeq
-      java.nio.file.Files.walk(java.nio.file.Paths.get(base))
-        .sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
-        .forEach(p => java.nio.file.Files.deleteIfExists(p))
-      rows.toDF("id", "poly_key").orderBy("id", "poly_key")
+      // try/finally + closed walk stream (r6, advisor finding): a failed
+      // drain()/read no longer leaks the temp tree (a full point-table
+      // copy) nor a directory-stream fd per invocation
+      try {
+        val src = points(s, dir)
+        def drain(): Unit = graft.streaming.GeoStream.ingestAvailable(
+          graft.streaming.GeoStream.pipAssignStream(s,
+            s.readStream.schema("id LONG, x DOUBLE, y DOUBLE").json(inDir),
+            "x", "y", Synthetic.oracleLayer),
+          outDir, ck)
+        src.where(col("id") % 2 === 0).coalesce(1).write.mode("append").json(inDir)
+        drain()
+        src.where(col("id") % 2 === 1).coalesce(1).write.mode("append").json(inDir)
+        drain()
+        // materialize (636 rows) so the temp tree can be deleted eagerly —
+        // a lazily-read result would read files deleted by the finally block
+        import s.implicits._
+        val rows = s.read.parquet(outDir)
+          .select(col("id"), col("poly_key")).orderBy("id", "poly_key")
+          .as[(Long, Long)].collect().toSeq
+        rows.toDF("id", "poly_key").orderBy("id", "poly_key")
+      } finally {
+        val walk = java.nio.file.Files.walk(java.nio.file.Paths.get(base))
+        try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        finally walk.close()
+      }
     })
   )
 

@@ -42,6 +42,11 @@ object CellIndex {
     (res.toLong << 58) | (interleave(bx) << 1) | interleave(by)
   }
 
+  /** Primitive single-coordinate decodes — callable from codegen'd
+   * expressions (no tuple allocation per row). */
+  def cellX(id: Long): Long = deinterleave((id & ((1L << 58) - 1)) >>> 1) - Bias
+  def cellY(id: Long): Long = deinterleave(id & ((1L << 58) - 1)) - Bias
+
   /** Decode a cell id to (ix, iy, res). */
   def decode(id: Long): (Long, Long, Int) = {
     val res = ((id >>> 58) & 0x1f).toInt

@@ -37,6 +37,26 @@ case class CellIdExpr(left: Expression, right: Expression, res: Int)
     copy(left = l, right = r)
 }
 
+/** Integer cell coordinate (x or y) decoded from a Morton cell id — the
+ * codegen inverse of [[CellIdExpr]] (replaces the boxed decode UDF that
+ * allocated a tuple + array per row on q_cell_assign's path). */
+case class CellCoordExpr(child: Expression, isX: Boolean)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = if (isX) "cell_x" else "cell_y"
+
+  override protected def nullSafeEval(id: Any): Any =
+    if (isX) CellIndex.cellX(id.asInstanceOf[Long])
+    else CellIndex.cellY(id.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = if (isX) "cellX" else "cellY"
+    defineCodeGen(ctx, ev, c => s"graft.cell.CellIndex.$m($c)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Base for expressions probing a broadcast polygon layer. The broadcast
  * handle is a codegen reference object; the layer instance is cached in a
  * mutable state var so `bc.value()` runs once per task, not per row. */
@@ -326,6 +346,11 @@ object SpatialExprs {
 
   def pipAllKeys(x: Column, y: Column, bc: Broadcast[PolygonLayer]): Column =
     GraftBridge.column(PipAllKeys(dbl(x), dbl(y), bc))
+
+  def cellX(cell: Column): Column =
+    GraftBridge.column(CellCoordExpr(GraftBridge.expr(cell.cast("long")), isX = true))
+  def cellY(cell: Column): Column =
+    GraftBridge.column(CellCoordExpr(GraftBridge.expr(cell.cast("long")), isX = false))
 
   def cellDisk(cell: Column, k: Int): Column =
     GraftBridge.column(CellDiskExpr(GraftBridge.expr(cell.cast("long")), k))

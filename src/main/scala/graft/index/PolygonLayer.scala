@@ -62,6 +62,11 @@ final class PolygonLayer(
 
   @transient lazy val tree: StrTree = StrTree.build(ringBoxes)
 
+  /** Uniform-grid PIP accelerator — the hot-path candidate index (probes the
+   * R-tree replaced per guide §1.2 step 2; see [[GridPipIndex]] for the
+   * exactness argument). Built lazily once per executor. */
+  @transient lazy val grid: GridPipIndex = new GridPipIndex(this)
+
   /** Per-ring segment index, built lazily for rings above a size threshold. */
   @transient private lazy val ringIndexes: Array[RingSegmentIndex] = new Array[RingSegmentIndex](numRings)
 
@@ -90,7 +95,12 @@ final class PolygonLayer(
    * Candidate rings come from the packed R-tree; rings are grouped by shape
    * and combined even-odd (mirrors `findEnclosingShapes` + `testPointInRings`).
    */
-  def findShapes(x: Double, y: Double): Array[Int] = {
+  def findShapes(x: Double, y: Double): Array[Int] =
+    grid.findShapeIdxs(x, y)
+
+  /** Tree-path variant of [[findShapes]] — kept as the independent
+   * implementation the grid index is asserted against (IndexSpec). */
+  def findShapesTree(x: Double, y: Double): Array[Int] = {
     var inShapes: List[Int] = Nil
     // accumulate parity + boundary per candidate shape
     val cand = tree.search(x, y, x, y)
@@ -151,8 +161,15 @@ final class PolygonLayer(
     (cand, n)
   }
 
-  /** Key of the first enclosing shape, or -1. Zero allocation. */
-  def findFirstKey(x: Double, y: Double): Long = {
+  /** Key of the first enclosing shape, or -1. Zero allocation on the fast
+   * path (grid cell lookup; segment tests only in boundary-crossed cells).
+   * The [[PolygonLayer.useGrid]] switch keeps the tree path reachable for
+   * in-session A/B timing (one predictable branch per probe). */
+  def findFirstKey(x: Double, y: Double): Long =
+    if (PolygonLayer.useGrid) grid.findFirstKey(x, y) else findFirstKeyTree(x, y)
+
+  /** Tree-path variant of [[findFirstKey]] (verification reference). */
+  def findFirstKeyTree(x: Double, y: Double): Long = {
     val (cand, n) = candidates(x, y)
     var i = 0
     while (i < n) {
@@ -174,7 +191,11 @@ final class PolygonLayer(
 
   /** Keys of all enclosing shapes (ascending shape order). Allocates only the
    * result array (exact-sized; empty result is a shared constant). */
-  def findKeys(x: Double, y: Double): Array[Long] = {
+  def findKeys(x: Double, y: Double): Array[Long] =
+    if (PolygonLayer.useGrid) grid.findKeys(x, y) else findKeysTree(x, y)
+
+  /** Tree-path variant of [[findKeys]] (verification reference). */
+  def findKeysTree(x: Double, y: Double): Array[Long] = {
     val (cand, n) = candidates(x, y)
     if (n == 0) return emptyKeys
     var keys = keysScratch.get()
@@ -322,6 +343,11 @@ final class RingSegmentIndex(xx: Array[Double], yy: Array[Double], start: Int, n
 }
 
 object PolygonLayer {
+
+  /** Probe-path selector: grid index (default) vs packed-R-tree reference
+   * path. Both are exact and asserted equal (IndexSpec); the switch exists
+   * so measurements can A/B the two inside one session. */
+  @volatile var useGrid: Boolean = true
 
   /** Build from shapes: each shape = (key, rings), ring = flat Array of (x, y) pairs, closed. */
   def fromShapes(shapes: Seq[(Long, Seq[Array[Double]])]): PolygonLayer = {

@@ -60,6 +60,11 @@ object Dedup {
                  maxBucket: Int = DefaultMaxBucket): DataFrame = {
     if (maxBucket <= 0) banded
     else {
+      // groupBy + join (NOT a window over the bucket key): the aggregated
+      // (bucket, count) side collapses to #distinct buckets and broadcasts
+      // (confirmed in the r6 plan capture — BroadcastExchange over the
+      // counts), so `banded` itself is never shuffled here; a window form
+      // would force a full exchange + sort of every (id, bucket) row.
       val counts = banded.groupBy(bucketCol).agg(count(lit(1)).as("_bn"))
       banded.join(counts, Seq(bucketCol))
         .observe(s"lsh_bucket_cap_${capSeq.incrementAndGet()}",

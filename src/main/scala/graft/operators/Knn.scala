@@ -31,7 +31,7 @@ object Knn {
   def knnJoin(spark: SparkSession, points: DataFrame, idCol: String, xCol: String, yCol: String,
               k: Int, res: Int = -1, maxRounds: Int = 8): DataFrame = {
     val base = points.select(col(idCol).cast("long").as("id"),
-      col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y")).cache()
+      col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
     // auto resolution: aim for ~k+1 points per cell so the first 3x3 disk
     // usually satisfies the k-th-distance bound in one round
     val stats = base.agg(count(lit(1)), min(col("x")), max(col("x")),
@@ -75,32 +75,42 @@ object Knn {
           (col("ax") - col("bx")) * (col("ax") - col("bx")) +
             (col("ay") - col("by")) * (col("ay") - col("by")))
       val w = Window.partitionBy("a_id").orderBy(col("dist2"), col("b_id"))
-      // localCheckpoint (eager) truncates BOTH execution lineage and the
-      // logical plan: without it the per-round union/anti-join chain sends
-      // Catalyst analysis superlinear (same lesson as OverlayOp's CC loop)
+      // FINALITY decided inside the same window pass (guide §2.4: two
+      // operations keyed the same way share one exchange): a point is final
+      // iff it has >= k candidates AND the k-th distance is within the ring
+      // bound. Both facts are window aggregates over the row_number
+      // partitioning — no groupBy summary, no semi/anti join back onto the
+      // ranked rows (r5 shape: summary agg + 2 joins + an extra eager
+      // checkpoint job per round).
+      val bound = (ringR * cs) * (ringR * cs)
+      val w2 = Window.partitionBy("a_id")
+      // localCheckpoint truncates BOTH execution lineage and the logical
+      // plan (without it the per-round union/anti-join chain sends Catalyst
+      // analysis superlinear — same lesson as OverlayOp's CC loop); LAZY so
+      // the doneCount action below materializes it — one job per round, not
+      // two (checkpoint pass + count pass).
       val ranked = cand
         .withColumn("rank", row_number().over(w))
+        .withColumn("_n", count(lit(1)).over(w2))
+        .withColumn("_kth", max(when(col("rank") === k, col("dist2"))).over(w2))
         .filter(col("rank") <= k)
-        .select(col("a_id").as("id"), col("rank"), col("b_id").as("neighbor_id"), col("dist2"))
-        .localCheckpoint(true)
+        .withColumn("_final", col("_n") >= k && col("_kth") <= lit(bound))
+        .select(col("a_id").as("id"), col("rank"), col("b_id").as("neighbor_id"),
+          col("dist2"), col("_final"))
+        .localCheckpoint(false)
 
-      // a point is final iff it found k neighbors AND kth dist is within the bound
-      val bound = (ringR * cs) * (ringR * cs)
-      val summary = ranked.groupBy("id")
-        .agg(count(lit(1)).as("n"), max(col("dist2")).as("kth"))
-        .withColumn("final", col("n") === k && col("kth") <= bound)
-      // one job decides the round: count of finalized points (doneIds, done,
-      // lastRanked all stay LAZY over the checkpointed `ranked`)
-      val doneIds = summary.filter(col("final")).select("id")
-      val doneCount = doneIds.count()
-      val done = ranked.join(doneIds, Seq("id"), "left_semi")
+      val done = ranked.filter(col("_final")).drop("_final")
+      // one job decides the round AND materializes the checkpoint; a final
+      // point contributes exactly k rows (_n >= k, rank <= k)
+      val doneCount = done.count() / k
       results = if (results == null) done else results.unionByName(done)
-      lastRanked = ranked.join(doneIds, Seq("id"), "left_anti")
+      lastRanked = ranked.filter(!col("_final")).drop("_final")
       live += ranked
       pendingCount -= doneCount
       round += 1
       if (pendingCount > 0 && round < maxRounds) {
-        val nextPending = pending.join(doneIds, Seq("id"), "left_anti").localCheckpoint(true)
+        val nextPending = pending
+          .join(done.select("id"), Seq("id"), "left_anti").localCheckpoint(true)
         if (pending ne pts) pending.unpersist() // dead once nextPending is materialized
         pending = nextPending
       }
@@ -120,7 +130,6 @@ object Knn {
     live.foreach(_.unpersist())
     if (pending ne pts) pending.unpersist()
     pts.unpersist()
-    base.unpersist()
     out
   }
 

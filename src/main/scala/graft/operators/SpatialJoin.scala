@@ -59,7 +59,7 @@ object SpatialJoin {
       yCol: String,
       layer: PolygonLayer,
       outCol: String): DataFrame = {
-    val bc: Broadcast[PolygonLayer] = spark.sparkContext.broadcast(layer)
+    val bc: Broadcast[PolygonLayer] = graft.index.LayerBroadcasts.of(spark, layer)
     points.withColumn(outCol,
       graft.functions.SpatialExprs.pipAllKeys(col(xCol), col(yCol), bc))
   }
@@ -68,7 +68,7 @@ object SpatialJoin {
    * the reference's point clipping (`src/clipping/mapshaper-point-clipping.mjs`). */
   def clipPoints(spark: SparkSession, points: DataFrame, xCol: String, yCol: String,
                  layer: PolygonLayer, erase: Boolean = false): DataFrame = {
-    val bc = spark.sparkContext.broadcast(layer)
+    val bc = graft.index.LayerBroadcasts.of(spark, layer)
     val inside = graft.functions.SpatialExprs.pipFirstKey(col(xCol), col(yCol), bc) >= 0
     points.filter(if (erase) !inside else inside)
   }

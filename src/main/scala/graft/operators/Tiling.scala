@@ -63,7 +63,7 @@ object Tiling {
       .withColumn("cell_id", GraftCell.cellIdCol(col("cx"), col("cy"), res))
     val withPoly = layer match {
       case Some(l) =>
-        val bc = spark.sparkContext.broadcast(l)
+        val bc = graft.index.LayerBroadcasts.of(spark, l)
         base.withColumn("poly_key",
           graft.functions.SpatialExprs.pipFirstKey(col("cx"), col("cy"), bc))
       case None => base.withColumn("poly_key", lit(-1L))

@@ -118,6 +118,37 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("GridPipIndex: findKeys/findFirstKey/findShapes equal the tree path") {
+    // several layer shapes: blobs with holes, tiny layer, single shape
+    val layers = Seq(
+      Synthetic.polygonLayer(16, seed = 5L, holeEvery = 4),
+      Synthetic.polygonLayer(1024, seed = 42L, holeEvery = 5), // the bench layer
+      Synthetic.polygonLayer(1, seed = 9L, holeEvery = 0))
+    for (layer <- layers) {
+      val rng = new SplitMix64(77)
+      for (_ <- 0 until 2000) {
+        val x = rng.nextDouble() * 110 - 5 // includes outside-extent probes
+        val y = rng.nextDouble() * 110 - 5
+        assert(layer.findKeys(x, y).toSeq == layer.findKeysTree(x, y).toSeq, s"keys ($x,$y)")
+        assert(layer.findFirstKey(x, y) == layer.findFirstKeyTree(x, y), s"first ($x,$y)")
+        assert(layer.findShapes(x, y).toSeq == layer.findShapesTree(x, y).toSeq, s"shapes ($x,$y)")
+      }
+      // boundary probes: exact ring vertices and segment midpoints are ON
+      var r = 0
+      while (r < math.min(layer.numRings, 64)) {
+        val i = layer.ringStart(r)
+        val probes = Seq(
+          (layer.xx(i), layer.yy(i)),
+          ((layer.xx(i) + layer.xx(i + 1)) / 2, (layer.yy(i) + layer.yy(i + 1)) / 2))
+        probes.foreach { case (px, py) =>
+          assert(layer.findKeys(px, py).toSeq == layer.findKeysTree(px, py).toSeq, s"boundary ($px,$py)")
+          assert(layer.findFirstKey(px, py) == layer.findFirstKeyTree(px, py), s"boundary first ($px,$py)")
+        }
+        r += 1
+      }
+    }
+  }
+
   test("RingSegmentIndex (bucketed) agrees with direct scan on large rings") {
     val rng = new SplitMix64(31)
     // large ring (many vertices) to force the indexed path
