@@ -142,6 +142,18 @@ object CellIndex {
     out
   }
 
+  /** The cell itself plus its 4 "forward" neighbors (E, NE, N, NW) — half
+   * of the 8-neighborhood, chosen so that for any two distinct adjacent
+   * cells exactly one contains the other in its forward set. Generating
+   * radius-join candidates with this set instead of the full 3x3 disk
+   * halves the join fan-out: each unordered pair is produced once. */
+  def forwardNeighbors(id: Long): Array[Long] = {
+    val (ix, iy, res) = decode(id)
+    Array(id,
+      encode(ix + 1, iy, res), encode(ix + 1, iy + 1, res),
+      encode(ix, iy + 1, res), encode(ix - 1, iy + 1, res))
+  }
+
   /** All cell ids whose bbox intersects the given bbox (for polygon coverage). */
   def coveringCells(xmin: Double, ymin: Double, xmax: Double, ymax: Double, res: Int): Array[Long] = {
     val cs = cellSize(res)

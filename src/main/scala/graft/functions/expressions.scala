@@ -127,6 +127,23 @@ case class CellDiskExpr(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Cell + 4 forward neighbors (see [[CellIndex.forwardNeighbors]]) —
+ * the halved candidate-expansion kernel for radius self-joins. */
+case class CellForwardExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cell_forward"
+
+  override protected def nullSafeEval(cell: Any): Any =
+    ArrayData.toArrayData(CellIndex.forwardNeighbors(cell.asInstanceOf[Long]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(graft.cell.CellIndex.forwardNeighbors($c))")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Project (lon, lat) through a CRS forward transform ([[graft.geom.Crs]]) —
  * returns array<double>[x, y]. The projection object is a codegen reference;
  * generated code calls its primitive-math forward directly (no row boxing). */
@@ -354,6 +371,9 @@ object SpatialExprs {
 
   def cellDisk(cell: Column, k: Int): Column =
     GraftBridge.column(CellDiskExpr(GraftBridge.expr(cell.cast("long")), k))
+
+  def cellForward(cell: Column): Column =
+    GraftBridge.column(CellForwardExpr(GraftBridge.expr(cell.cast("long"))))
 
   def crsForward(lon: Column, lat: Column, proj: graft.geom.Crs.Proj): Column =
     GraftBridge.column(CrsForwardExpr(dbl(lon), dbl(lat), proj))

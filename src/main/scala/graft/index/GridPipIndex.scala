@@ -224,6 +224,9 @@ final class GridPipIndex(layer: PolygonLayer) {
 
   /** Keys of all enclosing shapes, ascending shape order (== tree path). */
   def findKeys(x: Double, y: Double): Array[Long] = {
+    // NaN coords: the tree path ends up testing rings (all OUT) → empty;
+    // without this guard the NaN->0 cast would read cell 0's resolved set
+    if (x != x || y != y) return emptyKeys
     if (x < ex0 || x > ex1 || y < ey0 || y > ey1) return emptyKeys
     val c = rowOf(y) * gw + colOf(x)
     var ci = cellCrossStart(c); val ce = cellCrossStart(c + 1)
@@ -270,6 +273,7 @@ final class GridPipIndex(layer: PolygonLayer) {
 
   /** Key of the first (lowest shape index) enclosing shape, or -1. */
   def findFirstKey(x: Double, y: Double): Long = {
+    if (x != x || y != y) return -1L
     if (x < ex0 || x > ex1 || y < ey0 || y > ey1) return -1L
     val c = rowOf(y) * gw + colOf(x)
     var ci = cellCrossStart(c); val ce = cellCrossStart(c + 1)
@@ -294,6 +298,7 @@ final class GridPipIndex(layer: PolygonLayer) {
 
   /** Indexes of all enclosing shapes, ascending (== tree-path findShapes). */
   def findShapeIdxs(x: Double, y: Double): Array[Int] = {
+    if (x != x || y != y) return emptyShapes
     if (x < ex0 || x > ex1 || y < ey0 || y > ey1) return emptyShapes
     val keys = findKeysAsShapes(x, y)
     keys

@@ -29,7 +29,8 @@ object Knn {
    * Output: (id, rank, neighbor_id, dist2).
    */
   def knnJoin(spark: SparkSession, points: DataFrame, idCol: String, xCol: String, yCol: String,
-              k: Int, res: Int = -1, maxRounds: Int = 8): DataFrame = {
+              k: Int, res: Int = -1, maxRounds: Int = 8,
+              bruteForceBudget: Long = 50000000L): DataFrame = {
     val base = points.select(col(idCol).cast("long").as("id"),
       col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
     // auto resolution: aim for ~k+1 points per cell so the first 3x3 disk
@@ -61,6 +62,32 @@ object Knn {
     var r = 1
     var round = 0
     while (round < maxRounds && pendingCount > 0) {
+      // brute-force cutover for the tail (r6): once the pending set is small
+      // enough that pending x n candidate pairs are trivial, one exact
+      // window job replaces the remaining ring-expansion rounds (each a
+      // checkpoint + anti-join job chain). Exactness is unchanged — the
+      // cross form IS the definition of kNN, ranked by the same
+      // (dist2, neighbor_id) law, and a point with fewer than k neighbors
+      // gets all of them (identical to the straggler fallback's widest-ring
+      // emission). The threshold scales with the data (pair budget), never
+      // with the local core count.
+      if (pendingCount * nPoints <= bruteForceBudget) {
+        val cross = pending
+          .select(col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"))
+          .crossJoin(pts.select(col("id").as("b_id"), col("x").as("bx"), col("y").as("by")))
+          .filter(col("a_id") =!= col("b_id"))
+          .withColumn("dist2",
+            (col("ax") - col("bx")) * (col("ax") - col("bx")) +
+              (col("ay") - col("by")) * (col("ay") - col("by")))
+        val wf = Window.partitionBy("a_id").orderBy(col("dist2"), col("b_id"))
+        val full = cross
+          .withColumn("rank", row_number().over(wf))
+          .filter(col("rank") <= k)
+          .select(col("a_id").as("id"), col("rank"), col("b_id").as("neighbor_id"),
+            col("dist2"))
+        results = if (results == null) full else results.unionByName(full)
+        pendingCount = 0
+      } else {
       val ringR = r
       // codegen disk expansion (a boxed UDF here allocates an Array per row per
       // round; at 10^8 points the allocation rate makes the round GC-bound)
@@ -115,6 +142,7 @@ object Knn {
         pending = nextPending
       }
       r *= 2
+      }
     }
     // stragglers (k >= n-1, or degenerate distributions that exhaust
     // maxRounds): emit their best-known neighbors from the widest ring
@@ -145,18 +173,27 @@ object Knn {
     val pts = points.select(col(idCol).cast("long").as("id"),
       col(xCol).cast("double").as("x"), col(yCol).cast("double").as("y"))
       .withColumn("cell", GraftCell.cellIdCol(col("x"), col("y"), res))
+    // forward-neighbor expansion (cell + E/NE/N/NW) instead of the full 3x3
+    // disk (r6, guide §2.3 — shuffle/join fewer rows): every unordered pair
+    // of adjacent cells appears in exactly ONE side's forward set, so each
+    // candidate pair is generated once — 5/9 the join fan-out of the disk
+    // form, with the a<b constraint needed only within the same cell.
+    // dist2 is symmetric bit-exactly ((a-b)^2 == (b-a)^2), so orienting the
+    // output by least/greatest id leaves every emitted value unchanged.
     val left = pts
       .withColumn("qcell",
-        explode(graft.functions.SpatialExprs.cellDisk(col("cell"), 1)))
-      .select(col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"), col("qcell"))
+        explode(graft.functions.SpatialExprs.cellForward(col("cell"))))
+      .select(col("id").as("a_id"), col("x").as("ax"), col("y").as("ay"),
+        col("cell").as("acell"), col("qcell"))
     val right = pts.select(col("id").as("b_id"), col("x").as("bx"), col("y").as("by"),
       col("cell").as("qcell"))
     left.join(right, Seq("qcell"))
-      .filter(col("a_id") < col("b_id"))
+      .filter(col("qcell") =!= col("acell") || col("a_id") < col("b_id"))
       .withColumn("dist2",
         (col("ax") - col("bx")) * (col("ax") - col("bx")) +
           (col("ay") - col("by")) * (col("ay") - col("by")))
       .filter(col("dist2") <= lit(radius * radius))
-      .select("a_id", "b_id", "dist2") // pairs are unique: each b lives in exactly one cell of a's disk
+      .select(least(col("a_id"), col("b_id")).as("a_id"),
+        greatest(col("a_id"), col("b_id")).as("b_id"), col("dist2"))
   }
 }

@@ -133,6 +133,9 @@ class IndexSpec extends AnyFunSuite {
         assert(layer.findFirstKey(x, y) == layer.findFirstKeyTree(x, y), s"first ($x,$y)")
         assert(layer.findShapes(x, y).toSeq == layer.findShapesTree(x, y).toSeq, s"shapes ($x,$y)")
       }
+      // NaN coords: both paths must return "no shapes"
+      assert(layer.findKeys(Double.NaN, 5.0).isEmpty)
+      assert(layer.findFirstKey(5.0, Double.NaN) == -1L)
       // boundary probes: exact ring vertices and segment midpoints are ON
       var r = 0
       while (r < math.min(layer.numRings, 64)) {

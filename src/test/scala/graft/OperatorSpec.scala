@@ -60,11 +60,16 @@ class OperatorSpec extends SparkSuite {
       id -> nn
     }.toMap
     assert(got == want)
+    // same answer through the ring-expansion path (brute-force cutover off)
+    val gotRing = Knn.knnJoin(spark, df, "id", "x", "y", k, bruteForceBudget = 0L)
+      .select("id", "rank", "neighbor_id").as[(Long, Int, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    assert(gotRing == want)
   }
 
   test("knnJoin with k >= n-1 returns all other points (straggler path)") {
     val pts = Seq((1L, 0.0, 0.0), (2L, 1.0, 0.0), (3L, 0.0, 1.0), (4L, 50.0, 50.0)).toDF("id", "x", "y")
-    val out = Knn.knnJoin(spark, pts, "id", "x", "y", k = 5) // k > n-1
+    val out = Knn.knnJoin(spark, pts, "id", "x", "y", k = 5, bruteForceBudget = 0L) // k > n-1, ring path
       .select("id", "neighbor_id").as[(Long, Long)].collect()
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     // every point still reports its 3 real neighbors despite k being unsatisfiable
