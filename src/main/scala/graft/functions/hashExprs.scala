@@ -1,0 +1,199 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnaryExpression
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.operators.{Ann, Dedup}
+
+/**
+ * Codegen expressions for the dedup / ANN hash kernels — the round-5
+ * verdict's last boxed-UDF note on plausible 100-TB paths. Each expression
+ * calls a static kernel in [[HashKernels]]; the float-vector kernels read
+ * Spark's ArrayData IN PLACE (the ScalaUDF forms converted every row to a
+ * boxed Seq[Float] + defensive array copy per argument).
+ */
+
+/** minhash band buckets of a text column — fuses signature + banding into
+ * one call (the UDF form materialized the 64-long signature array per row
+ * between two ScalaUDF nodes). */
+case class MinhashBandsExpr(child: Expression, shingleN: Int, numHashes: Int, bands: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_bands"
+
+  override protected def nullSafeEval(t: Any): Any =
+    HashKernels.minhashBands(t.asInstanceOf[UTF8String], shingleN, numHashes, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.functions.HashKernels.minhashBands($t, $shingleN, $numHashes, $bands)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** 64-bit simhash of a text column. */
+case class SimhashExpr(child: Expression, shingleN: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash"
+
+  override protected def nullSafeEval(t: Any): Any =
+    Dedup.simhash(t.asInstanceOf[UTF8String].toString, shingleN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, t =>
+      s"graft.operators.Dedup$$.MODULE$$.simhash($t.toString(), $shingleN)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Exact word-shingle Jaccard between two text columns. */
+case class JaccardExpr(left: Expression, right: Expression, shingleN: Int)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "shingle_jaccard"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    Dedup.jaccard(a.asInstanceOf[UTF8String].toString,
+      b.asInstanceOf[UTF8String].toString, shingleN)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.operators.Dedup$$.MODULE$$.jaccard($a.toString(), $b.toString(), $shingleN)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Hyperplane LSH signature of a float-vector column (ArrayData read in place). */
+case class PlaneSigExpr(child: Expression, planes: Int) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def prettyName: String = "plane_sig"
+
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.planeSig(v.asInstanceOf[ArrayData], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v => s"graft.functions.HashKernels.planeSig($v, $planes)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** sig + all Hamming-1 neighbor buckets (multi-probe expansion). */
+case class SigProbesExpr(child: Expression, planes: Int) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sig_probes"
+
+  override protected def nullSafeEval(sig: Any): Any =
+    HashKernels.sigProbes(sig.asInstanceOf[Long], planes)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.HashKernels.sigProbes($s, $planes)")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Cosine similarity of two float-vector columns (ArrayData read in place). */
+case class CosineExpr(left: Expression, right: Expression) extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "cosine_sim"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    HashKernels.cosine(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.HashKernels.cosine($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Static kernels shared by interpreted eval and generated code. */
+object HashKernels {
+  import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+
+  def minhashBands(text: UTF8String, shingleN: Int, numHashes: Int, bands: Int): ArrayData = {
+    val sig = Dedup.minhashSignature(text.toString, shingleN, numHashes)
+    val rows = numHashes / bands
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = b.toLong
+      var i = b * rows
+      while (i < (b + 1) * rows) { h = h * 1000003L + sig(i); i += 1 }
+      out(b) = h
+      b += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Same fold as [[Ann.signature]], reading the ArrayData in place. */
+  def planeSig(v: ArrayData, planes: Int): Long = {
+    var sig = 0L
+    var p = 0
+    val n = v.numElements()
+    while (p < planes) {
+      var dot = 0.0
+      var d = 0
+      while (d < n) {
+        dot += v.getFloat(d) * Ann.planeComponent(p, d)
+        d += 1
+      }
+      if (dot >= 0) sig |= (1L << p)
+      p += 1
+    }
+    sig
+  }
+
+  def sigProbes(sig: Long, planes: Int): ArrayData = {
+    val out = new Array[Long](planes + 1)
+    out(0) = sig
+    var p = 0
+    while (p < planes) { out(p + 1) = sig ^ (1L << p); p += 1 }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  /** Same left-to-right accumulation as [[Ann.cosine]] — bit-identical. */
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.numElements(), b.numElements())
+    while (i < n) {
+      val av = a.getFloat(i).toDouble
+      val bv = b.getFloat(i).toDouble
+      dot += av * bv
+      na += av * av
+      nb += bv * bv
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+}
+
+/** Column-level wrappers. */
+object HashExprs {
+  private def e(c: Column): Expression = GraftBridge.expr(c)
+
+  def minhashBands(text: Column, shingleN: Int, numHashes: Int, bands: Int): Column =
+    GraftBridge.column(MinhashBandsExpr(e(text), shingleN, numHashes, bands))
+
+  def simhash(text: Column, shingleN: Int): Column =
+    GraftBridge.column(SimhashExpr(e(text), shingleN))
+
+  def jaccard(a: Column, b: Column, shingleN: Int): Column =
+    GraftBridge.column(JaccardExpr(e(a), e(b), shingleN))
+
+  def planeSig(vec: Column, planes: Int): Column =
+    GraftBridge.column(PlaneSigExpr(e(vec), planes))
+
+  def sigProbes(sig: Column, planes: Int): Column =
+    GraftBridge.column(SigProbesExpr(e(sig.cast("long")), planes))
+
+  def cosine(a: Column, b: Column): Column =
+    GraftBridge.column(CosineExpr(e(a), e(b)))
+}

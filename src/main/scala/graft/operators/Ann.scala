@@ -19,9 +19,12 @@ import graft.tables.SplitMix64
  */
 object Ann {
 
-  /** Deterministic hyperplane component for (plane p, dimension d): ±1 grid. */
-  @inline private def plane(p: Int, d: Int): Double =
+  /** Deterministic hyperplane component for (plane p, dimension d): ±1 grid.
+   * Public: also called from the codegen signature kernel
+   * ([[graft.functions.HashKernels.planeSig]]). */
+  @inline def planeComponent(p: Int, d: Int): Double =
     if ((SplitMix64.hash(p.toLong * 131071 + d) & 1L) == 0L) 1.0 else -1.0
+  @inline private def plane(p: Int, d: Int): Double = planeComponent(p, d)
 
   /** LSH signature: sign bits of `planes` pseudo-random ±1 hyperplane dots. */
   def signature(v: Array[Float], planes: Int): Long = {
@@ -175,23 +178,18 @@ object Ann {
               k: Int, planes: Int = 10,
               maxBucket: Int = Dedup.DefaultMaxBucket): DataFrame = {
     val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-    val sigUdf = udf((vv: Seq[Float]) => signature(vv.toArray, planes))
-    val probesUdf = udf { (sig: Long) =>
-      val out = new Array[Long](planes + 1)
-      out(0) = sig
-      var p = 0
-      while (p < planes) { out(p + 1) = sig ^ (1L << p); p += 1 }
-      out
-    }
+    // signature / probe / cosine kernels are codegen expressions (r6; see
+    // graft.functions.HashKernels — ArrayData read in place, no Seq boxing)
+    import graft.functions.HashExprs
     // (id, sig) materialized once (see Dedup.materializeOnce): probes AND base
-    // each re-read it behind capBuckets — without the checkpoint the sig UDF
-    // runs up to 4x, guarded only by fragile exchange reuse
+    // each re-read it behind capBuckets — without the checkpoint the sig
+    // kernel runs up to 4x, guarded only by fragile exchange reuse
     val idSigs = Dedup.materializeOnce(
-      v.withColumn("_sig", sigUdf(col("vec"))).select("id", "_sig"))
+      v.withColumn("_sig", HashExprs.planeSig(col("vec"), planes)).select("id", "_sig"))
     // degenerate-bucket cap on both sides (see Dedup.capBuckets): one
     // megabucket of identical signatures would make the probe join quadratic
     val probes = Dedup.capBuckets(
-      idSigs.withColumn("_bucket", explode(probesUdf(col("_sig"))))
+      idSigs.withColumn("_bucket", explode(HashExprs.sigProbes(col("_sig"), planes)))
         .select(col("id"), col("_bucket")), "_bucket", maxBucket)
     val base = Dedup.capBuckets(
       idSigs.select(col("id").as("neighbor_id"), col("_sig").as("_bucket")),
@@ -199,11 +197,11 @@ object Ann {
     val cand = probes.join(base, Seq("_bucket"))
       .filter(col("id") =!= col("neighbor_id"))
       .dropDuplicates("id", "neighbor_id")
-    val cosUdf = udf((a: Seq[Float], b: Seq[Float]) => cosine(a.toArray, b.toArray))
     val scored = cand
       .join(v, Seq("id"))
       .join(v.select(col("id").as("neighbor_id"), col("vec").as("nvec")), Seq("neighbor_id"))
-      .select(col("id"), col("neighbor_id"), cosUdf(col("vec"), col("nvec")).as("score"))
+      .select(col("id"), col("neighbor_id"),
+        HashExprs.cosine(col("vec"), col("nvec")).as("score"))
     val w = Window.partitionBy("id").orderBy(col("score").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)

@@ -164,22 +164,15 @@ object Dedup {
                    shingleN: Int = 3, numHashes: Int = 64, bands: Int = 16,
                    threshold: Double = 0.5,
                    maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val rows = numHashes / bands
-    val sigUdf = udf((t: String) => minhashSignature(t, shingleN, numHashes))
-    val bandUdf = udf { (sig: Seq[Long]) =>
-      (0 until bands).map { b =>
-        var h = b.toLong
-        var i = b * rows
-        while (i < (b + 1) * rows) { h = h * 1000003L + sig(i); i += 1 }
-        h
-      }.toArray
-    }
     val docs = df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
     // the banded self-join shuffles (id, bucket) ONLY — carrying the document
     // text through the bands-way-exploded shuffle would move ~2*bands x the
-    // corpus; texts are hash-joined back per candidate pair instead
+    // corpus; texts are hash-joined back per candidate pair instead.
+    // Signature + banding is ONE codegen expression (r6: was two chained
+    // ScalaUDFs that materialized the 64-long signature array per row).
     val banded = capBuckets(materializeOnce(docs
-      .withColumn("_bucket", explode(bandUdf(sigUdf(col("text")))))
+      .withColumn("_bucket", explode(
+        graft.functions.HashExprs.minhashBands(col("text"), shingleN, numHashes, bands)))
       .select(col("id"), col("_bucket"))), "_bucket", maxBucket)
 
     val cand = banded.as("a").join(banded.as("b"),
@@ -187,11 +180,11 @@ object Dedup {
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"))
       .dropDuplicates("a_id", "b_id")
 
-    val jacUdf = udf((a: String, b: String) => jaccard(a, b, shingleN))
     cand
       .join(docs.select(col("id").as("a_id"), col("text").as("a_text")), Seq("a_id"))
       .join(docs.select(col("id").as("b_id"), col("text").as("b_text")), Seq("b_id"))
-      .withColumn("jaccard", jacUdf(col("a_text"), col("b_text")))
+      .withColumn("jaccard",
+        graft.functions.HashExprs.jaccard(col("a_text"), col("b_text"), shingleN))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }
@@ -239,19 +232,22 @@ object Dedup {
   def simhashPairs(spark: SparkSession, df: DataFrame, idCol: String, textCol: String,
                    shingleN: Int = 3, maxHamming: Int = 3,
                    maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val shUdf = udf((t: String) => simhash(t, shingleN))
-    val bandsUdf = udf((h: Long) =>
-      (0 until 4).map(b => (b.toLong << 16) | ((h >>> (16 * b)) & 0xffffL)).toArray)
+    // simhash is a codegen expression; the 4 16-bit band buckets are pure
+    // column bit arithmetic; hamming = builtin bit_count(xor) (r6: all
+    // three were boxed ScalaUDFs)
+    val sh = graft.functions.HashExprs.simhash(col(textCol), shingleN)
+    val bandCols = (0 until 4).map(b =>
+      shiftleft(lit(b.toLong), 16).bitwiseOR(
+        shiftrightunsigned(col("sh"), 16 * b).bitwiseAND(lit(0xffffL))))
     val banded = capBuckets(materializeOnce(df
-      .select(col(idCol).cast("long").as("id"), shUdf(col(textCol)).as("sh"))
-      .withColumn("_bucket", explode(bandsUdf(col("sh"))))), "_bucket", maxBucket)
-    val hamUdf = udf((a: Long, b: Long) => java.lang.Long.bitCount(a ^ b))
+      .select(col(idCol).cast("long").as("id"), sh.as("sh"))
+      .withColumn("_bucket", explode(array(bandCols: _*)))), "_bucket", maxBucket)
     banded.as("a").join(banded.as("b"),
         col("a._bucket") === col("b._bucket") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a_id"), col("b.id").as("b_id"),
         col("a.sh").as("a_sh"), col("b.sh").as("b_sh"))
       .dropDuplicates("a_id", "b_id")
-      .withColumn("hamming", hamUdf(col("a_sh"), col("b_sh")))
+      .withColumn("hamming", bit_count(col("a_sh").bitwiseXOR(col("b_sh"))))
       .filter(col("hamming") <= maxHamming)
       .select("a_id", "b_id", "hamming")
   }
@@ -266,22 +262,18 @@ object Dedup {
   def embeddingPairs(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, planes: Int = 12,
                      maxBucket: Int = DefaultMaxBucket): DataFrame = {
-    val sigUdf = udf((v: Seq[Float]) => Ann.signature(v.toArray, planes))
-    val probesUdf = udf { (sig: Long) =>
-      val out = new Array[Long](planes + 1)
-      out(0) = sig
-      var p = 0
-      while (p < planes) { out(p + 1) = sig ^ (1L << p); p += 1 }
-      out
-    }
+    // signature / probe / cosine kernels are codegen expressions reading
+    // the float ArrayData in place (r6: the ScalaUDF forms boxed a
+    // Seq[Float] + defensive copy per argument per row)
+    import graft.functions.HashExprs
     val vecs = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     // (id, sig) materialized once: consumed by the probe explode AND the base
     // side, each behind its own capBuckets double-read
     val sigs = materializeOnce(
-      vecs.withColumn("_sig", sigUdf(col("v"))).select("id", "_sig"))
+      vecs.withColumn("_sig", HashExprs.planeSig(col("v"), planes)).select("id", "_sig"))
     // both sides capped: pairs per bucket are then bounded by maxBucket²
     val probes = capBuckets(
-      sigs.withColumn("_bucket", explode(probesUdf(col("_sig"))))
+      sigs.withColumn("_bucket", explode(HashExprs.sigProbes(col("_sig"), planes)))
         .select(col("id"), col("_bucket")), "_bucket", maxBucket)
     val base = capBuckets(
       sigs.select(col("id").as("bid"), col("_sig").as("_bucket")), "_bucket", maxBucket)
@@ -289,11 +281,11 @@ object Dedup {
       .filter(col("id") < col("bid"))
       .select(col("id").as("a_id"), col("bid").as("b_id"))
       .dropDuplicates("a_id", "b_id")
-    val cosUdf = udf((a: Seq[Float], b: Seq[Float]) => Ann.cosine(a.toArray, b.toArray))
     cand
       .join(vecs.select(col("id").as("a_id"), col("v").as("av")), Seq("a_id"))
       .join(vecs.select(col("id").as("b_id"), col("v").as("bv")), Seq("b_id"))
-      .select(col("a_id"), col("b_id"), cosUdf(col("av"), col("bv")).as("cosine"))
+      .select(col("a_id"), col("b_id"),
+        HashExprs.cosine(col("av"), col("bv")).as("cosine"))
       .filter(col("cosine") >= threshold)
   }
 }

@@ -151,11 +151,13 @@ class PlanSpec extends SparkSuite {
     // sig/band UDF chain is OUT of the final plan entirely — only the jaccard
     // verifier UDF remains
     assert(plan.contains("ExistingRDD"), "banded projection should be a checkpoint scan")
+    // r6: signature/banding AND the jaccard verifier are codegen expressions
+    // — no boxed ScalaUDF anywhere on the minhash path
     val udfCount = "(?i)scalaudf".r.findAllIn(plan).size
-    assert(udfCount <= 2, s"expected only the jaccard verifier UDF, got $udfCount:\n${plan.take(1500)}")
+    assert(udfCount == 0, s"expected no ScalaUDF, got $udfCount:\n${plan.take(1500)}")
   }
 
-  test("lshTopK signature projection is materialized once") {
+  test("lshTopK signature projection is materialized once, no ScalaUDF") {
     import spark.implicits._
     val rng = new graft.tables.SplitMix64(5)
     val vecs = (0 until 150).map(i =>
@@ -163,6 +165,8 @@ class PlanSpec extends SparkSuite {
     val df = graft.operators.Ann.lshTopK(spark, vecs, "vec_id", "embedding", k = 3)
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("ExistingRDD"), "sig projection should be a checkpoint scan")
+    // r6: signature/probe/cosine kernels are codegen expressions
+    assert("(?i)scalaudf".r.findAllIn(plan).isEmpty, "expected no ScalaUDF on the LSH path")
   }
 
   test("exact dedup: no exchange carries the text column (128-bit key decision)") {
