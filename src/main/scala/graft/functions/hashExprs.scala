@@ -113,6 +113,63 @@ case class CosineExpr(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** Stopword-heuristic language id of a text column. NOT null-propagating:
+ * null/empty text yields "und", exactly like the UDF form it replaces. */
+case class LangIdExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  // never actually null, but declared nullable so the output schema is
+  // byte-identical to the ScalaUDF form this replaces (driver schema gate)
+  override def nullable: Boolean = true
+  override def prettyName: String = "lang_id"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val t = child.eval(input)
+    UTF8String.fromString(graft.operators.TextAnalysis.langIdOf(
+      if (t == null) null else t.toString))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper(
+      new StringContext(
+        s"""
+           |${c.code}
+           |boolean ${ev.isNull} = false;
+           |UTF8String ${ev.value} = UTF8String.fromString(
+           |  graft.operators.TextAnalysis$$.MODULE$$.langIdOf(
+           |    ${c.isNull} ? null : ${c.value}.toString()));
+           |""".stripMargin)).code())
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** FNV fingerprint of normalized text; null → 0L (UDF-form semantics). */
+case class FingerprintExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true // schema parity with the ScalaUDF form
+  override def prettyName: String = "text_fingerprint"
+
+  override def eval(input: org.apache.spark.sql.catalyst.InternalRow): Any = {
+    val t = child.eval(input)
+    graft.operators.TextAnalysis.fingerprintOf(if (t == null) null else t.toString)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val c = child.genCode(ctx)
+    ev.copy(code = org.apache.spark.sql.catalyst.expressions.codegen.Block.BlockHelper(
+      new StringContext(
+        s"""
+           |${c.code}
+           |boolean ${ev.isNull} = false;
+           |long ${ev.value} = graft.operators.TextAnalysis$$.MODULE$$.fingerprintOf(
+           |  ${c.isNull} ? null : ${c.value}.toString());
+           |""".stripMargin)).code())
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Static kernels shared by interpreted eval and generated code. */
 object HashKernels {
   import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
@@ -196,4 +253,8 @@ object HashExprs {
 
   def cosine(a: Column, b: Column): Column =
     GraftBridge.column(CosineExpr(e(a), e(b)))
+
+  def langId(text: Column): Column = GraftBridge.column(LangIdExpr(e(text)))
+
+  def fingerprint(text: Column): Column = GraftBridge.column(FingerprintExpr(e(text)))
 }

@@ -46,8 +46,10 @@ object TextAnalysis {
     "fr" -> Set("le", "la", "et", "les", "des", "est", "un", "une", "du", "que", "dans", "pour"),
     "es" -> Set("el", "la", "de", "que", "y", "los", "en", "un", "una", "es", "del", "por"))
 
-  /** N-gram/stopword language id heuristic: best stopword-hit ratio wins. */
-  def langIdUdf: org.apache.spark.sql.expressions.UserDefinedFunction = udf { (text: String) =>
+  /** N-gram/stopword language id heuristic: best stopword-hit ratio wins.
+   * Static kernel — called from the codegen [[graft.functions.LangIdExpr]]
+   * (r6: was a boxed UDF). Null/empty → "und", as the UDF form returned. */
+  def langIdOf(text: String): String =
     if (text == null || text.isEmpty) "und"
     else {
       val words = text.toLowerCase.split("\\W+").filter(_.nonEmpty)
@@ -65,10 +67,10 @@ object TextAnalysis {
         best
       }
     }
-  }
 
-  /** Rolling polynomial fingerprint of normalized text (deterministic int64). */
-  def fingerprintUdf: org.apache.spark.sql.expressions.UserDefinedFunction = udf { (text: String) =>
+  /** Rolling polynomial fingerprint of normalized text (deterministic int64).
+   * Static kernel for [[graft.functions.FingerprintExpr]]; null → 0L. */
+  def fingerprintOf(text: String): Long =
     if (text == null) 0L
     else {
       val norm = text.toLowerCase.replaceAll("\\s+", " ").trim
@@ -80,13 +82,16 @@ object TextAnalysis {
       }
       h
     }
-  }
+
+  /** Codegen column forms (kept under the historical names). */
+  def langIdUdf: Column => Column = graft.functions.HashExprs.langId
+  def fingerprintUdf: Column => Column = graft.functions.HashExprs.fingerprint
 
   /** Convenience: annotate a documents DataFrame with all text metrics. */
   def annotate(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("token_count", tokenCount(col(textCol)))
       .withColumn("punct_count", punctCount(col(textCol)))
       .withColumn("quality", qualityScore(col(textCol)))
-      .withColumn("lang_pred", langIdUdf(col(textCol)))
-      .withColumn("fingerprint", fingerprintUdf(col(textCol)))
+      .withColumn("lang_pred", graft.functions.HashExprs.langId(col(textCol)))
+      .withColumn("fingerprint", graft.functions.HashExprs.fingerprint(col(textCol)))
 }
