@@ -136,10 +136,21 @@ object Knn {
       pendingCount -= doneCount
       round += 1
       if (pendingCount > 0 && round < maxRounds) {
-        val nextPending = pending
-          .join(done.select("id"), Seq("id"), "left_anti").localCheckpoint(true)
-        if (pending ne pts) pending.unpersist() // dead once nextPending is materialized
-        pending = nextPending
+        val nextLazy = pending.join(done.select("id"), Seq("id"), "left_anti")
+        if (pendingCount * nPoints <= bruteForceBudget) {
+          // next iteration cuts over to the single brute-force job, which
+          // consumes this frame exactly once — materializing it first would
+          // spend a whole job on a handful of rows. Lineage stays shallow
+          // (one anti-join over the round's checkpoint), and the previous
+          // pending's blocks must outlive the final materialization, so no
+          // early unpersist (the function-end cleanup releases everything).
+          if (pending ne pts) live += pending // release after final materialization
+          pending = nextLazy
+        } else {
+          val nextPending = nextLazy.localCheckpoint(true)
+          if (pending ne pts) pending.unpersist() // dead once nextPending is materialized
+          pending = nextPending
+        }
       }
       r *= 2
       }
