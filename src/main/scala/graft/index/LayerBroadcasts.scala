@@ -15,11 +15,20 @@ import org.apache.spark.sql.SparkSession
  * by #sessions x #distinct layers, both tiny.
  */
 object LayerBroadcasts {
+  /** Guard against unbounded growth when a caller builds a fresh layer per
+   * invocation (identity keys never hit): past this size, broadcast without
+   * caching — correctness unchanged, just no reuse for that call. */
+  private val MaxEntries = 64
+
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[(SparkContext, PolygonLayer),
       Broadcast[PolygonLayer]]()
 
-  def of(spark: SparkSession, layer: PolygonLayer): Broadcast[PolygonLayer] =
-    cache.computeIfAbsent((spark.sparkContext, layer),
-      k => k._1.broadcast(k._2))
+  def of(spark: SparkSession, layer: PolygonLayer): Broadcast[PolygonLayer] = {
+    val key = (spark.sparkContext, layer)
+    val hit = cache.get(key)
+    if (hit != null) hit
+    else if (cache.size >= MaxEntries) spark.sparkContext.broadcast(layer)
+    else cache.computeIfAbsent(key, k => k._1.broadcast(k._2))
+  }
 }
