@@ -25,8 +25,23 @@ import graft.tables.{Images, Synthetic}
  */
 object SparkEntry {
 
+  /** One DataFrame handle per (session, parquet path): repeated query
+   * invocations reuse the resolved relation instead of re-listing the
+   * directory and re-reading the footer schema per call (driver-side
+   * serial work; the same reuse a catalog table gets). This caches the
+   * LOGICAL handle only — every action still scans the parquet files. */
+  private val dfCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private[graft] def readParquetCached(s: SparkSession, path: String): DataFrame = {
+    val hit = dfCache.get((s, path))
+    if (hit != null) hit
+    else if (dfCache.size >= 256) s.read.parquet(path) // unbounded-caller guard
+    else dfCache.computeIfAbsent((s, path), k => k._1.read.parquet(k._2))
+  }
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
-    s.read.parquet(s"$dir/$name.parquet")
+    readParquetCached(s, s"$dir/$name.parquet")
 
   /** Derived deterministic point table (id, x, y) from customer keys —
    * mirrored verbatim in SQL by [[ptsSql]]. */
@@ -2110,21 +2125,21 @@ object SparkEntry {
   private def imagesDf(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll(".*/", "")
     val path = Images.ensureParquet(s, "/root/repo/data", tag, Images.rowsForSf(dir))
-    s.read.parquet(path)
+    readParquetCached(s, path)
   }
 
   private def audioDf(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll(".*/", "")
     val path = graft.tables.Audio.ensureParquet(s, "/root/repo/data", tag,
       graft.tables.Audio.rowsForSf(dir))
-    s.read.parquet(path)
+    readParquetCached(s, path)
   }
 
   private def videoDf(s: SparkSession, dir: String): DataFrame = {
     val tag = dir.replaceAll(".*/", "")
     val path = graft.tables.Video.ensureParquet(s, "/root/repo/data", tag,
       graft.tables.Video.rowsForSf(dir))
-    s.read.parquet(path)
+    readParquetCached(s, path)
   }
 
   /** Flagship query on sf=0.001: image table → cell ids → broadcast PIP join →
