@@ -152,6 +152,44 @@ class IndexSpec extends AnyFunSuite {
     }
   }
 
+  test("GridPipIndex: degenerate layers (axis-aligned rects, shared edges, holes)") {
+    // axis-aligned rectangles: zero-height/width segment bboxes lie exactly
+    // on grid lines; adjacent rects share full edges; one rect has a hole
+    def rect(x0: Double, y0: Double, x1: Double, y1: Double) =
+      Array(x0, y0, x1, y0, x1, y1, x0, y1, x0, y0)
+    val layer = PolygonLayer.fromShapes(Seq(
+      1L -> Seq(rect(0, 0, 10, 10)),
+      2L -> Seq(rect(10, 0, 20, 10)), // shares the x=10 edge with shape 1
+      3L -> Seq(rect(5, 5, 15, 15)),  // overlaps both
+      4L -> Seq(rect(30, 0, 50, 20), Synthetic.reverseRing(rect(35, 5, 45, 15))), // hole
+      5L -> Seq(rect(40, 10, 60, 30)) // overlaps 4's hole region partially
+    ))
+    val rng = new SplitMix64(99)
+    for (_ <- 0 until 3000) {
+      val x = rng.nextDouble() * 70 - 5
+      val y = rng.nextDouble() * 40 - 5
+      assert(layer.findKeys(x, y).toSeq == layer.findKeysTree(x, y).toSeq, s"($x,$y)")
+      assert(layer.findFirstKey(x, y) == layer.findFirstKeyTree(x, y), s"first ($x,$y)")
+    }
+    // exact boundary/corner/shared-edge probes
+    val probes = Seq(
+      (10.0, 5.0),   // shared vertical edge
+      (10.0, 0.0),   // shared corner
+      (5.0, 5.0),    // corner of overlap
+      (35.0, 5.0),   // hole boundary (boundary-as-in)
+      (40.0, 10.0),  // hole interior + shape-5 corner
+      (38.0, 8.0),   // inside the hole (shape 4 must NOT match)
+      (0.0, 0.0), (20.0, 10.0), (60.0, 30.0), (15.0, 15.0))
+    probes.foreach { case (px, py) =>
+      assert(layer.findKeys(px, py).toSeq == layer.findKeysTree(px, py).toSeq, s"boundary ($px,$py)")
+      assert(layer.findFirstKey(px, py) == layer.findFirstKeyTree(px, py), s"first ($px,$py)")
+    }
+    // semantic spot checks (independent of both implementations)
+    assert(layer.findKeys(38.0, 8.0).toSeq == Seq.empty) // in the hole, outside 5
+    assert(layer.findKeys(12.0, 7.0).toSeq == Seq(2L, 3L))
+    assert(layer.findKeys(35.0, 5.0).toSeq == Seq(4L)) // hole boundary counts as in
+  }
+
   test("RingSegmentIndex (bucketed) agrees with direct scan on large rings") {
     val rng = new SplitMix64(31)
     // large ring (many vertices) to force the indexed path
