@@ -113,6 +113,44 @@ case class CosineExpr(left: Expression, right: Expression) extends BinaryExpress
     copy(left = l, right = r)
 }
 
+/** Index of the nearest IVF centroid by cosine (argmax, ties to the lower
+ * list index — exactly the UDF fold it replaces). Centroids ride along as a
+ * codegen reference object (nlist x dims floats — tiny). */
+case class NearestCentroidExpr(child: Expression, cents: Array[Array[Float]])
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "nearest_centroid"
+
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.nearestCentroid(v.asInstanceOf[ArrayData], cents)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCentroids", cents, "float[][]")
+    defineCodeGen(ctx, ev, v => s"graft.functions.HashKernels.nearestCentroid($v, $cRef)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** The `nprobe` nearest IVF list indices, best score first, ties to the
+ * lower index — same order law as `sortBy((-score, idx)).take(nprobe)`. */
+case class CentroidProbesExpr(child: Expression, cents: Array[Array[Float]], nprobe: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "centroid_probes"
+
+  override protected def nullSafeEval(v: Any): Any =
+    HashKernels.centroidProbes(v.asInstanceOf[ArrayData], cents, nprobe)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cRef = ctx.addReferenceObj("ivfCentroids", cents, "float[][]")
+    defineCodeGen(ctx, ev, v =>
+      s"graft.functions.HashKernels.centroidProbes($v, $cRef, $nprobe)")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /** Stopword-heuristic language id of a text column. NOT null-propagating:
  * null/empty text yields "und", exactly like the UDF form it replaces. */
 case class LangIdExpr(child: Expression) extends UnaryExpression {
@@ -215,6 +253,66 @@ object HashKernels {
     UnsafeArrayData.fromPrimitiveArray(out)
   }
 
+  /** [[Ann.cosine]] against a plain float array — same fold, b read from
+   * the array instead of a second ArrayData. */
+  def cosineVs(a: ArrayData, b: Array[Float]): Double = {
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    val n = math.min(a.numElements(), b.length)
+    while (i < n) {
+      val av = a.getFloat(i).toDouble
+      val bv = b(i).toDouble
+      dot += av * bv
+      na += av * av
+      nb += bv * bv
+      i += 1
+    }
+    if (na == 0 || nb == 0) 0.0 else dot / math.sqrt(na * nb)
+  }
+
+  /** argmax over centroids; strict `>` keeps the FIRST max — ties break to
+   * the lower list index, like the Seq fold in the UDF it replaces. */
+  def nearestCentroid(v: ArrayData, cents: Array[Array[Float]]): Int = {
+    var best = 0; var bestScore = Double.NegativeInfinity
+    var i = 0
+    while (i < cents.length) {
+      val s = cosineVs(v, cents(i))
+      if (s > bestScore) { bestScore = s; best = i }
+      i += 1
+    }
+    best
+  }
+
+  /** Top-`nprobe` centroid indices ordered by (-score, idx) under the same
+   * total order as the Scala `sortBy` it replaces (Ordering[Double] is
+   * java.lang.Double.compare-based: NaN greatest, -0.0 < 0.0). */
+  def centroidProbes(v: ArrayData, cents: Array[Array[Float]], nprobe: Int): ArrayData = {
+    val n = cents.length
+    val scores = new Array[Double](n)
+    var i = 0
+    while (i < n) { scores(i) = cosineVs(v, cents(i)); i += 1 }
+    // ascending by key (-s, i): index a precedes b iff compare(-s_a,-s_b)<0,
+    // ties to the lower index (selection sort keeps it stable)
+    @inline def precedes(a: Int, b: Int): Boolean = {
+      val c = java.lang.Double.compare(-scores(a), -scores(b))
+      if (c != 0) c < 0 else a < b
+    }
+    val m = math.min(nprobe, n)
+    val out = new Array[Int](m)
+    val used = new Array[Boolean](n)
+    var k = 0
+    while (k < m) {
+      var best = -1
+      var j = 0
+      while (j < n) {
+        if (!used(j) && (best == -1 || precedes(j, best))) best = j
+        j += 1
+      }
+      used(best) = true; out(k) = best; k += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Same left-to-right accumulation as [[Ann.cosine]] — bit-identical. */
   def cosine(a: ArrayData, b: ArrayData): Double = {
     var dot = 0.0; var na = 0.0; var nb = 0.0
@@ -253,6 +351,12 @@ object HashExprs {
 
   def cosine(a: Column, b: Column): Column =
     GraftBridge.column(CosineExpr(e(a), e(b)))
+
+  def nearestCentroid(vec: Column, cents: Array[Array[Float]]): Column =
+    GraftBridge.column(NearestCentroidExpr(e(vec), cents))
+
+  def centroidProbes(vec: Column, cents: Array[Array[Float]], nprobe: Int): Column =
+    GraftBridge.column(CentroidProbesExpr(e(vec), cents, nprobe))
 
   def langId(text: Column): Column = GraftBridge.column(LangIdExpr(e(text)))
 

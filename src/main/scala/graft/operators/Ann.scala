@@ -73,10 +73,10 @@ object Ann {
    */
   def bruteForceTopK(spark: SparkSession, df: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
     val v = df.select(col(idCol).cast("long").as("id"), col(vecCol).as("vec"))
-    val cosUdf = udf((a: Seq[Float], b: Seq[Float]) => cosine(a.toArray, b.toArray))
+    // codegen cosine kernel (same left-to-right fold as Ann.cosine — r6 §9)
     val pairs = v.as("a").join(v.as("b"), col("a.id") =!= col("b.id"))
       .select(col("a.id").as("id"), col("b.id").as("neighbor_id"),
-        cosUdf(col("a.vec"), col("b.vec")).as("score"))
+        graft.functions.HashExprs.cosine(col("a.vec"), col("b.vec")).as("score"))
     val w = Window.partitionBy("id").orderBy(col("score").desc, col("neighbor_id"))
     pairs.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
@@ -104,24 +104,15 @@ object Ann {
       .orderBy(xxhash64(col("id")), col("id")).limit(nlist)
       .select("vec").as[Seq[Float]].collect().map(_.toArray)
 
-    def nearestList(centroidsBc: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]]) =
-      udf { (vv: Seq[Float]) =>
-        val arr = vv.toArray
-        var best = 0; var bestScore = Double.NegativeInfinity
-        var i = 0
-        while (i < centroidsBc.value.length) {
-          val s = cosine(arr, centroidsBc.value(i))
-          if (s > bestScore) { bestScore = s; best = i }
-          i += 1
-        }
-        best
-      }
+    // argmax / probe kernels are codegen expressions (r6; ArrayData read in
+    // place, centroids as a codegen reference object — no broadcast, no
+    // Seq[Float] boxing per row). Fold order identical to the UDF forms.
+    import graft.functions.HashExprs
 
     // Lloyd: assign -> mean (deterministic; ties in argmax break to lower list)
     var it = 0
     while (it < iters) {
-      val bc = spark.sparkContext.broadcast(centroids)
-      val assigned = v.withColumn("_l", nearestList(bc)(col("vec")))
+      val assigned = v.withColumn("_l", HashExprs.nearestCentroid(col("vec"), centroids))
       val dims = centroids(0).length
       val sums = assigned
         .select(col("_l"), posexplode(col("vec")).as(Seq("_d", "_x")))
@@ -141,24 +132,16 @@ object Ann {
       it += 1
     }
 
-    val bc = spark.sparkContext.broadcast(centroids)
-    val lists = v.withColumn("_l", nearestList(bc)(col("vec"))).cache()
-    val probesUdf = udf { (vv: Seq[Float]) =>
-      val arr = vv.toArray
-      bc.value.indices
-        .map(i => (cosine(arr, bc.value(i)), i))
-        .sortBy { case (s, i) => (-s, i) }
-        .take(nprobe).map(_._2).toArray
-    }
+    val lists = v.withColumn("_l", HashExprs.nearestCentroid(col("vec"), centroids)).cache()
     val queries = lists
-      .withColumn("_probe", explode(probesUdf(col("vec"))))
+      .withColumn("_probe", explode(HashExprs.centroidProbes(col("vec"), centroids, nprobe)))
       .select(col("id"), col("vec"), col("_probe").as("_l"))
     val cand = queries.join(
         lists.select(col("id").as("neighbor_id"), col("vec").as("nvec"), col("_l")), Seq("_l"))
       .filter(col("id") =!= col("neighbor_id"))
-    val cosUdf = udf((a: Seq[Float], b: Seq[Float]) => cosine(a.toArray, b.toArray))
     val w = Window.partitionBy("id").orderBy(col("score").desc, col("neighbor_id"))
-    cand.select(col("id"), col("neighbor_id"), cosUdf(col("vec"), col("nvec")).as("score"))
+    cand.select(col("id"), col("neighbor_id"),
+        graft.functions.HashExprs.cosine(col("vec"), col("nvec")).as("score"))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("id", "rank", "neighbor_id", "score")

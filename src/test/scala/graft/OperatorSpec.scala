@@ -201,6 +201,45 @@ class OperatorSpec extends SparkSuite {
     assert(recall >= 0.9, s"recall=$recall")
   }
 
+  test("IVF codegen kernels match the UDF folds they replaced (ties, zeros)") {
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import graft.functions.HashKernels
+    // reference folds: verbatim copies of the r5 UDF bodies
+    def refNearest(arr: Array[Float], cents: Array[Array[Float]]): Int = {
+      var best = 0; var bestScore = Double.NegativeInfinity
+      var i = 0
+      while (i < cents.length) {
+        val s = Ann.cosine(arr, cents(i))
+        if (s > bestScore) { bestScore = s; best = i }
+        i += 1
+      }
+      best
+    }
+    def refProbes(arr: Array[Float], cents: Array[Array[Float]], nprobe: Int): Seq[Int] =
+      cents.indices.map(i => (Ann.cosine(arr, cents(i)), i))
+        .sortBy { case (s, i) => (-s, i) }.take(nprobe).map(_._2)
+
+    val rng = new SplitMix64(41)
+    val dims = 16
+    val cents = Array.tabulate(12)(_ =>
+      Array.fill(dims)((rng.nextDouble() * 2 - 1).toFloat))
+    cents(7) = cents(2).clone()          // exact argmax/ordering tie
+    cents(9) = Array.fill(dims)(0.0f)    // zero-norm centroid -> score 0.0
+    val probes =
+      (0 until 500).map(_ => Array.fill(dims)((rng.nextDouble() * 2 - 1).toFloat)) ++
+      Seq(Array.fill(dims)(0.0f),        // all-tie query (every score 0.0)
+        cents(2).clone(), cents(9).clone())
+    for (v <- probes) {
+      val ad = ArrayData.toArrayData(v)
+      assert(HashKernels.nearestCentroid(ad, cents) == refNearest(v, cents))
+      assert(HashKernels.centroidProbes(ad, cents, 4).toIntArray().toSeq ==
+        refProbes(v, cents, 4))
+      for (c <- cents)
+        assert(java.lang.Double.doubleToLongBits(HashKernels.cosineVs(ad, c)) ==
+          java.lang.Double.doubleToLongBits(Ann.cosine(v, c)))
+    }
+  }
+
   test("lshTopK recall vs brute force is high on clustered vectors") {
     val rng = new SplitMix64(17)
     val vecs = (0 until 200).map { i =>

@@ -169,6 +169,17 @@ class PlanSpec extends SparkSuite {
     assert("(?i)scalaudf".r.findAllIn(plan).isEmpty, "expected no ScalaUDF on the LSH path")
   }
 
+  test("ivfTopK final plan has no ScalaUDF (codegen argmax/probe/cosine)") {
+    import spark.implicits._
+    val rng = new graft.tables.SplitMix64(13)
+    val vecs = (0 until 150).map(i =>
+      (i.toLong, Array.fill(16)(rng.nextDouble().toFloat).toSeq)).toDF("vec_id", "embedding")
+    val df = graft.operators.Ann.ivfTopK(spark, vecs, "vec_id", "embedding", k = 3,
+      nlist = 8, nprobe = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert("(?i)scalaudf".r.findAllIn(plan).isEmpty, "expected no ScalaUDF on the IVF path")
+  }
+
   test("exact dedup: no exchange carries the text column (128-bit key decision)") {
     import spark.implicits._
     val docs = (0 until 100).map(i => (i.toLong, s"document body $i " * 10))
