@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.UnaryExpression
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -71,7 +71,11 @@ case class JaccardExpr(left: Expression, right: Expression, shingleN: Int)
 }
 
 /** Hyperplane LSH signature of a float-vector column (ArrayData read in place). */
-case class PlaneSigExpr(child: Expression, planes: Int) extends UnaryExpression {
+case class PlaneSigExpr(child: Expression, planes: Int) extends UnaryExpression
+    with ImplicitCastInputTypes {
+  // the Seq[Float] ScalaUDF this replaced made the analyzer cast non-float
+  // vectors; declare the same expectation so getFloat never misreads
+  override def inputTypes: Seq[GraftBridge.AbsDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = LongType
   override def prettyName: String = "plane_sig"
 
@@ -99,7 +103,10 @@ case class SigProbesExpr(child: Expression, planes: Int) extends UnaryExpression
 }
 
 /** Cosine similarity of two float-vector columns (ArrayData read in place). */
-case class CosineExpr(left: Expression, right: Expression) extends BinaryExpression {
+case class CosineExpr(left: Expression, right: Expression) extends BinaryExpression
+    with ImplicitCastInputTypes {
+  override def inputTypes: Seq[GraftBridge.AbsDataType] =
+    Seq(ArrayType(FloatType), ArrayType(FloatType))
   override def dataType: DataType = DoubleType
   override def prettyName: String = "cosine_sim"
 
@@ -117,7 +124,8 @@ case class CosineExpr(left: Expression, right: Expression) extends BinaryExpress
  * list index — exactly the UDF fold it replaces). Centroids ride along as a
  * codegen reference object (nlist x dims floats — tiny). */
 case class NearestCentroidExpr(child: Expression, cents: Array[Array[Float]])
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[GraftBridge.AbsDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = IntegerType
   override def prettyName: String = "nearest_centroid"
 
@@ -135,7 +143,8 @@ case class NearestCentroidExpr(child: Expression, cents: Array[Array[Float]])
 /** The `nprobe` nearest IVF list indices, best score first, ties to the
  * lower index — same order law as `sortBy((-score, idx)).take(nprobe)`. */
 case class CentroidProbesExpr(child: Expression, cents: Array[Array[Float]], nprobe: Int)
-    extends UnaryExpression {
+    extends UnaryExpression with ImplicitCastInputTypes {
+  override def inputTypes: Seq[GraftBridge.AbsDataType] = Seq(ArrayType(FloatType))
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "centroid_probes"
 
@@ -297,7 +306,7 @@ object HashKernels {
       val c = java.lang.Double.compare(-scores(a), -scores(b))
       if (c != 0) c < 0 else a < b
     }
-    val m = math.min(nprobe, n)
+    val m = math.max(0, math.min(nprobe, n)) // .take(nprobe) tolerated nprobe<0
     val out = new Array[Int](m)
     val used = new Array[Boolean](n)
     var k = 0

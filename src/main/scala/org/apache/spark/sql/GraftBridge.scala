@@ -11,4 +11,8 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftBridge {
   def expr(c: Column): Expression = classic.ExpressionUtils.expression(c)
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+
+  /** Public alias for the sql-private AbstractDataType, so graft expressions
+   * can declare `inputTypes` (ImplicitCastInputTypes) outside this package. */
+  type AbsDataType = org.apache.spark.sql.types.AbstractDataType
 }
